@@ -15,17 +15,20 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Wide enough for 100 TB-scale sums: 38 total digits, matching the
-# max Spark/DuckDB decimal width after sum-promotion.
-DEC = "decimal(18,2)"
+# Element type for exact sums. 18 digits holds any single input value
+# here (prices < 1e7); Spark's SUM promotes decimal(18,2) partials to
+# decimal(28,2) (precision+10), so a 100 TB sum of ~1e12 rows x 1e7
+# max value stays within range — overflow returns NULL loudly in the
+# row-count/hash compare rather than silently drifting like doubles.
+DEC_PRECISION = 18
 
 
 def dec(c: str | Column, scale: int = 2) -> Column:
     """Cast a double column to an exact decimal for order-independent math."""
     col = F.col(c) if isinstance(c, str) else c
-    return col.cast(f"decimal(18,{scale})")
+    return col.cast(f"decimal({DEC_PRECISION},{scale})")
 
 
-def dsum_expr(expr: Column) -> Column:
+def dsum(expr: Column) -> Column:
     """Exact sum of a decimal expression, surfaced as double."""
     return F.sum(expr).cast("double")

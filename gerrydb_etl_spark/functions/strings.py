@@ -6,6 +6,8 @@ Each mirrors a pandas lambda in the reference but stays JVM-side
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,17 +37,24 @@ def prefixed_key(prefix: str, col: Column, sep: str = ":") -> Column:
 
 
 def rstrip_charset(col: Column, charset: str) -> Column:
-    """``str.rstrip(charset)`` equivalent (reference pl_geo.py:144)."""
-    return F.regexp_replace(col, f"[{charset}]+$", "")
+    """``str.rstrip(charset)`` equivalent (reference pl_geo.py:144).
+
+    Each character is regex-escaped so charsets containing ']', '\\',
+    '^', or '-' keep str.rstrip semantics inside the character class.
+    """
+    escaped = "".join(re.escape(ch) for ch in charset)
+    return F.regexp_replace(col, f"[{escaped}]+$", "")
 
 
 def trailing_class(col: Column, mapping: dict[str, str]) -> Column:
     """Classify by final character (reference pl_geo.py:132-138:
     geoids ending t->trust, r->reservation). Unmatched -> NULL, which
     callers turn into a validation failure (§2.11)."""
+    if not mapping:
+        raise ValueError("trailing_class requires a non-empty mapping")
     expr = None
     last = F.lower(F.substring(col, -1, 1))
     for ch, label in mapping.items():
         cond = last == ch
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
-    return expr.otherwise(F.lit(None))
+    return expr.otherwise(F.lit(None).cast("string"))

@@ -321,10 +321,10 @@ def nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_full_row",
     oracle="""
-    SELECT l_returnflag, l_linestatus, l_shipmode_eq AS l_qty_bucket, COUNT(*) AS n
+    SELECT l_returnflag, l_linestatus, l_qty_bucket, COUNT(*) AS n
     FROM (
         SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus,
-               CAST(l_quantity AS INTEGER) // 10 AS l_shipmode_eq
+               CAST(FLOOR(l_quantity / 10) AS INTEGER) AS l_qty_bucket
         FROM lineitem
     )
     GROUP BY 1, 2, 3
@@ -340,7 +340,9 @@ def dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_returnflag",
             "l_linestatus",
-            (F.col("l_quantity").cast("int") / 10).cast("int").alias("l_qty_bucket"),
+            # floor() on both sides: CAST(double AS INT) rounds half-up in
+            # DuckDB but truncates in Spark — floor is engine-independent.
+            F.floor(F.col("l_quantity") / 10).cast("int").alias("l_qty_bucket"),
         )
         .dropDuplicates()
         .groupBy("l_returnflag", "l_linestatus", "l_qty_bucket")
