@@ -1,0 +1,287 @@
+"""Deduplication operators for document-scale corpora.
+
+Four tiers, in increasing tolerance for textual drift:
+
+  1. exact_dedup        — content-hash groups (sha256), zero drift
+  2. jaccard_pairs      — exact n-gram Jaccard via an inverted-index
+                          self-join (never all-pairs)
+  3. minhash_lsh_pairs  — MinHash signatures + banded LSH candidate
+                          generation; estimates Jaccard from the
+                          signature (approximate, tunable)
+  4. simhash_pairs      — 64-bit SimHash fingerprints + chunk-blocked
+                          Hamming-distance pairs
+
+100 TB design notes
+-------------------
+The only pair-generation strategy used anywhere is *bucketed
+candidate pairs*: shingle inverted index (2), LSH band buckets (3),
+or fingerprint chunks (4). There is no all-pairs cross join in any
+path — candidate volume is bounded by bucket sizes, and hot buckets
+are explicitly capped (``max_shingle_df``) the same way one would
+drop stop-shingles in a production near-dup pass. Every groupBy here
+partial-aggregates map-side before its shuffle.
+
+The reference has no near-dup machinery (its only dedup is the
+full-row ``drop_duplicates`` at pl_geo.py:109-116); this module is
+the north-star extension from SURVEY.md §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.functions.text import shingles, tokenize
+
+# SimHash fingerprints are blocked on 4 x 16-bit chunks: any pair
+# within Hamming distance 3 shares at least one exact chunk
+# (pigeonhole), so chunk-equality buckets are a complete candidate
+# generator for distance <= 3 and a high-recall one beyond.
+SIMHASH_CHUNKS = 4
+SIMHASH_BITS = 64
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: trim + lowercase + collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def content_key(col: Column) -> Column:
+    """sha256 content key of normalized text (hex string — identical
+    in Spark's sha2 and DuckDB's sha256)."""
+    return F.sha2(normalized_text(col), 256)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group exact duplicates by content hash.
+
+    Returns one row per distinct content: (content_key,
+    canonical_id = min id, n_copies). Map-side combine collapses
+    duplicates before the shuffle, so the exchange carries one row
+    per distinct document hash.
+    """
+    return (
+        df.select(
+            content_key(F.col(text_col)).alias("content_key"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("content_key")
+        .agg(
+            F.min("_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_set(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingles(tokenize(F.col(text_col)), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs from an
+    inverted-index self-join.
+
+    Plan shape: explode→distinct (one shuffle), shingle-frequency cap
+    (drops stop-shingles whose document frequency exceeds
+    ``max_shingle_df`` — a df² blow-up guard; candidate recall for
+    pairs above ``threshold`` is unaffected in practice because
+    near-dup pairs share many rare shingles), self-join per shingle,
+    then count-distinct-free aggregation: common counts come from the
+    join, set sizes from a broadcast-joined per-doc size table.
+    """
+    sh = shingle_set(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    keyed = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        keyed = sh.join(rare, "shingle")
+
+    left = keyed.select(F.col("doc").alias("d1"), "shingle")
+    right = keyed.select(F.col("doc").alias("d2"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: one xxhash64 family member per
+    signature position (seeded by position), min-aggregated over the
+    doc's shingle set. One groupBy — num_hashes partial mins combine
+    map-side, so the shuffle carries one row per doc."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    bands=8 x rows=4 over 32 hashes → a pair with true Jaccard s
+    collides in ≥1 band with probability 1-(1-s⁴)⁸ (s=0.8 → 0.98;
+    s=0.5 → 0.40), the classic LSH S-curve. Candidates are generated
+    ONLY by band-bucket equality (explode to (band, band_key), self-
+    join per bucket) — never all-pairs. The emitted ``est_jaccard``
+    is the fraction of agreeing signature positions.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    sig = minhash_signatures(
+        shingle_set(df, id_col, text_col, n), num_hashes
+    ).cache()
+
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col("doc"), F.explode(band_entries).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+
+    sig1 = sig.select(F.col("doc").alias("d1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sig2 = sig.select(F.col("doc").alias("d2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cand.join(sig1, "d1")
+        .join(sig2, "d2")
+        .select("d1", "d2", (agree / F.lit(num_hashes)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Tokens are weighted by in-doc frequency; each bit of the
+    fingerprint is the sign of the weighted sum of that bit across
+    token hashes. Entirely built-in expressions: explode → token
+    counts → 64 conditional sums → bit assembly. The shuffle carries
+    (doc, token) once and (doc) once.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokenize(F.col(text_col))).alias("t"))
+        .groupBy("doc", "t")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.xxhash64("t"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc").agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("doc", fp.alias("fingerprint"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bit flips.
+
+    Candidate generation blocks on the 4 x 16-bit fingerprint chunks
+    (complete for distance ≤ 3 by pigeonhole); verification is a
+    bit_count(xor) on the candidate set only.
+    """
+    fps = simhash(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("fingerprint"), c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    blocked = fps.select(
+        "doc", "fingerprint", F.explode(chunks).alias("ck")
+    ).select("doc", "fingerprint", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.bit_count(
+                F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,264 @@
+"""LLM-data pipeline queries over the `documents` table: exact and
+near-duplicate dedup, text analysis, fingerprinting, multimodal
+byte-column plumbing (SURVEY.md §2.5 north star + §2.12).
+
+Exact operators carry full DuckDB oracles. Approximate operators
+(MinHash-LSH, SimHash — built on engine-specific xxhash64) are
+rows-only here and get recall assertions against the exact Jaccard
+operator in tests/test_llm_text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.functions.text import (
+    STOPWORDS,
+    avg_token_len,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    stopword_ratio,
+    tokenize,
+    type_token_ratio,
+)
+from gerrydb_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from gerrydb_etl_spark.operators.multimodal import decode_media, documents_as_media
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "dedup_exact_text",
+    oracle="""
+    SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256 content keys over normalized text, one row
+    per distinct content with the canonical (min) doc id. Map-side
+    combine means the shuffle carries one row per distinct hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct,
+           list_reduce(list_prepend(0::BIGINT, list_transform(t, x -> length(x)::BIGINT)),
+                       (a, b) -> a + b) / len(t) AS avg_token_len,
+           len(list_distinct(t)) / len(t) AS ttr,
+           len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS["en"])}, x)))
+               / len(t) AS stop_ratio_en,
+           (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END
+            * (len(list_distinct(t)) / len(t)
+               + len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS["en"])}, x)))
+                 / len(t))) / 2 AS quality
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token counts, lexical diversity,
+    stopword rate, and a composite quality score — all integer-ratio
+    arithmetic so Spark and DuckDB agree bit-for-bit. Narrow map over
+    the scan: zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        avg_token_len(t).alias("avg_token_len"),
+        type_token_ratio(t).alias("ttr"),
+        stopword_ratio(t, "en").alias("stop_ratio_en"),
+        quality_score(t, "en").alias("quality"),
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(t, x -> list_contains({_sql_list(STOPWORDS[lang])}, x)))"
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                WHEN h_fr >= h_zh THEN 'fr'
+                ELSE 'zh' END AS predicted
+    FROM (
+        SELECT doc_id, lang,
+               {_hits_sql("de")} AS h_de,
+               {_hits_sql("en")} AS h_en,
+               {_hits_sql("es")} AS h_es,
+               {_hits_sql("fr")} AS h_fr,
+               {_hits_sql("zh")} AS h_zh
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+    )
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hits
+    with alphabetical tie-break ('und' when nothing hits). Pure
+    expression — the oracle reproduces the argmax as a CASE chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(tokenize(F.col("text"))).alias("predicted"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT,
+                   list_transform(string_split(text, ' '),
+                                  x -> length(x)::BIGINT * 256 + ascii(x))),
+               (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (base-131 polynomial
+    fold) — engine-portable unlike xxhash/md5-based schemes because
+    the fold arithmetic is explicit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(tokenize(F.col("text"))).alias("fingerprint")
+    )
+
+
+@query(
+    "token_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens: explode -> partial-agg counts -> top-k.
+    TakeOrderedAndProject keeps the merge at k rows per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "ngram_jaccard_dedup",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> array_to_string(t[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    keyed AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000)
+    ),
+    pairs AS (
+        SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+        FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, common / (s1.n_sh + s2.n_sh - common) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc = d1
+    JOIN sizes s2 ON s2.doc = d2
+    WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.8
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) via the
+    inverted-index self-join — candidate pairs come only from shared
+    shingles (doc-frequency-capped), never an all-pairs product."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000)
+
+
+@query("minhash_near_dup")
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (32 hashes) + banded LSH (8x4) near-dup candidates with
+    signature-estimated Jaccard >= 0.7. Approximate (xxhash64-based)
+    -> no SQL oracle; recall vs exact Jaccard asserted in
+    tests/test_llm_text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.7
+    )
+
+
+@query("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints, 16-bit-chunk blocking, Hamming <= 3
+    verification. Approximate -> rows-only; properties asserted in
+    tests/test_llm_text.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "media_byte_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha,
+           sha256(substr(text, 1, 64)) AS head_sha
+    FROM documents
+    """,
+)
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal byte-column metadata: payload size + content/head
+    hashes over the binary payload (documents standing in for media
+    blobs). Narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("payload_sha"),
+        F.sha2(F.substring(F.col("text"), 1, 64), 256).alias("head_sha"),
+    )
+
+
+@query("media_decode_features")
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake-decode over the media-shaped documents
+    table: mapInPandas byte-histogram features + frame-sampling
+    counts. The decode kernel is a deterministic stub (no codec libs
+    here) — the Spark plumbing (schema, batching, narrow map) is
+    real. Batch-shape unit test in tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(documents_as_media(docs), frame_bytes=64)

@@ -1,0 +1,129 @@
+"""Recall/property tests for the approximate dedup operators (which
+have no SQL oracle) plus unit checks on the text expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.functions.text import lang_id, rolling_fingerprint, tokenize
+from gerrydb_etl_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from gerrydb_etl_spark.sources import load_table
+from tests.conftest import SF_ORACLE
+
+
+def _true_pairs(spark, threshold=0.8):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    return {
+        (r.d1, r.d2)
+        for r in jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=threshold
+        ).collect()
+    }
+
+
+def test_minhash_lsh_recall(spark):
+    """Every true near-dup pair (exact Jaccard >= 0.8) must be
+    recovered by the banded-LSH candidate pass. With 8 bands x 4
+    rows, P(miss at s=0.8) = (1-0.8^4)^8 ~ 1.5%, and the planted
+    pairs sit at s~0.98 where P(miss) ~ 1e-9 — so full recall is a
+    deterministic expectation, not luck."""
+    truth = _true_pairs(spark, threshold=0.8)
+    assert truth, "test corpus should contain planted near-duplicates"
+    docs = load_table(spark, SF_ORACLE, "documents")
+    found = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.7
+        ).collect()
+    }
+    missed = truth - found
+    assert not missed, f"LSH missed true near-dup pairs: {sorted(missed)[:5]}"
+
+
+def test_minhash_estimate_tracks_exact(spark):
+    """Signature-estimated Jaccard should be close to exact Jaccard
+    on the recovered pairs (binomial n=32 -> ±0.25 is a >5-sigma
+    bound at s~0.98)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    exact = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    est = {
+        (r.d1, r.d2): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7).collect()
+    }
+    for pair, j in exact.items():
+        assert pair in est
+        assert abs(est[pair] - j) <= 0.25, f"{pair}: est {est[pair]} vs exact {j}"
+
+
+def test_simhash_identical_and_near_texts(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),  # one token off
+        (4, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r.doc: r.fingerprint for r in simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2], "identical texts must share a fingerprint"
+
+    def ham(a: int, b: int) -> int:
+        # mask to uint64: Python's bin() of a negative XOR result
+        # counts magnitude bits, not two's-complement bits
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    ham_13 = ham(fps[1], fps[3])
+    ham_14 = ham(fps[1], fps[4])
+    assert ham_13 < ham_14, "near text must be closer than unrelated text"
+
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_pairs_on_corpus_cover_planted_dups(spark):
+    """The planted ~0.98-Jaccard pairs differ by a handful of tokens,
+    so their SimHash Hamming distance is small; chunk blocking is
+    complete for distance <= 3, and the pass must find at least one
+    planted pair without drowning in false positives."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    truth = _true_pairs(spark, threshold=0.95)
+    found = {
+        (r.d1, r.d2)
+        for r in simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert found & truth, "simhash found none of the planted near-dups"
+
+
+def test_lang_id_prefers_alphabetical_on_tie(spark):
+    df = spark.createDataFrame([("the la",)], ["text"])  # en hit + es/fr hit
+    # 'the' hits en; 'la' hits es AND fr -> all tie at 1 -> 'en' wins
+    # only if en >= others alphabetically after de; de has 0 hits.
+    row = df.select(lang_id(tokenize(F.col("text"))).alias("p")).collect()[0]
+    assert row.p == "en"
+
+
+def test_lang_id_und_when_no_hits(spark):
+    df = spark.createDataFrame([("qqq zzz xxx",)], ["text"])
+    row = df.select(lang_id(tokenize(F.col("text"))).alias("p")).collect()[0]
+    assert row.p == "und"
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",)], ["text"])
+    fps = [
+        r.fp
+        for r in df.select(
+            rolling_fingerprint(tokenize(F.col("text"))).alias("fp")
+        ).collect()
+    ]
+    assert fps[0] != fps[1], "fingerprint must be order-sensitive"
