@@ -1,0 +1,102 @@
+"""Event-time windowing queries over `events` (SURVEY.md §2.9).
+
+DuckDB oracles: tumbling/sliding via time_bucket arithmetic; session
+windows via the classic gaps-and-islands (lag + cumulative sum) —
+the SQL spelling of what session_window computes in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.streaming.windows import json_props, session, sliding, tumbling
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type."""
+    return tumbling(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "events_sliding_windows",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           strftime(ws + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT time_bucket(INTERVAL '10 minutes', ts)
+                   - k * (INTERVAL '10 minutes') AS ws,
+               value
+        FROM events, (SELECT unnest([0, 1, 2]) AS k)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding by 10 minutes (3x overlap). The
+    oracle expands each event into its 3 member windows explicitly."""
+    return sliding(load_table(spark, sf_dir, "events"), "30 minutes", "10 minutes")
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '10 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap —
+    session_window in Spark, gaps-and-islands in the oracle."""
+    return session(load_table(spark, sf_dir, "events"), "10 minutes")
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the props column with an explicit schema, then
+    aggregation on the extracted field (§2.6 JSON scalar target)."""
+    return json_props(load_table(spark, sf_dir, "events"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = (
@@ -98,6 +99,9 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
+    # Logical schema; the parquet stores ts as TIMESTAMP(NANOS),
+    # which load_table() reads as int64 ns and converts to a
+    # microsecond timestamp (see _EVENTS_PHYSICAL below).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -127,11 +131,32 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+# events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
+# Spark's vectorized reader rejects outright. Physical read schema
+# takes the raw int64 nanoseconds (via the legacy nanosAsLong conf,
+# runtime-settable) and the loader converts ns -> µs timestamp —
+# truncation identical to DuckDB's ns -> µs read of the same file.
+_EVENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(_EVENTS_PHYSICAL).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
 
 

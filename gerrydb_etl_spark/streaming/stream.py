@@ -1,0 +1,143 @@
+"""Structured Streaming over the events table.
+
+The batch window builders (streaming/windows.py) are reused verbatim
+— window()/session_window are stream-compatible — with a watermark
+bolted on for state eviction. `run_stream_to_memory` drives any of
+them with Trigger.AvailableNow against the parquet directory (file
+source), which exercises the *real* streaming engine (micro-batches,
+state store, watermarks) deterministically in tests.
+
+Stateful custom operator: `running_user_totals` uses
+applyInPandasWithState (Arrow-batched per-group state) to keep a
+running per-user event count + value sum across micro-batches — the
+applyInPandasWithState pattern from the brief.
+
+Scale notes: the file source lists+splits input like batch parquet;
+state store size for the windowed aggs is bounded by watermark
+eviction; per-user state for running totals is O(distinct users).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from gerrydb_etl_spark.sources.registry import _EVENTS_PHYSICAL
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet directory (file source),
+    with the same ns->µs timestamp conversion as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver ships events as a single parquet FILE; the file
+    # stream source only accepts directories, so expose the file
+    # through a temp directory of symlinks (no data copy).
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(src, os.path.join(stage, "events.parquet"))
+    raw = spark.readStream.schema(_EVENTS_PHYSICAL).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    watermark: str = "1 hour",
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a window builder as a stream with AvailableNow and
+    return the materialized result from the memory sink."""
+    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+USER_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event
+    count + value sum via applyInPandasWithState. State is one tiny
+    tuple per user; Arrow batches carry the group's rows."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the stateful operator with AvailableNow; returns the
+    final per-user totals (last update per user wins)."""
+    stream = read_events_stream(spark, sf_dir)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink appends every state update; keep the
+    # final row per user (max n_events is monotone in updates).
+    snap = spark.table(name)
+    return snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
