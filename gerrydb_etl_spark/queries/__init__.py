@@ -5,6 +5,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_similarity,
     llm_text,
     relational,
+    store_queries,
     windows,
 )
 from gerrydb_etl_spark.queries.base import REGISTRY, QuerySpec

@@ -1,0 +1,197 @@
+"""Versioned-store queries: SCD-2 merge semantics, EAV melt/pivot,
+dimension upsert-if-absent (SURVEY.md §2.10, §2.5, VERDICT item 2/3).
+
+The merges run as pure DataFrame transforms over the orders table
+(version ordinals, not wall clocks), so every outcome is expressible
+as a closed-form DuckDB oracle: batch1 = all orders at v1, batch2 =
+re-priced open orders at v2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.store.eav import melt_to_eav, pivot_from_eav
+from gerrydb_etl_spark.store.scd2 import current_view, empty_versioned, scd2_merge
+
+EAV_COLS = {
+    "p_name": "str",
+    "p_size": "int",
+    "p_retailprice": "float",
+    "p_big": "bool",
+}
+
+
+def _batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+
+
+def _batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-price open ('O') orders — the changed subset of a re-load."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", (F.col("o_totalprice") + 100.0).alias("price"))
+    )
+
+
+@query(
+    "scd2_double_load",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1 AS BIGINT) AS valid_from,
+           CASE WHEN o_orderstatus = 'O' THEN CAST(2 AS BIGINT) END AS valid_to
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(o_totalprice + 100.0 AS DOUBLE),
+           CAST(2 AS BIGINT), NULL
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def scd2_double_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two successive SCD-2 merges (load all orders at v1, re-price
+    the 'O' subset at v2): changed keys get their v1 row closed at 2
+    and a fresh open v2 row; untouched keys keep one open v1 row.
+    The oracle states the resulting version table in closed form."""
+    state1 = scd2_merge(
+        empty_versioned(_batch1(spark, sf_dir)),
+        _batch1(spark, sf_dir),
+        ["o_orderkey"],
+        version=1,
+    )
+    return scd2_merge(state1, _batch2(spark, sf_dir), ["o_orderkey"], version=2)
+
+
+@query(
+    "scd2_idempotent_reload",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+    FROM orders
+    """,
+)
+def scd2_idempotent_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-loading identical data is a no-op: the second merge's
+    skip-unchanged pass finds every incoming row equal to its open
+    version, so the state is exactly the v1 load — the idempotence
+    property the reference lacks (it would stack duplicate versions)."""
+    state1 = scd2_merge(
+        empty_versioned(_batch1(spark, sf_dir)),
+        _batch1(spark, sf_dir),
+        ["o_orderkey"],
+        version=1,
+    )
+    return scd2_merge(state1, _batch1(spark, sf_dir), ["o_orderkey"], version=2)
+
+
+@query(
+    "scd2_current_view",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 100.0
+                     ELSE o_totalprice END AS DOUBLE) AS price,
+           CAST(CASE WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS BIGINT)
+               AS valid_from
+    FROM orders
+    """,
+)
+def scd2_current_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open versions after the double load (valid_to IS NULL — the
+    reference's current-rows predicate, db.py:123-133)."""
+    state1 = scd2_merge(
+        empty_versioned(_batch1(spark, sf_dir)),
+        _batch1(spark, sf_dir),
+        ["o_orderkey"],
+        version=1,
+    )
+    state2 = scd2_merge(state1, _batch2(spark, sf_dir), ["o_orderkey"], version=2)
+    return current_view(state2)
+
+
+def _typed_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        "p_retailprice",
+        (F.col("p_size") > 25).alias("p_big"),
+    )
+
+
+@query(
+    "eav_long_table",
+    oracle="""
+    SELECT p_partkey, 'p_name' AS col_path, CAST(NULL AS BIGINT) AS val_int,
+           CAST(NULL AS DOUBLE) AS val_float, p_name AS val_str,
+           CAST(NULL AS BOOLEAN) AS val_bool
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS BIGINT), NULL, NULL, NULL FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', NULL, CAST(p_retailprice AS DOUBLE),
+           NULL, NULL FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_big', NULL, NULL, NULL, p_size > 25 FROM part
+    """,
+)
+def eav_long_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt into the EAV shape with one typed physical
+    value column per logical type (db.py:16 dispatch): exactly one
+    non-null value column per row. Narrow projection — no shuffle."""
+    return melt_to_eav(_typed_part(spark, sf_dir), ["p_partkey"], EAV_COLS)
+
+
+@query(
+    "eav_pivot_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+           p_size > 25 AS p_big
+    FROM part
+    """,
+)
+def eav_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt → pivot-back round trip. The pivot uses the EXPLICIT
+    column list (no distinct-values scan — SURVEY.md §4 item 3);
+    matching the plain wide oracle proves the EAV store is lossless."""
+    long_df = melt_to_eav(_typed_part(spark, sf_dir), ["p_partkey"], EAV_COLS)
+    return pivot_from_eav(long_df, ["p_partkey"], EAV_COLS)
+
+
+@query(
+    "dim_upsert_if_absent",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT DISTINCT c_nationkey + 100, 'synthetic-' || CAST(c_nationkey + 100 AS VARCHAR)
+    FROM customer c
+    WHERE c_nationkey < 3
+      AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey + 100)
+    """,
+)
+def dim_upsert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent dimension create (reference
+    pl_pop_table_columns.py:203-238 try-create/on-conflict-reuse):
+    anti-join candidate rows against the existing dimension, append
+    only the novel keys. The dimension side is broadcast."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    candidates = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 3)
+        .select(
+            (F.col("c_nationkey") + 100).alias("n_nationkey"),
+            F.concat(F.lit("synthetic-"), (F.col("c_nationkey") + 100).cast("string")).alias(
+                "n_name"
+            ),
+        )
+        .distinct()
+    )
+    novel = candidates.join(
+        F.broadcast(nation.select("n_nationkey")), "n_nationkey", "left_anti"
+    )
+    return nation.unionByName(novel)

@@ -1,0 +1,139 @@
+"""SCD-2 versioned merge: close-and-insert with an append fast path.
+
+Reimplements the semantics of the reference's direct-SQL sink
+(/root/reference/gerrydb_etl/db.py:119-147): find the open rows
+(valid_to IS NULL) for incoming keys, close them at the new version,
+insert incoming rows as the new open versions — with the "most
+values are only set once" fast path (db.py:135-139): when no open
+row matches an incoming key, the close step short-circuits to a pure
+append.
+
+Two deliberate upgrades over the reference:
+  - `skip_unchanged=True` makes re-loading identical data a no-op
+    (idempotent re-runs — property-tested in tests/test_store.py);
+    the reference would stack a new identical version per run.
+  - versions are caller-supplied ordinals (or timestamps) instead of
+    wall-clock now(), so merges are deterministic and testable.
+
+Scale: one shuffle join of current x incoming on the merge keys;
+AQE handles skew. No collect, no window over the full table —
+`current_view` filters valid_to IS NULL, the same O(scan) predicate
+the reference queries with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VALID_FROM = "valid_from"
+VALID_TO = "valid_to"
+
+
+def _as_version(v: int | Column) -> Column:
+    return F.lit(v).cast("long") if isinstance(v, int) else v.cast("long")
+
+
+def empty_versioned(incoming: DataFrame) -> DataFrame:
+    """An empty version table matching incoming + interval columns."""
+    return (
+        incoming.withColumn(VALID_FROM, F.lit(None).cast("long"))
+        .withColumn(VALID_TO, F.lit(None).cast("long"))
+        .limit(0)
+    )
+
+
+def scd2_merge(
+    current: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    version: int | Column,
+    skip_unchanged: bool = True,
+) -> DataFrame:
+    """Merge ``incoming`` (key + value columns, no interval columns)
+    into the versioned table ``current`` (same columns + valid_from/
+    valid_to), returning the new state.
+
+    - open rows whose key matches an incoming row with *different*
+      values are closed (valid_to = version)
+    - incoming rows that differ from the open version (or have no
+      open version) are inserted with valid_from = version
+    - with skip_unchanged=False every incoming key closes + inserts,
+      mirroring the reference's unconditional behavior
+
+    Contract: ``incoming`` must have at most one row per key —
+    duplicate keys would create two open versions. Enforce upstream
+    with operators.validate.collision_ceiling (the reference's
+    pl_geo.py:159-163 check) and audit the output with
+    assert_version_invariants, which detects exactly this.
+    """
+    ver = _as_version(version)
+    value_cols = [c for c in incoming.columns if c not in keys]
+
+    open_rows = current.filter(F.col(VALID_TO).isNull()).select(
+        *keys, *[F.col(c).alias(f"__cur_{c}") for c in value_cols]
+    )
+    inc = incoming.join(open_rows, keys, "left")
+    same = None
+    for c in value_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+        same = eq if same is None else (same & eq)
+    has_open = F.col(f"__cur_{value_cols[0]}").isNotNull() if value_cols else F.lit(False)
+
+    if skip_unchanged and value_cols:
+        effective = inc.filter(~(has_open & same))
+    else:
+        effective = inc
+    to_insert = effective.select(*keys, *value_cols).withColumn(
+        VALID_FROM, ver
+    ).withColumn(VALID_TO, F.lit(None).cast("long"))
+
+    # Close open rows for effective (changed or new) incoming keys
+    # only — the append fast path falls out naturally: if the semi
+    # join is empty, nothing is rewritten and the plan is a union.
+    eff_keys = effective.select(*keys).distinct().withColumn("__hit", F.lit(1))
+    closed = (
+        current.join(eff_keys, keys, "left")
+        .withColumn(
+            VALID_TO,
+            F.when(
+                F.col(VALID_TO).isNull() & (F.col("__hit") == 1), ver
+            ).otherwise(F.col(VALID_TO)),
+        )
+        .drop("__hit")
+    )
+    return closed.unionByName(to_insert)
+
+
+def current_view(versioned: DataFrame) -> DataFrame:
+    """Open versions only (valid_to IS NULL) — the reference's
+    'current rows' predicate (db.py:123-133)."""
+    return versioned.filter(F.col(VALID_TO).isNull()).drop(VALID_TO)
+
+
+def assert_version_invariants(versioned: DataFrame, keys: list[str]) -> None:
+    """Structural invariants of a healthy SCD-2 table:
+    at most one open version per key; intervals non-overlapping
+    (closed rows ordered by valid_from have valid_to <= next
+    valid_from). Raises AssertionError with offending keys."""
+    open_dups = (
+        versioned.filter(F.col(VALID_TO).isNull())
+        .groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    bad = open_dups.limit(5).collect()
+    assert not bad, f"multiple open versions for keys: {bad}"
+
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.col(VALID_FROM))
+    overlaps = (
+        versioned.withColumn("__next_from", F.lead(VALID_FROM).over(w))
+        .filter(
+            F.col("__next_from").isNotNull()
+            & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.col("__next_from")))
+        )
+    )
+    bad = overlaps.limit(5).collect()
+    assert not bad, f"overlapping version intervals: {bad}"
