@@ -6,6 +6,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_text,
     relational,
     store_queries,
+    validation,
     windows,
 )
 from gerrydb_etl_spark.queries.base import REGISTRY, QuerySpec
