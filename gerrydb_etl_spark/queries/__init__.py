@@ -2,6 +2,7 @@
 
 from gerrydb_etl_spark.queries import (  # noqa: F401
     events,
+    geo_queries,
     joins_extra,
     llm_similarity,
     llm_text,
