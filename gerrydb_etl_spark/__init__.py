@@ -7,12 +7,16 @@ operator surface a 100 TB training-data pipeline needs.
 
 Layout:
     session    — tuned SparkSession bootstrap
-    sources    — schema-declared parquet readers + provenance fingerprinting
-    operators  — relational / dedup / similarity / text / temporal operators
-    functions  — scalar expression helpers (slugify, keys, UTM, census labels)
-    plans      — config-driven (YAML+Jinja2) projection/cast plan generation
-    store      — SCD-2 versioned merge writer, EAV long table, dim upserts
-    geo        — WKB geometry kernels (pure-python; shapely optional)
+    sources    — schema-declared parquet readers
+    functions  — scalar expression helpers (strings, numeric, text)
+    operators  — dedup (exact/MinHash-LSH/SimHash/Jaccard), similarity
+                 search, as-of join, validation, multimodal plumbing
+    queries    — the registered (Spark, DuckDB-oracle) query pairs
+    plans      — config-driven (YAML+Jinja2) plan generation + Census
+                 column metadata
+    store      — SCD-2 versioned merge writer, EAV long table,
+                 write-audit-publish with provenance
+    geo        — WKB geometry kernels (pure numpy) + UTM/EPSG
     streaming  — event-time windowing (batch + Structured Streaming)
 """
 
