@@ -8,6 +8,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_similarity,
     llm_text,
     relational,
+    sources_extra,
     store_queries,
     validation,
     windows,

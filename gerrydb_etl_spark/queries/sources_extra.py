@@ -1,0 +1,92 @@
+"""Source-layer queries: multi-format round trip, header→schema
+(Census shape), and the projection/rename normalizations
+(SURVEY.md §2.1/§2.2 remaining rows).
+"""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.sources.formats import (
+    census_rows_to_df,
+    read_table,
+    write_table,
+)
+from gerrydb_etl_spark.sources.registry import TABLE_SCHEMAS
+
+
+@query(
+    "format_roundtrip_json_csv",
+    oracle="""
+    SELECT n_nationkey, n_name, 'json' AS fmt FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, 'csv' AS fmt FROM nation
+    """,
+)
+def format_roundtrip_json_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation to line-JSON and headered CSV, read both back
+    with the explicit declared schema, and union — proving the
+    non-parquet read/write paths are lossless for the dimension
+    shapes they serve (interchange, not the performance path)."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    schema = "n_nationkey int, n_name string"
+    from pyspark.sql.types import _parse_datatype_string
+
+    stage = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    out = []
+    for fmt in ("json", "csv"):
+        path = f"{stage}/nation_{fmt}"
+        write_table(nation, path, fmt=fmt)
+        back = read_table(spark, path, _parse_datatype_string(schema), fmt=fmt)
+        out.append(back.withColumn("fmt", F.lit(fmt)))
+    return out[0].unionByName(out[1])
+
+
+@query(
+    "census_header_schema",
+    oracle="""
+    SELECT r_name AS name, CAST(r_regionkey * 1000 AS BIGINT) AS pop
+    FROM region
+    """,
+)
+def census_header_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census API shape: an array-of-arrays response whose first row
+    is the header (pl_pop_tables.py:152-153) — synthesized here from
+    the region table, parsed header→schema with post-hoc int casts,
+    lowercased columns (pl_pop_tables.py:172)."""
+    region = load_table(spark, sf_dir, "region")
+    rows = [["NAME", "POP"]] + [
+        [r.r_name, str(r.r_regionkey * 1000)] for r in region.collect()
+    ]
+    return census_rows_to_df(spark, rows, int_columns=["POP"])
+
+
+@query(
+    "rename_normalizations",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+    FROM customer
+    """,
+)
+def rename_normalizations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-name normalizations as whole-frame renames: suffix
+    strip (NAME10→NAME, pl_localities.py:139-144), lowercase-all
+    (pl_pop_tables.py:172), and the column-presence predicate
+    (pl_geo.py:118-122) — all metadata-only (toDF), zero compute."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    # simulate a suffixed/uppercased vintage: C_CUSTKEY10, C_NAME10, ...
+    vintage = cust.toDF(*[f"{c.upper()}10" for c in cust.columns])
+    stripped = vintage.toDF(*[re.sub("10$", "", c) for c in vintage.columns])
+    lowered = stripped.toDF(*[c.lower() for c in stripped.columns])
+    keep = [c for c in ("c_custkey", "c_name", "c_acctbal", "c_ghost") if c in lowered.columns]
+    return lowered.select(
+        *[F.col(c).alias(c.removeprefix("c_")) for c in keep]
+    )
