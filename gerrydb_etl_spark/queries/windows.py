@@ -51,7 +51,19 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile over one shared window spec (one shuffle)."""
+    """rank / dense_rank / ntile over one shared window spec (one shuffle).
+
+    Cardinality contract: the partition key (c_nationkey, 25 values)
+    bounds parallelism at 25 tasks, and ntile() forces each nation's
+    full customer set through one task — at N customers/nation that
+    task is O(N log N) sort + O(N) stream. This is the correct plan
+    only while max-group-size fits one task comfortably (≲ tens of
+    millions of rows); beyond that, rank()-by-threshold should be
+    rewritten as a two-pass agg + broadcast-join (compute per-nation
+    quantile boundaries first, then join), trading exact ntile
+    semantics for unbounded scale. Kept as the window form here
+    because the brief's data keeps groups small and the semantics
+    exactly match the SQL oracle."""
     cust = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return cust.select(
