@@ -4,6 +4,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     config_queries,
     events,
     geo_queries,
+    geoset_queries,
     joins_extra,
     llm_similarity,
     llm_text,
