@@ -9,6 +9,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_similarity,
     llm_text,
     relational,
+    resolution,
     sources_extra,
     store_queries,
     validation,

@@ -1,0 +1,115 @@
+"""Key-resolution joins (SURVEY.md §2.3 rows 3-4) and the locality
+hierarchy expansion (§1.4 / §7 hard part 5).
+
+The reference resolves incoming column names through an alias table
+(ColumnRef.path IN (...), pl_geo.py:260-278) and locality fips paths
+through Locality x LocalityRef (pl_geo.py:286-292); its locality
+tree is a self-referencing dimension (us -> state -> county) whose
+expansion needs no recursive CTE because depth <= 3 — unrolled
+iterative broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.plans.census import column_aliases
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+# canonical Census P1/P2 column names whose alias rows we materialize
+_CANONICALS = ["P1_001N", "P1_003N", "P1_004N", "P2_002N", "P2_005N"]
+
+
+@query(
+    "alias_resolution_join",
+    oracle="""
+    WITH aliases(alias, canonical) AS (
+        SELECT lower(alias), canonical FROM (VALUES
+            ('P1_001N', 'P1_001N'), ('P001001', 'P1_001N'), ('P0010001', 'P1_001N'),
+            ('P1_003N', 'P1_003N'), ('P001003', 'P1_003N'), ('P0010003', 'P1_003N'),
+            ('P1_004N', 'P1_004N'), ('P001004', 'P1_004N'), ('P0010004', 'P1_004N'),
+            ('P2_002N', 'P2_002N'), ('P002002', 'P2_002N'), ('P0020002', 'P2_002N'),
+            ('P2_005N', 'P2_005N'), ('P002005', 'P2_005N'), ('P0020005', 'P2_005N')
+        ) AS t(alias, canonical)
+    ),
+    incoming AS (
+        SELECT r_regionkey AS rec_id,
+               CASE r_regionkey % 3
+                    WHEN 0 THEN 'p1_001n'
+                    WHEN 1 THEN 'p001003'
+                    ELSE 'p0020005' END AS incoming_name
+        FROM region
+    )
+    SELECT i.rec_id, i.incoming_name, a.canonical
+    FROM incoming i JOIN aliases a ON a.alias = i.incoming_name
+    """,
+)
+def alias_resolution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias→canonical resolution: the alias dimension is generated
+    from the three-format name generator (plans/census.py) and
+    broadcast against incoming mixed-vintage names — the Spark form
+    of the reference's ColumnRef.path IN (...) subquery
+    (pl_geo.py:260-278)."""
+    alias_rows = [
+        (alias.lower(), canonical)
+        for canonical in _CANONICALS
+        for alias in column_aliases(canonical)
+    ]
+    aliases = spark.createDataFrame(alias_rows, "alias string, canonical string")
+    region = load_table(spark, sf_dir, "region")
+    incoming = region.select(
+        F.col("r_regionkey").alias("rec_id"),
+        F.when(F.col("r_regionkey") % 3 == 0, "p1_001n")
+        .when(F.col("r_regionkey") % 3 == 1, "p001003")
+        .otherwise("p0020005")
+        .alias("incoming_name"),
+    )
+    # aliases["alias"]: attribute access would hit DataFrame.alias()
+    return incoming.join(
+        F.broadcast(aliases), incoming.incoming_name == aliases["alias"]
+    ).select("rec_id", "incoming_name", "canonical")
+
+
+@query(
+    "locality_hierarchy_paths",
+    oracle="""
+    SELECT c.c_custkey AS node_key,
+           'us' || '/' || lower(replace(r.r_name, ' ', '-'))
+                || '/' || lower(replace(n.n_name, ' ', '-'))
+                || '/' || CAST(c.c_custkey AS VARCHAR) AS canonical_path,
+           CAST(3 AS INTEGER) AS depth
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+)
+def locality_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality-tree expansion: root/region/nation/customer as a
+    3-level hierarchy, expanded by unrolled iterative broadcast joins
+    (depth is bounded — no recursive CTE needed, SURVEY §7 hard part
+    5) into canonical slash paths like the reference's locality
+    canonical_path (pl_localities.py:246-271)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+
+    slug = lambda c: F.lower(F.regexp_replace(c, " ", "-"))  # noqa: E731
+    # level 1: regions under the root
+    lvl1 = region.select(
+        "r_regionkey", F.concat(F.lit("us/"), slug(F.col("r_name"))).alias("path1")
+    )
+    # level 2: nations under their region (broadcast the parent level)
+    lvl2 = nation.join(F.broadcast(lvl1), nation.n_regionkey == lvl1.r_regionkey).select(
+        "n_nationkey",
+        F.concat(F.col("path1"), F.lit("/"), slug(F.col("n_name"))).alias("path2"),
+    )
+    # level 3: customers under their nation
+    return cust.join(F.broadcast(lvl2), cust.c_nationkey == lvl2.n_nationkey).select(
+        F.col("c_custkey").alias("node_key"),
+        F.concat(
+            F.col("path2"), F.lit("/"), F.col("c_custkey").cast("string")
+        ).alias("canonical_path"),
+        F.lit(3).cast("int").alias("depth"),
+    )
