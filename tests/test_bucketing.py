@@ -1,0 +1,65 @@
+"""Plan-shape proof that bucketed storage removes the join shuffle
+entirely — the co-located-join contract from the brief."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.store.bucketing import (
+    count_exchanges,
+    read_bucketed,
+    write_bucketed,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_zero_exchanges(spark, bucketed_tables):
+    o, l = bucketed_tables
+    joined = read_bucketed(spark, l).join(
+        read_bucketed(spark, o),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    assert count_exchanges(joined) == 0, "bucketed join must not shuffle"
+
+    # same join over the raw parquet DOES shuffle (both sides exceed
+    # the broadcast threshold only at scale; force comparison shape
+    # by disabling auto-broadcast for this check)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        raw = load_table(spark, SF_SMOKE, "lineitem").join(
+            load_table(spark, SF_SMOKE, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert count_exchanges(raw) >= 2, "unbucketed fact-fact join shuffles both sides"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_join_results_match_unbucketed(spark, bucketed_tables):
+    o, l = bucketed_tables
+    bucketed = (
+        read_bucketed(spark, l)
+        .join(read_bucketed(spark, o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    raw = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .join(load_table(spark, SF_SMOKE, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, raw.collect()))
