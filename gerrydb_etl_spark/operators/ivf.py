@@ -1,0 +1,127 @@
+"""IVF (inverted-file) approximate nearest neighbors.
+
+The second scale path for similarity search (next to hyperplane LSH,
+operators/similarity.py): partition the corpus into Voronoi cells
+around k-means centroids, then search only the `n_probe` cells
+nearest each query. Candidate volume per query is
+n_probe/n_cells of the corpus — the classic FAISS IVF-Flat layout,
+expressed as DataFrames.
+
+Training is mini Lloyd iterations: assignment is one Arrow-batched
+matmul per batch (pandas UDF, like the LSH signatures); the centroid
+update reduces per (cell, dim) via posexplode + avg — a map-side
+combining shuffle of C x dim rows, independent of corpus size. The
+centroid matrix itself is tiny (cells x dim) and rides the driver /
+broadcast path by design, exactly like every production IVF build.
+
+Determinism: centroids init from the lowest-id vectors (no RNG), so
+training and search reproduce bit-for-bit across runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window as W
+
+from gerrydb_etl_spark.operators.similarity import cosine
+
+
+def _assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """Nearest-centroid assignment (cosine) as one matmul per Arrow
+    batch. Returns the n_probe nearest cell ids per vector."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(list(vecs), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c.T  # (n, cells)
+        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic mini k-means: init from the n_cells lowest-id
+    vectors, then `iters` Lloyd rounds. The per-round reduce is
+    (cell, dim)-keyed — map-side combined, so the shuffle carries
+    n_cells x dim rows regardless of corpus size."""
+    init = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.asarray([r[0] for r in init], dtype=np.float64)
+
+    for _ in range(iters):
+        assign = _assign_udf(centroids, n_probe=1)
+        assigned = corpus.select(
+            assign(F.col(vec_col))[0].alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        )
+        means = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r.cell, r.dim] = r.m
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Approximate cosine top-k: score each query only against corpus
+    rows whose cell is among the query's n_probe nearest cells
+    (candidates ~ n_probe/n_cells of the corpus)."""
+    centroids = train_centroids(corpus, vec_col, id_col, n_cells, iters)
+
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        _assign_udf(centroids, 1)(F.col(vec_col))[0].alias("cell"),
+    )
+    query_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_assign_udf(centroids, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gerrydb_etl_spark.functions.numeric import dec
+from gerrydb_etl_spark.functions.numeric import dec, dsum
 
 
 # Result timestamps are surfaced as strings (repo convention — keeps
@@ -43,7 +43,7 @@ def tumbling(events: DataFrame, duration: str = "1 hour") -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(dec("value")).cast("double").alias("total"),
+            dsum(dec("value")).alias("total"),
         )
         .select(*_window_bounds(), "event_type", "n", "total")
     )
@@ -59,7 +59,7 @@ def sliding(
         events.groupBy(F.window(F.col("ts"), duration, slide).alias("window"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(dec("value")).cast("double").alias("total"),
+            dsum(dec("value")).alias("total"),
         )
         .select(*_window_bounds(), "n", "total")
     )
@@ -77,7 +77,7 @@ def session(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("total"),
+            dsum(dec("value")).alias("total"),
         )
         .select(
             _fmt(F.col("w.start"), "session_start"),

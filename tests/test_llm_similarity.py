@@ -49,6 +49,35 @@ def test_ann_recall_vs_exact(spark):
     assert recall >= 0.4, f"ANN recall {recall:.2f} below alarm threshold"
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF-Flat at 16 cells / 4 probes scans ~25% of the corpus and
+    empirically recovers ~0.92 of exact top-5 here; 0.7 is the
+    regression alarm."""
+    from gerrydb_etl_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4, iters=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below alarm threshold"
+
+
+def test_ivf_deterministic(spark):
+    from gerrydb_etl_spark.operators.ivf import train_centroids
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    a = train_centroids(emb, n_cells=8, iters=1)
+    b = train_centroids(emb, n_cells=8, iters=1)
+    assert (a == b).all()
+
+
 def test_exact_topk_is_k_rows_per_query(spark):
     emb = load_table(spark, SF_ORACLE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

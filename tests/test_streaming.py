@@ -25,6 +25,17 @@ def test_stream_tumbling_matches_batch(spark):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_session_windows_match_batch(spark):
+    from gerrydb_etl_spark.streaming.windows import session
+
+    batch = session(load_table(spark, SF_SMOKE, "events"), "10 minutes")
+    stream = run_stream_to_memory(
+        spark, SF_SMOKE, lambda df: session(df, "10 minutes"), output_mode="complete"
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events", "total"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_stateful_running_totals_match_batch(spark):
     got = run_running_totals(spark, SF_SMOKE)
     want = (
