@@ -1,0 +1,62 @@
+"""Connected components over near-duplicate pairs → dedup clusters.
+
+Near-dup pair lists (from MinHash/Jaccard/SimHash) are edges; the
+dedup decision needs the transitive closure: if A~B and B~C, one
+representative survives for {A, B, C}. Components are computed by
+min-label propagation: every node repeatedly adopts the smallest
+label among itself and its neighbors, to fixpoint.
+
+Scale: each iteration is one join edges⋈labels + one min-aggregate —
+all key-partitioned, no driver data. Iteration count is bounded by
+component diameter; near-dup clusters are shallow (pairs share a
+common ancestor document), so convergence is 2-4 rounds in practice.
+The convergence probe (`changed == 0`) is a driver-side COUNT of a
+boolean aggregate — O(1) result, not a collect. For graphs with
+adversarial diameters the same loop accepts a max_iter cap; the
+large-star/small-star variant (Kiveris et al., public literature)
+halves diameters per round if ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "d1", b: str = "d2", max_iter: int = 10
+) -> DataFrame:
+    """Components of the undirected graph given by pair rows.
+    Returns (doc, cluster_rep) where cluster_rep = min node id of
+    the component. Only nodes appearing in pairs are returned."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
+            )
+        ).cache()
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_rep"))

@@ -6,6 +6,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     geo_queries,
     geoset_queries,
     joins_extra,
+    llm_pipeline,
     llm_similarity,
     llm_text,
     relational,

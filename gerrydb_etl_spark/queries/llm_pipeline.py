@@ -1,0 +1,157 @@
+"""Composite LLM-pipeline queries: near-dup clustering (connected
+components with a recursive-CTE oracle), embedding quantization,
+and the end-to-end corpus curation filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.functions.text import quality_score, tokenize
+from gerrydb_etl_spark.operators.components import connected_components
+from gerrydb_etl_spark.operators.dedup import jaccard_pairs
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+
+@query(
+    "neardup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        cand AS (
+            SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2 FROM cand
+        JOIN sizes s1 ON s1.doc = d1 JOIN sizes s2 ON s2.doc = d2
+        WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.8
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    )
+    SELECT node AS doc, MIN(r) AS cluster_rep FROM reach GROUP BY node
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the exact near-dup pairs (Jaccard >=
+    0.8) via min-label propagation — the dedup decision layer above
+    pair generation: one representative (min doc id) per cluster.
+    The oracle computes the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return connected_components(pairs)
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    SELECT vec_id,
+           scale,
+           list_transform(embedding[1:8],
+                          v -> CAST(FLOOR(CAST(v AS DOUBLE) * scale + 0.5) AS BIGINT))
+               AS q_head
+    FROM (
+        SELECT vec_id, embedding,
+               127.0 / list_reduce(
+                   list_prepend(1e-30::DOUBLE,
+                       list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+                   (x, y) -> CASE WHEN x > y THEN x ELSE y END) AS scale
+        FROM embeddings
+    )
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (the 4x storage shrink
+    every 100 TB vector corpus takes): per-vector scale = 127 /
+    max|v|, symmetric round via floor(x+0.5) — identical in both
+    engines, unlike round()'s differing tie rules. Surfaces the
+    first 8 quantized values per vector for the oracle compare."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(1e-30),
+        lambda acc, v: F.when(F.abs(v.cast("double")) > acc, F.abs(v.cast("double"))).otherwise(acc),
+    )
+    scaled = emb.select("vec_id", "embedding", (F.lit(127.0) / absmax).alias("scale"))
+    q = F.transform(
+        F.slice(F.col("embedding"), 1, 8),
+        lambda v: F.floor(v.cast("double") * F.col("scale") + F.lit(0.5)),
+    )
+    return scaled.select("vec_id", "scale", q.alias("q_head"))
+
+
+@query(
+    "corpus_curation_filter",
+    oracle=f"""
+    SELECT doc_id, n_tokens, quality FROM (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               (CASE WHEN len(t) BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END
+                * (len(list_distinct(t)) / len(t)
+                   + len(list_filter(t, x -> list_contains(
+                         ['the','a','of','and','to','in','is','it','that','for'], x)))
+                     / len(t))) / 2 AS quality
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    WHERE n_tokens >= 20 AND quality >= 0.3
+      AND doc_id NOT IN (
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        cand AS (
+            SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT d2 FROM cand
+        JOIN sizes s1 ON s1.doc = d1 JOIN sizes s2 ON s2.doc = d2
+        WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.8
+      )
+    """,
+)
+def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass a training-data pipeline runs:
+    drop near-duplicates (keep the smaller doc id of each pair) and
+    keep documents passing length + quality gates. Composes the
+    dedup and text-analysis operators into one plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    losers = (
+        jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    t = tokenize(F.col("text"))
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size(t).alias("n_tokens"),
+            quality_score(t, "en").alias("quality"),
+        )
+        .filter((F.col("n_tokens") >= 20) & (F.col("quality") >= 0.3))
+    )

@@ -72,6 +72,19 @@ def test_census_rows_lowercases_and_casts(spark):
     assert {(r.geo_id, r.p1_001n) for r in df.collect()} == {("g1", 100), ("g2", 250)}
 
 
+def test_census_json_file_source(spark, tmp_path):
+    """Staged-JSON scrape path: a Census API response saved to disk
+    parses through the same header→schema shape."""
+    import json
+
+    from gerrydb_etl_spark.sources.formats import census_json_file_to_df
+
+    p = tmp_path / "resp.json"
+    p.write_text(json.dumps([["GEO_ID", "POP"], ["g1", "10"], ["g2", "20"]]))
+    df = census_json_file_to_df(spark, str(p), int_columns=["POP"])
+    assert {(r.geo_id, r.pop) for r in df.collect()} == {("g1", 10), ("g2", 20)}
+
+
 def test_write_table_rejects_unknown_format(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "a int")
     with pytest.raises(ValueError, match="unsupported format"):
