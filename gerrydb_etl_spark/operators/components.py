@@ -11,7 +11,10 @@ all key-partitioned, no driver data. Iteration count is bounded by
 component diameter; near-dup clusters are shallow (pairs share a
 common ancestor document), so convergence is 2-4 rounds in practice.
 The convergence probe (`changed == 0`) is a driver-side COUNT of a
-boolean aggregate — O(1) result, not a collect. For graphs with
+boolean aggregate — O(1) result, not a collect. Edges and each
+round's labels are eagerly localCheckpoint-ed: iteration re-executes
+neither the expensive pair generation nor the growing lineage (swap
+for reliable `checkpoint()` on a cluster where executor loss matters). For graphs with
 adversarial diameters the same loop accepts a max_iter cap; the
 large-star/small-star variant (Kiveris et al., public literature)
 halves diameters per round if ever needed.
@@ -33,10 +36,17 @@ def connected_components(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        # materialize NOW and truncate lineage: pair generation (e.g.
+        # the Jaccard inverted index) is the expensive upstream, and
+        # every propagation round + convergence count would otherwise
+        # re-execute it. After this, each round touches only the
+        # (small) edge list and label table.
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -54,8 +64,11 @@ def connected_components(
                     "__changed"
                 ),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)  # also truncates per-round lineage growth
         changed = updated.filter(F.col("__changed")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
         labels = updated.drop("__changed")
         if changed == 0:
             break
