@@ -162,6 +162,45 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_quantiles_moments",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) ^ 2 / COUNT(*))
+               / NULLIF(COUNT(*) - 1, 0) AS var_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_quantiles_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates that stay oracle-exact: interpolated
+    percentiles (Spark percentile() and DuckDB quantile_cont share
+    the linear-interpolation definition) and sample variance via
+    exact decimal power sums — sum(x), sum(x²) are order-independent
+    decimals, so the double arithmetic on top is identical across
+    engines (naive two-sum variance is fine exactly because the sums
+    are exact; with float sums it would be catastrophically
+    cancellation-prone)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    n = F.count("*")
+    sum_x = F.sum(q).cast("double")
+    sum_x2 = F.sum(q * q).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        # nullif: a single-row group would otherwise divide by zero,
+        # which THROWS under ANSI mode (Spark 4 default)
+        ((sum_x2 - sum_x**2 / n) / F.nullif(n - 1, F.lit(0))).alias("var_qty"),
+        (sum_x / n).alias("mean_qty"),
+    )
+
+
+@query(
     "grouping_sets_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
