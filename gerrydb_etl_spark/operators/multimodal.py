@@ -102,3 +102,46 @@ def decode_media(
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
+    """Frame sampling: explode each payload into fixed-size byte
+    windows ("frames"), one output row per frame with its index,
+    length (last frame may be short) and content hash. Real codecs
+    would decode actual frame boundaries; the windowing, Arrow batch
+    explosion, and per-frame hashing plumbing is what production
+    shares. Narrow map — output rows stay within the input's
+    partitioning, no shuffle."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, shas = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, max(len(data), 1), frame_bytes):
+                    frame = data[i : i + frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i // frame_bytes)
+                    lens.append(len(frame))
+                    shas.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_sha": pd.Series(shas, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -29,7 +29,11 @@ from gerrydb_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
-from gerrydb_etl_spark.operators.multimodal import decode_media, documents_as_media
+from gerrydb_etl_spark.operators.multimodal import (
+    decode_media,
+    documents_as_media,
+    sample_frames,
+)
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
 
@@ -251,6 +255,30 @@ def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("payload_sha"),
         F.sha2(F.substring(F.col("text"), 1, 64), 256).alias("head_sha"),
     )
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i - 1 AS INTEGER) AS frame_idx,
+           CAST(length(substr(text, (i - 1) * 64 + 1, 64)) AS INTEGER) AS frame_len,
+           sha256(substr(text, (i - 1) * 64 + 1, 64)) AS frame_sha
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
+        FROM documents
+    )
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the multimodal plumbing: each payload
+    explodes into 64-byte frames via mapInPandas with per-frame
+    hashes. The ASCII corpus makes byte windows == char windows, so
+    the oracle reproduces the frames with substr + sha256 — the UDF
+    path is fully hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs), frame_bytes=64)
 
 
 @query("media_decode_features")
