@@ -37,6 +37,10 @@ def main() -> None:
         df = spec.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators that cache intermediates (shingle sets, minhash
+        # signatures) would otherwise accumulate executor memory
+        # across the 70+ queries of one bench session
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

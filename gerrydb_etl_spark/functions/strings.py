@@ -55,6 +55,8 @@ def trailing_class(col: Column, mapping: dict[str, str]) -> Column:
     expr = None
     last = F.lower(F.substring(col, -1, 1))
     for ch, label in mapping.items():
-        cond = last == ch
+        # the extracted char is lowercased, so keys must be too — an
+        # uppercase key would silently never match
+        cond = last == ch.lower()
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return expr.otherwise(F.lit(None).cast("string"))

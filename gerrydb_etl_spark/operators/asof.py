@@ -68,23 +68,27 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # carry ONE struct per right row, not per-column lasts: a right
+    # row with a NULL value column must still be "the match" (DuckDB
+    # ASOF semantics); independent ignorenulls carries would pair a
+    # newer row's ts with an older row's non-null value.
+    carry = F.last(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(
+                F.col(ts).alias("__ts"),
+                *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
     carried = unioned.select(
         *lcols,
         "__side",
-        F.last(F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True)
-        .over(w)
-        .alias("__asof_ts"),
-        *[
-            F.last(
-                F.when(F.col("__side") == 0, F.col(f"__r_{c}")), ignorenulls=True
-            )
-            .over(w)
-            .alias(f"asof_{c}")
-            for c in right_value_cols
-        ],
+        carry["__ts"].alias("asof_ts"),
+        *[carry[c].alias(f"asof_{c}") for c in right_value_cols],
     )
     out = carried.filter(F.col("__side") == 1).drop("__side")
-    out = out.withColumnRenamed("__asof_ts", "asof_ts")
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())
     return out

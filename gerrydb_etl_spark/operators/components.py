@@ -47,6 +47,7 @@ def connected_components(
         "label", F.col("node")
     )
     prev = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -71,5 +72,14 @@ def connected_components(
         prev = updated
         labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning unconverged labels would silently split
+        # components; a long-diameter graph needs a higher max_iter
+        # (or the large-star/small-star doubling variant)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter for long-diameter graphs"
+        )
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster_rep"))

@@ -105,6 +105,9 @@ def jaccard_pairs(
     then count-distinct-free aggregation: common counts come from the
     join, set sizes from a broadcast-joined per-doc size table.
     """
+    # cached: the plan reads the shingle set four ways (sizes, the
+    # DF cap, both self-join sides). Sessions running many queries
+    # should clearCache() between them (bench.py does).
     sh = shingle_set(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 

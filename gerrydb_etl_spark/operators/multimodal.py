@@ -129,7 +129,10 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
             ids, idxs, lens, shas = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                for i in range(0, max(len(data), 1), frame_bytes):
+                # empty payload -> zero frames, consistent with
+                # decode_media's n_frames = ceil(0/frame) = 0 and the
+                # SQL oracle's generate_series(1, 0) = empty
+                for i in range(0, len(data), frame_bytes):
                     frame = data[i : i + frame_bytes]
                     ids.append(mid)
                     idxs.append(i // frame_bytes)

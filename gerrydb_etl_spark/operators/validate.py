@@ -46,23 +46,31 @@ def strict_cast_violations(
     unknown = set(checks.values()) - set(_SPARK_TYPES)
     if unknown:
         raise ValueError(f"unknown logical types: {sorted(unknown)}")
-    parts = []
+    # ONE scan for all checked columns: build an array of per-column
+    # verdict structs and explode, instead of one filtered scan per
+    # column unioned together (which reads the table len(checks)
+    # times). try_cast, not cast: ANSI mode (Spark 4 default) makes a
+    # failed cast THROW mid-scan; the validator's whole point is to
+    # collect failures as rows instead.
+    entries = []
     for col, typ in checks.items():
-        # try_cast, not cast: ANSI mode (Spark 4 default) makes a
-        # failed cast THROW mid-scan; the validator's whole point is
-        # to collect failures as rows instead.
         bad = F.col(col).isNotNull() & F.col(col).try_cast(_SPARK_TYPES[typ]).isNull()
-        parts.append(
-            df.filter(bad).select(
-                *key_cols,
+        entries.append(
+            F.struct(
                 F.lit(col).alias("col_name"),
                 F.col(col).cast("string").alias("raw_value"),
+                bad.alias("bad"),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        df.select(*key_cols, F.explode(F.array(*entries)).alias("__v"))
+        .filter(F.col("__v.bad"))
+        .select(
+            *key_cols,
+            F.col("__v.col_name").alias("col_name"),
+            F.col("__v.raw_value").alias("raw_value"),
+        )
+    )
 
 
 def count_reconciliation(

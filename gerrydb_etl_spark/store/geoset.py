@@ -73,7 +73,10 @@ def replace_set_versions(
         F.lit(version).cast("long").alias("valid_from"),
         F.lit(None).cast("long").alias("valid_to"),
     )
-    new_members = new_membership.select(
+    # NULL members mean "observe this set with no members" (they
+    # still contribute the set_key above) — they must not become
+    # phantom membership FACT rows
+    new_members = new_membership.filter(F.col("member").isNotNull()).select(
         version_id(F.col("set_key"), version).alias("version_id"),
         F.col("member").cast("string").alias("member"),
     )

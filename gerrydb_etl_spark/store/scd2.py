@@ -70,15 +70,21 @@ def scd2_merge(
     ver = _as_version(version)
     value_cols = [c for c in incoming.columns if c not in keys]
 
+    # explicit presence marker: testing a value column for NULL would
+    # misread legitimately-NULL values (e.g. the EAV typed columns,
+    # where all but one physical column is NULL by design) as "no
+    # open row" and break idempotence
     open_rows = current.filter(F.col(VALID_TO).isNull()).select(
-        *keys, *[F.col(c).alias(f"__cur_{c}") for c in value_cols]
+        *keys,
+        *[F.col(c).alias(f"__cur_{c}") for c in value_cols],
+        F.lit(1).alias("__cur_present"),
     )
     inc = incoming.join(open_rows, keys, "left")
     same = None
     for c in value_cols:
         eq = F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
         same = eq if same is None else (same & eq)
-    has_open = F.col(f"__cur_{value_cols[0]}").isNotNull() if value_cols else F.lit(False)
+    has_open = F.col("__cur_present").isNotNull()
 
     if skip_unchanged and value_cols:
         effective = inc.filter(~(has_open & same))
