@@ -176,10 +176,12 @@ def minhash_lsh_pairs(
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
 
-    sig = minhash_signatures(
-        shingle_set(df, id_col, text_col, n), num_hashes
-    ).cache()
+    sig = minhash_signatures(shingle_set(df, id_col, text_col, n), num_hashes)
 
+    # carry the full signature array through the banding so the
+    # estimate needs no post-candidate re-join of the signature
+    # table (saves two shuffle joins; the array is num_hashes longs
+    # per bucket row — cheap payload)
     band_entries = F.array(
         *[
             F.struct(
@@ -191,27 +193,28 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
     banded = sig.select(
-        F.col("doc"), F.explode(band_entries).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col("doc"), sig_arr.alias("sig"), F.explode(band_entries).alias("bk")
+    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    cand = (
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .distinct()
-    )
-
-    sig1 = sig.select(F.col("doc").alias("d1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sig2 = sig.select(F.col("doc").alias("d2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    return (
-        cand.join(sig1, "d1")
-        .join(sig2, "d2")
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.sig").alias("a_sig"),
+            F.col("b.sig").alias("b_sig"),
+        )
+        .dropDuplicates(["d1", "d2"])
         .select("d1", "d2", (agree / F.lit(num_hashes)).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
