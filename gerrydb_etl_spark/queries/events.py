@@ -89,7 +89,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
            MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
     FROM events

@@ -65,8 +65,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            scale,
-           list_transform(embedding[1:8],
-                          v -> CAST(FLOOR(CAST(v AS DOUBLE) * scale + 0.5) AS BIGINT))
+           array_to_string(list_transform(embedding[1:8],
+                          v -> CAST(CAST(FLOOR(CAST(v AS DOUBLE) * scale + 0.5) AS BIGINT) AS VARCHAR)), ',')
                AS q_head
     FROM (
         SELECT vec_id, embedding,
@@ -83,7 +83,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 100 TB vector corpus takes): per-vector scale = 127 /
     max|v|, symmetric round via floor(x+0.5) — identical in both
     engines, unlike round()'s differing tie rules. Surfaces the
-    first 8 quantized values per vector for the oracle compare."""
+    first 8 quantized values per vector, comma-joined to a string:
+    the driver's canonicalizer cannot hash array-typed cells (repo
+    rule: no array columns in any registered query output)."""
     emb = load_table(spark, sf_dir, "embeddings")
     absmax = F.aggregate(
         F.col("embedding"),
@@ -93,9 +95,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = emb.select("vec_id", "embedding", (F.lit(127.0) / absmax).alias("scale"))
     q = F.transform(
         F.slice(F.col("embedding"), 1, 8),
-        lambda v: F.floor(v.cast("double") * F.col("scale") + F.lit(0.5)),
+        lambda v: F.floor(v.cast("double") * F.col("scale") + F.lit(0.5)).cast("string"),
     )
-    return scaled.select("vec_id", "scale", q.alias("q_head"))
+    return scaled.select("vec_id", "scale", F.concat_ws(",", q).alias("q_head"))
 
 
 @query(

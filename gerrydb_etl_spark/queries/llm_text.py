@@ -281,12 +281,65 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_as_media(docs), frame_bytes=64)
 
 
-@query("media_decode_features")
+@query(
+    "media_decode_features",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bin
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents
+        )
+    ),
+    counts AS (
+        SELECT doc_id, bin, COUNT(*) AS n FROM chars GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, octet_length(encode(d.text)) AS total, b.bin
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+    )
+    SELECT g.doc_id AS media_id,
+           'text' AS kind,
+           CAST(g.total AS BIGINT) AS n_bytes,
+           string_agg(
+               CAST(CAST(FLOOR(
+                   (CASE WHEN g.total = 0 THEN 0.0
+                         ELSE COALESCE(c.n, 0) / CAST(g.total AS DOUBLE) END)
+                   * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+               ',' ORDER BY g.bin) AS feature,
+           CAST(CEIL(g.total / 64.0) AS INTEGER) AS n_frames
+    FROM grid g
+    LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+    GROUP BY g.doc_id, g.total
+    """,
+)
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake-decode over the media-shaped documents
     table: mapInPandas byte-histogram features + frame-sampling
     counts. The decode kernel is a deterministic stub (no codec libs
     here) — the Spark plumbing (schema, batching, narrow map) is
-    real. Batch-shape unit test in tests/test_multimodal.py."""
+    real. Batch-shape unit test in tests/test_multimodal.py.
+
+    The 16-bin histogram is quantized to integer micro-units
+    (floor(v*1e6 + 0.5) — the same IEEE double ops in both engines,
+    avoiding decimal-formatting tie hazards like 45/128 = .3515625
+    where JVM half-up and C half-even disagree) and comma-joined,
+    because the driver canonicalizer cannot hash array-typed cells
+    (repo rule: no array columns in query outputs). The ASCII corpus
+    makes the byte histogram reproducible in SQL (ascii(char) >> 4),
+    upgrading this query from rows-only to a full value-hash oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(documents_as_media(docs), frame_bytes=64)
+    feats = decode_media(documents_as_media(docs), frame_bytes=64)
+    micro = F.transform(
+        "feature",
+        lambda v: F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("string"),
+    )
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.concat_ws(",", micro).alias("feature"),
+        "n_frames",
+    )
