@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gerrydb_etl_spark.functions.text import shingles, tokenize
 
@@ -97,45 +98,48 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for candidate pairs from an
     inverted-index self-join.
 
-    Plan shape: explode→distinct (one shuffle), shingle-frequency cap
-    (drops stop-shingles whose document frequency exceeds
-    ``max_shingle_df`` — a df² blow-up guard; candidate recall for
-    pairs above ``threshold`` is unaffected in practice because
-    near-dup pairs share many rare shingles), self-join per shingle,
-    then count-distinct-free aggregation: common counts come from the
-    join, set sizes from a broadcast-joined per-doc size table.
+    Plan shape: explode→distinct, then a single windowed pipeline
+    that annotates every (doc, shingle) row with its doc's set size
+    (window over doc) and its shingle's document frequency (window
+    over shingle, which also pre-partitions the data on the self-join
+    key). The DF filter drops stop-shingles above ``max_shingle_df``
+    — a df² blow-up guard; candidate recall for pairs above
+    ``threshold`` is unaffected in practice because near-dup pairs
+    share many rare shingles. The self-join's two sides share one
+    identical subplan, so Spark's ReusedExchange computes the shingle
+    pipeline ONCE — no cache, no unpersist contract, nothing pinned
+    to executor storage (the round-2 ``.cache()`` here leaked an
+    unbounded shingle set at the 100 TB target). Set sizes ride the
+    join rows (min-agg per pair), so no post-candidate size re-join.
     """
-    # cached: the plan reads the shingle set four ways (sizes, the
-    # DF cap, both self-join sides). Sessions running many queries
-    # should clearCache() between them (bench.py does).
-    sh = shingle_set(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-
-    keyed = sh
+    sh = shingle_set(df, id_col, text_col, n)
+    annotated = sh.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc"))
+    )
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        keyed = sh.join(rare, "shingle")
+        annotated = annotated.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df") <= max_shingle_df)
 
-    left = keyed.select(F.col("doc").alias("d1"), "shingle")
-    right = keyed.select(F.col("doc").alias("d2"), "shingle")
+    left = annotated.select(
+        F.col("doc").alias("d1"), "shingle", F.col("n_sh").alias("n1")
+    )
+    right = annotated.select(
+        F.col("doc").alias("d2"), "shingle", F.col("n_sh").alias("n2")
+    )
     common = (
         left.join(right, "shingle")
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+        )
     )
-    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        common.join(s1, "d1")
-        .join(s2, "d2")
-        .select("d1", "d2", jac.alias("jaccard"))
+        common.select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -162,6 +166,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -171,6 +176,15 @@ def minhash_lsh_pairs(
     ONLY by band-bucket equality (explode to (band, band_key), self-
     join per bucket) — never all-pairs. The emitted ``est_jaccard``
     is the fraction of agreeing signature positions.
+
+    ``max_bucket_size`` is the hot-bucket guard (the band-bucket
+    analogue of ``max_shingle_df``): a degenerate corpus — thousands
+    of byte-identical documents — collapses into one band bucket
+    whose self-join is quadratic. Buckets larger than the cap are
+    dropped before the join, bounding candidate volume at
+    bucket_size² per bucket. Identical documents belong to the exact
+    tier (``exact_dedup``) anyway; near-dup recall for genuinely
+    distinct texts is unaffected at any sane cap.
     """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
@@ -197,6 +211,12 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col("doc"), sig_arr.alias("sig"), F.explode(band_entries).alias("bk")
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        # window over the join key — pre-partitions on (band, key),
+        # which the self-join below reuses
+        banded = banded.withColumn(
+            "__bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
+        ).filter(F.col("__bucket_n") <= max_bucket_size).drop("__bucket_n")
 
     agree = F.size(
         F.filter(
@@ -253,13 +273,21 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bit flips.
 
     Candidate generation blocks on the 4 x 16-bit fingerprint chunks
     (complete for distance ≤ 3 by pigeonhole); verification is a
-    bit_count(xor) on the candidate set only.
+    bit_count(xor) on the candidate set only. ``max_bucket_size``
+    drops chunk buckets above the cap before the self-join — the
+    same quadratic-bucket guard as minhash_lsh_pairs (a corpus of
+    identical documents puts them all in every chunk bucket);
+    identical documents are the exact tier's job.
     """
     fps = simhash(df, id_col, text_col)
     chunks = F.array(
@@ -276,6 +304,10 @@ def simhash_pairs(
     blocked = fps.select(
         "doc", "fingerprint", F.explode(chunks).alias("ck")
     ).select("doc", "fingerprint", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    if max_bucket_size is not None:
+        blocked = blocked.withColumn(
+            "__bucket_n", F.count("*").over(Window.partitionBy("chunk", "key"))
+        ).filter(F.col("__bucket_n") <= max_bucket_size).drop("__bucket_n")
 
     a, b = blocked.alias("a"), blocked.alias("b")
     return (

@@ -148,16 +148,36 @@ def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_customers")
+@query(
+    "approx_distinct_customers",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs_exact,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (rsd=0.02) next to the
-    exact count. Sketch values are engine-specific -> rows-only;
-    tests/test_joins_extra.py asserts the estimate lands within 5%
-    of exact."""
+    """HyperLogLog++ approximate distinct (rsd=0.02), reported as a
+    tolerance verdict instead of the engine-specific sketch estimate:
+    per group, the exact distinct count plus whether the HLL estimate
+    landed within 5% of it (2.5 sigma at rsd=0.02). The oracle
+    computes the exact count and asserts the tolerance contract, so
+    the approximate aggregate gets a full value-hash row; an estimate
+    drifting out of tolerance turns the row red."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_custs_approx"),
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
         F.countDistinct("o_custkey").alias("n_custs_exact"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_custs_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_custs_exact"))
+            <= F.lit(0.05) * F.col("n_custs_exact")
+        ).alias("within_5pct"),
     )
 
 

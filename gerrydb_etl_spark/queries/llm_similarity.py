@@ -3,8 +3,10 @@
 
 The exact brute-force path hash-matches a DuckDB oracle (dot/norm
 folds are bitwise-identical across engines — see
-operators/similarity.py). The LSH ANN path is approximate and gets a
-recall assertion in tests/test_llm_similarity.py instead.
+operators/similarity.py). The ANN paths (LSH, IVF) are approximate,
+so their queries report recall@k against the SQL-computable exact
+truth set with a floored contract verdict — fully oracle-checkable;
+recall assertions also run in tests/test_llm_similarity.py.
 """
 
 from __future__ import annotations
@@ -56,29 +58,96 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=TOP_K)
 
 
-@query("ivf_cosine_topk")
+# the exact top-k truth set — the embedding_cosine_topk oracle's
+# scored/ranked CTE, reused as the anchor for the ANN recall reports
+_EXACT_TOPK_SQL = f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(q.embedding, c.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                       (x, y) -> x + y))
+                  * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                       (x, y) -> x + y))) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    )
+"""
+
+
+def _ann_recall_report(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """Single-row recall@k report: truth size + whether the ANN path
+    recovered at least ``floor`` of the exact top-k set."""
+    marked = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    n_true = F.count("*")
+    n_found = F.coalesce(F.sum("_hit"), F.lit(0))
+    return marked.agg(
+        n_true.alias("n_true"),
+        F.lit(floor).cast("double").alias("recall_floor"),
+        (n_found / F.greatest(n_true, F.lit(1)) >= floor).alias("recall_floor_met"),
+    )
+
+
+def _recall_oracle(floor: float) -> str:
+    return (
+        _EXACT_TOPK_SQL
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST({floor} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_floor_met
+    FROM truth
+    """
+    )
+
+
+@query("ivf_cosine_topk", oracle=_recall_oracle(0.8))
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (16 cells, 4 probes, deterministic mini k-means):
-    each query scores only ~n_probe/n_cells of the corpus. ~0.92
-    top-5 recall on the test corpus at 4x pruning — the stronger of
-    the two ANN paths here (IVF adapts to the data; hyperplanes
-    don't). Approximate -> rows-only; recall asserted in
-    tests/test_llm_similarity.py."""
+    """IVF-Flat ANN (16 cells, 4 probes, deterministic mini k-means)
+    recall@5 report against the exact brute-force truth: each query
+    scores only ~n_probe/n_cells of the corpus, and the report
+    asserts the pruning kept >= 0.8 of the exact top-5 set (measured
+    0.92 at sf0.01, 1.0 at sf0.1 — the stronger of the two ANN paths:
+    IVF adapts to the data, hyperplanes don't). The oracle computes
+    the truth-set size exactly and asserts the recall contract, so
+    this approximate path gets a full value-hash row; a contract
+    break turns it red."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4, iters=2)
+    exact = cosine_topk(emb, queries, k=TOP_K)
+    approx = ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4, iters=2)
+    return _ann_recall_report(exact, approx, floor=0.8)
 
 
-@query("ann_cosine_topk")
+@query("ann_cosine_topk", oracle=_recall_oracle(0.5))
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH (8 tables x 4
-    bits — tuned for the near-uniform test corpus; see
-    operators/similarity.py): only bucket-colliding candidates are
-    scored, so per-query work is bucket-bounded instead of
-    corpus-bounded. Approximate -> rows-only; recall vs the exact
-    query asserted in tests/test_llm_similarity.py."""
+    """Random-hyperplane LSH ANN (8 tables x 4 bits) recall@5 report
+    against the exact brute-force truth: only bucket-colliding
+    candidates are scored, so per-query work is bucket-bounded
+    instead of corpus-bounded. On the near-uniform synthetic corpus
+    (the hardest case for hyperplane LSH — no cluster structure to
+    exploit) recall@5 measures 0.64 at both sf0.01 and sf0.1;
+    floored at 0.5 with margin. The oracle computes the truth-set
+    size exactly and asserts the recall contract held."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
+    exact = cosine_topk(emb, queries, k=TOP_K)
+    approx = lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
+    return _ann_recall_report(exact, approx, floor=0.5)

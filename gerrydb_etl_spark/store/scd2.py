@@ -86,8 +86,16 @@ def scd2_merge(
         same = eq if same is None else (same & eq)
     has_open = F.col("__cur_present").isNotNull()
 
-    if skip_unchanged and value_cols:
-        effective = inc.filter(~(has_open & same))
+    if skip_unchanged:
+        if value_cols:
+            effective = inc.filter(~(has_open & same))
+        else:
+            # keys-only incoming: a key with an open row is by
+            # definition unchanged — without this branch the filter
+            # predicate would be vacuous and re-loading identical
+            # keys would stack a new version per run, contradicting
+            # the idempotence guarantee
+            effective = inc.filter(~has_open)
     else:
         effective = inc
     to_insert = effective.select(*keys, *value_cols).withColumn(

@@ -14,9 +14,13 @@ from tests.conftest import SF_ORACLE
 
 def test_approx_distinct_within_tolerance(spark):
     df = REGISTRY["approx_distinct_customers"].spark(spark, SF_ORACLE)
-    for r in df.collect():
-        rel_err = abs(r.n_custs_approx - r.n_custs_exact) / max(r.n_custs_exact, 1)
-        assert rel_err <= 0.05, f"{r.o_orderstatus}: approx off by {rel_err:.3f}"
+    rows = df.collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r.within_5pct, (
+            f"{r.o_orderstatus}: HLL estimate drifted >5% from "
+            f"exact {r.n_custs_exact}"
+        )
 
 
 def _ts(minute: int) -> dt.datetime:

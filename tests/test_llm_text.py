@@ -63,6 +63,49 @@ def test_minhash_estimate_tracks_exact(spark):
         assert abs(est[pair] - j) <= 0.25, f"{pair}: est {est[pair]} vs exact {j}"
 
 
+def _degenerate_corpus(spark, n_identical: int):
+    """n byte-identical docs (quadratic LSH bucket) + one genuinely
+    near-dup pair of distinct texts (17 of 19 shared 3-gram shingles,
+    Jaccard 0.89 — signature-estimate miss probability <1e-4)."""
+    base = " ".join(f"w{i}" for i in range(20))
+    rows = [(i, base) for i in range(n_identical)]
+    near = " ".join(f"x{i}" for i in range(20))
+    rows.append((10_000, near))
+    rows.append((10_001, near.rsplit(" ", 1)[0] + " CHANGED"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_hot_bucket_cap_bounds_candidates(spark):
+    """Degenerate corpus: hundreds of identical docs collapse into
+    one bucket per band whose self-join is quadratic. The cap drops
+    those buckets (bounding candidate volume) while genuinely
+    distinct near-dup pairs in small buckets still surface —
+    identical docs are the exact tier's job (exact_dedup)."""
+    df = _degenerate_corpus(spark, 200)
+    capped = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=50).collect()
+    }
+    assert (10_000, 10_001) in capped, "cap must not drop small-bucket pairs"
+    assert all(d1 >= 10_000 for d1, _ in capped), "hot-bucket pairs must be dropped"
+    # without the cap the identical block alone is C(200,2) pairs
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=None).count()
+    assert uncapped >= 200 * 199 // 2
+
+
+def test_simhash_hot_bucket_cap_bounds_candidates(spark):
+    """Same guard on the SimHash chunk-bucket join: identical docs
+    share every chunk bucket; the cap suppresses the quadratic block."""
+    df = _degenerate_corpus(spark, 200)
+    capped = {
+        (r.d1, r.d2)
+        for r in simhash_pairs(df, "doc_id", "text", max_bucket_size=50).collect()
+    }
+    assert all(d1 >= 10_000 for d1, _ in capped)
+    uncapped = simhash_pairs(df, "doc_id", "text", max_bucket_size=None).count()
+    assert uncapped >= 200 * 199 // 2
+
+
 def test_simhash_identical_and_near_texts(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -56,6 +56,24 @@ def test_merge_idempotent_reload(spark):
     assert_version_invariants(twice, ["k"])
 
 
+def test_merge_keys_only_idempotent_reload(spark):
+    """Keys-only incoming (no value columns): an existing open row is
+    by definition unchanged, so skip_unchanged must not degrade to
+    unconditional close+insert (round-2 advice: re-loading identical
+    keys stacked a new version per run)."""
+    inc = spark.createDataFrame([(1,), (2,)], "k long")
+    s1 = scd2_merge(empty_versioned(inc), inc, ["k"], version=1)
+    s2 = scd2_merge(s1, inc, ["k"], version=2)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    assert_version_invariants(s2, ["k"])
+    s3 = scd2_merge(s2, spark.createDataFrame([(3,)], "k long"), ["k"], version=3)
+    assert {(r.k, r.valid_from, r.valid_to) for r in s3.collect()} == {
+        (1, 1, None),
+        (2, 1, None),
+        (3, 3, None),
+    }
+
+
 def test_merge_unconditional_mode_stacks_versions(spark):
     inc = _df(spark, [("a", 1)])
     s1 = scd2_merge(empty_versioned(inc), inc, ["k"], version=1, skip_unchanged=False)
