@@ -98,48 +98,48 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for candidate pairs from an
     inverted-index self-join.
 
-    Plan shape: explode→distinct, then a single windowed pipeline
-    that annotates every (doc, shingle) row with its doc's set size
-    (window over doc) and its shingle's document frequency (window
-    over shingle, which also pre-partitions the data on the self-join
-    key). The DF filter drops stop-shingles above ``max_shingle_df``
-    — a df² blow-up guard; candidate recall for pairs above
-    ``threshold`` is unaffected in practice because near-dup pairs
-    share many rare shingles. The self-join's two sides share one
-    identical subplan, so Spark's ReusedExchange computes the shingle
-    pipeline ONCE — no cache, no unpersist contract, nothing pinned
-    to executor storage (the round-2 ``.cache()`` here leaked an
-    unbounded shingle set at the 100 TB target). Set sizes ride the
-    join rows (min-agg per pair), so no post-candidate size re-join.
+    Plan shape — two full-data shuffles total, nothing cached:
+    explode→distinct (exchange E1 on (doc, shingle)), then a
+    shingle-DF window (exchange E2 on shingle — which also
+    pre-partitions the data on the self-join key, so the join adds
+    no exchange) with the ``max_shingle_df`` stop-shingle filter (a
+    df² blow-up guard; candidate recall above ``threshold`` is
+    unaffected in practice because near-dup pairs share many rare
+    shingles). Per-doc set sizes come from a map-side-combined
+    groupBy over E1's output — NOT a window over doc, which would
+    shuffle the entire shingle set a third time — and join the
+    candidate-pair table (tiny) after aggregation; AQE picks
+    broadcast when sizes fit. E1 is consumed by both the sizes
+    branch and the main branch, and E2 by both self-join sides:
+    Spark's ReusedExchange computes each once. No cache, no
+    unpersist contract, nothing pinned to executor storage (the
+    round-2 ``.cache()`` here leaked an unbounded shingle set at
+    the 100 TB target).
     """
     sh = shingle_set(df, id_col, text_col, n)
-    annotated = sh.withColumn(
-        "n_sh", F.count("*").over(Window.partitionBy("doc"))
-    )
-    if max_shingle_df is not None:
-        annotated = annotated.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        ).filter(F.col("df") <= max_shingle_df)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
-    left = annotated.select(
-        F.col("doc").alias("d1"), "shingle", F.col("n_sh").alias("n1")
-    )
-    right = annotated.select(
-        F.col("doc").alias("d2"), "shingle", F.col("n_sh").alias("n2")
-    )
+    keyed = sh
+    if max_shingle_df is not None:
+        keyed = sh.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df") <= max_shingle_df).drop("df")
+
+    left = keyed.select(F.col("doc").alias("d1"), "shingle")
+    right = keyed.select(F.col("doc").alias("d2"), "shingle")
     common = (
         left.join(right, "shingle")
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(
-            F.count("*").alias("common"),
-            F.min("n1").alias("n1"),
-            F.min("n2").alias("n2"),
-        )
+        .agg(F.count("*").alias("common"))
     )
+    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n_sh").alias("n2"))
     jac = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
-        common.select("d1", "d2", jac.alias("jaccard"))
+        common.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -85,6 +85,34 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling aggregation as events_tumbling_hourly, but
+    executed by the real Structured Streaming engine: readStream file
+    source -> watermark -> window agg -> memory sink, driven to
+    completion with Trigger.AvailableNow (micro-batches + state
+    store, deterministic because the input is bounded). Shares the
+    batch query's oracle — streaming/batch parity is the check
+    (tests/test_streaming.py asserts it locally; this query makes it
+    driver-visible)."""
+    from gerrydb_etl_spark.streaming.stream import run_stream_to_memory
+
+    return run_stream_to_memory(
+        spark, sf_dir, lambda df: tumbling(df, "1 hour"), output_mode="complete"
+    )
+
+
+@query(
     "events_json_props",
     oracle="""
     SELECT event_type,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.operators.multimodal import (
     FEATURE_SCHEMA,
+    HAS_PIL,
     HIST_BINS,
     decode_media,
     documents_as_media,
@@ -39,10 +40,37 @@ def test_decode_media_features(spark):
         assert r.n_frames == (r.n_bytes + 63) // 64
 
 
+@pytest.mark.skipif(
+    HAS_PIL, reason="PIL present: strict mode decodes for real instead"
+)
 def test_decode_media_strict_mode_is_marked_unimplemented(spark):
     docs = load_table(spark, SF_ORACLE, "documents")
     with pytest.raises(NotImplementedError):
         decode_media(documents_as_media(docs), strict=True)
+
+
+@pytest.mark.skipif(
+    not HAS_PIL, reason="no codec libraries in this environment"
+)
+def test_decode_media_strict_real_pil_decode(spark):
+    """With a real codec available, strict mode must decode actual
+    image bytes through the same mapInPandas plumbing."""
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), len(png))], schema="media_id long, kind string, payload binary, n_bytes long"
+    )
+    rows = decode_media(media, strict=True).collect()
+    assert len(rows) == 1
+    feat = rows[0].feature
+    assert len(feat) == HIST_BINS
+    # uniform luminance 200 -> all mass in bin 200>>4 == 12
+    assert abs(feat[12] - 1.0) < 1e-9
 
 
 def test_decode_media_deterministic(spark):
