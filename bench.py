@@ -71,7 +71,12 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
+    # *_verify queries are truth-anchoring twins of the approximate
+    # operators (they recompute the exact baseline to assert a recall
+    # contract); they exist for the correctness gate, not the bench —
+    # timing them would charge the production operators for their
+    # verification harness (round-3 conflation, VERDICT r3 item 1).
+    for name in sorted(n for n in REGISTRY if not n.endswith("_verify")):
         spec = REGISTRY[name]
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)

@@ -30,9 +30,31 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from gerrydb_etl_spark.functions.text import shingles, tokenize
+
+
+def _drop_hot_keys(
+    df: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Drop rows whose key-group exceeds ``cap`` occurrences.
+
+    The over-cap key list is computed with a map-side-combined
+    groupBy (the shuffle carries one row per distinct key) and is
+    tiny by construction — only keys hotter than ``cap`` survive —
+    so it broadcasts, and the filter is a BroadcastHashJoin
+    (left_anti) that adds no exchange on the data path. A
+    count-over-window spelling would instead funnel every occurrence
+    of a hot key into one window task: the exact skew the cap exists
+    to defuse, concentrated at the guard itself.
+    """
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
 
 # SimHash fingerprints are blocked on 4 x 16-bit chunks: any pair
 # within Hamming distance 3 shares at least one exact chunk
@@ -99,31 +121,36 @@ def jaccard_pairs(
     inverted-index self-join.
 
     Plan shape — two full-data shuffles total, nothing cached:
-    explode→distinct (exchange E1 on (doc, shingle)), then a
-    shingle-DF window (exchange E2 on shingle — which also
-    pre-partitions the data on the self-join key, so the join adds
-    no exchange) with the ``max_shingle_df`` stop-shingle filter (a
-    df² blow-up guard; candidate recall above ``threshold`` is
-    unaffected in practice because near-dup pairs share many rare
-    shingles). Per-doc set sizes come from a map-side-combined
-    groupBy over E1's output — NOT a window over doc, which would
-    shuffle the entire shingle set a third time — and join the
+    explode→distinct (exchange E1 on (doc, shingle)), then the
+    self-join (exchange E2 on shingle per side — both sides share
+    one plan, so ReusedExchange computes it once). The
+    ``max_shingle_df`` stop-shingle guard (a df² blow-up guard) is
+    a broadcast left_anti against the over-cap shingle list — see
+    ``_drop_hot_keys`` — so hot shingles never concentrate in one
+    task. Per-doc set sizes come from a map-side-combined groupBy
+    over E1's output — NOT a window over doc, which would shuffle
+    the entire shingle set a third time — and join the
     candidate-pair table (tiny) after aggregation; AQE picks
-    broadcast when sizes fit. E1 is consumed by both the sizes
-    branch and the main branch, and E2 by both self-join sides:
-    Spark's ReusedExchange computes each once. No cache, no
-    unpersist contract, nothing pinned to executor storage (the
-    round-2 ``.cache()`` here leaked an unbounded shingle set at
-    the 100 TB target).
+    broadcast when sizes fit. No cache, no unpersist contract,
+    nothing pinned to executor storage (the round-2 ``.cache()``
+    here leaked an unbounded shingle set at the 100 TB target).
+
+    Recall under the cap: a candidate pair is surfaced only by
+    shingles with document frequency ≤ ``max_shingle_df``. A true
+    near-dup pair whose shared shingles are ALL above the cap (every
+    shingle a stop-shingle — boilerplate text duplicated across
+    >cap documents) is invisible to this index by design; such
+    corpora belong to the exact tier (``exact_dedup``) or need a
+    higher cap. tests/test_llm_text.py::test_shingle_df_cap_recall
+    pins this trade-off; recall above ``threshold`` is otherwise
+    unaffected because genuinely near-dup texts share rare shingles.
     """
     sh = shingle_set(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     keyed = sh
     if max_shingle_df is not None:
-        keyed = sh.withColumn(
-            "df", F.count("*").over(Window.partitionBy("shingle"))
-        ).filter(F.col("df") <= max_shingle_df).drop("df")
+        keyed = _drop_hot_keys(sh, ["shingle"], max_shingle_df)
 
     left = keyed.select(F.col("doc").alias("d1"), "shingle")
     right = keyed.select(F.col("doc").alias("d2"), "shingle")
@@ -166,7 +193,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -181,10 +208,14 @@ def minhash_lsh_pairs(
     analogue of ``max_shingle_df``): a degenerate corpus — thousands
     of byte-identical documents — collapses into one band bucket
     whose self-join is quadratic. Buckets larger than the cap are
-    dropped before the join, bounding candidate volume at
-    bucket_size² per bucket. Identical documents belong to the exact
-    tier (``exact_dedup``) anyway; near-dup recall for genuinely
-    distinct texts is unaffected at any sane cap.
+    dropped before the join (broadcast anti-join, ``_drop_hot_keys``),
+    bounding candidate volume at bucket_size² per bucket. The cap is
+    OPT-IN (default None: complete candidate generation) because a
+    capped bucket drops its pairs by design — callers that cap must
+    treat the result as recall-bounded, not exhaustive. Identical
+    documents belong to the exact tier (``exact_dedup``) anyway;
+    near-dup recall for genuinely distinct texts is unaffected at
+    any sane cap.
     """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
@@ -212,11 +243,7 @@ def minhash_lsh_pairs(
         F.col("doc"), sig_arr.alias("sig"), F.explode(band_entries).alias("bk")
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket_size is not None:
-        # window over the join key — pre-partitions on (band, key),
-        # which the self-join below reuses
-        banded = banded.withColumn(
-            "__bucket_n", F.count("*").over(Window.partitionBy("band", "key"))
-        ).filter(F.col("__bucket_n") <= max_bucket_size).drop("__bucket_n")
+        banded = _drop_hot_keys(banded, ["band", "key"], max_bucket_size)
 
     agree = F.size(
         F.filter(
@@ -277,17 +304,20 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bit flips.
 
     Candidate generation blocks on the 4 x 16-bit fingerprint chunks
     (complete for distance ≤ 3 by pigeonhole); verification is a
     bit_count(xor) on the candidate set only. ``max_bucket_size``
-    drops chunk buckets above the cap before the self-join — the
-    same quadratic-bucket guard as minhash_lsh_pairs (a corpus of
-    identical documents puts them all in every chunk bucket);
-    identical documents are the exact tier's job.
+    drops chunk buckets above the cap before the self-join
+    (broadcast anti-join, ``_drop_hot_keys``) — the same
+    quadratic-bucket guard as minhash_lsh_pairs (a corpus of
+    identical documents puts them all in every chunk bucket), and
+    the same opt-in default (None = complete for distance ≤ 3;
+    capped = recall-bounded); identical documents are the exact
+    tier's job.
     """
     fps = simhash(df, id_col, text_col)
     chunks = F.array(
@@ -305,9 +335,7 @@ def simhash_pairs(
         "doc", "fingerprint", F.explode(chunks).alias("ck")
     ).select("doc", "fingerprint", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
     if max_bucket_size is not None:
-        blocked = blocked.withColumn(
-            "__bucket_n", F.count("*").over(Window.partitionBy("chunk", "key"))
-        ).filter(F.col("__bucket_n") <= max_bucket_size).drop("__bucket_n")
+        blocked = _drop_hot_keys(blocked, ["chunk", "key"], max_bucket_size)
 
     a, b = blocked.alias("a"), blocked.alias("b")
     return (

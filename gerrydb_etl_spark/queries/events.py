@@ -113,6 +113,80 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           strftime(ws + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT time_bucket(INTERVAL '10 minutes', ts)
+                   - k * (INTERVAL '10 minutes') AS ws,
+               value
+        FROM events, (SELECT unnest([0, 1, 2]) AS k)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding aggregation as events_sliding_windows, but
+    executed by the real Structured Streaming engine (readStream ->
+    watermark -> overlapping window agg -> memory sink, AvailableNow).
+    Shares the batch query's oracle — streaming/batch parity for
+    overlapping windows is the check."""
+    from gerrydb_etl_spark.streaming.stream import run_stream_to_memory
+
+    return run_stream_to_memory(
+        spark,
+        sf_dir,
+        lambda df: sliding(df, "30 minutes", "10 minutes"),
+        output_mode="complete",
+    )
+
+
+@query(
+    "events_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '10 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME session windows as events_session_windows, but
+    executed by the real Structured Streaming engine — session_window
+    state merging across micro-batches is the distinctive stateful
+    path here (sessions can grow/merge as batches arrive; AvailableNow
+    over bounded input makes the final state deterministic). Shares
+    the batch query's gaps-and-islands oracle."""
+    from gerrydb_etl_spark.streaming.stream import run_stream_to_memory
+
+    return run_stream_to_memory(
+        spark,
+        sf_dir,
+        lambda df: session(df, "10 minutes"),
+        output_mode="complete",
+    )
+
+
+@query(
     "events_json_props",
     oracle="""
     SELECT event_type,

@@ -3,10 +3,13 @@
 
 The exact brute-force path hash-matches a DuckDB oracle (dot/norm
 folds are bitwise-identical across engines — see
-operators/similarity.py). The ANN paths (LSH, IVF) are approximate,
-so their queries report recall@k against the SQL-computable exact
-truth set with a floored contract verdict — fully oracle-checkable;
-recall assertions also run in tests/test_llm_similarity.py.
+operators/similarity.py). The ANN paths (LSH, IVF) are approximate
+and registered twice: the PRODUCTION plan under the operator's name
+(benched, rows-only — the neighbor set is not SQL-expressible) and
+a *_verify twin that recomputes the exact truth set and reports
+recall@k with a floored contract verdict (oracle-checked, excluded
+from bench timing). Recall assertions also run in
+tests/test_llm_similarity.py.
 """
 
 from __future__ import annotations
@@ -116,17 +119,32 @@ def _recall_oracle(floor: float) -> str:
     )
 
 
-@query("ivf_cosine_topk", oracle=_recall_oracle(0.8))
+@query("ivf_cosine_topk")
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (16 cells, 4 probes, deterministic mini k-means)
-    recall@5 report against the exact brute-force truth: each query
-    scores only ~n_probe/n_cells of the corpus, and the report
-    asserts the pruning kept >= 0.8 of the exact top-5 set (measured
-    0.92 at sf0.01, 1.0 at sf0.1 — the stronger of the two ANN paths:
-    IVF adapts to the data, hyperplanes don't). The oracle computes
-    the truth-set size exactly and asserts the recall contract, so
-    this approximate path gets a full value-hash row; a contract
-    break turns it red."""
+    """IVF-Flat ANN top-5 (16 cells, 4 probes, deterministic mini
+    k-means) — the PRODUCTION plan alone: each query scores only
+    ~n_probe/n_cells of the corpus. No exact baseline rides in this
+    query (that's ivf_verify), so its bench timing demonstrates the
+    sublinear path the docstring advertises. The neighbor set is
+    approximate and the cosine values candidate-set-dependent, so
+    this query takes the driver's rows-only check; the oracle-checked
+    recall contract lives in ivf_verify."""
+    from gerrydb_etl_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4, iters=2)
+
+
+@query("ivf_verify", oracle=_recall_oracle(0.8))
+def ivf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-anchored verification twin of ivf_cosine_topk: recall@5
+    against the exact brute-force top-k, floored at 0.8 (measured
+    0.92 at sf0.01, 1.0 at sf0.1 — the stronger of the two ANN
+    paths: IVF adapts to the data, hyperplanes don't). The oracle
+    computes the truth-set size exactly and asserts the recall
+    contract; a contract break turns the row red. Excluded from
+    bench.py timing (verification harness, not a production plan)."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -136,16 +154,30 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_report(exact, approx, floor=0.8)
 
 
-@query("ann_cosine_topk", oracle=_recall_oracle(0.5))
+@query("ann_cosine_topk")
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (8 tables x 4 bits) recall@5 report
-    against the exact brute-force truth: only bucket-colliding
-    candidates are scored, so per-query work is bucket-bounded
-    instead of corpus-bounded. On the near-uniform synthetic corpus
-    (the hardest case for hyperplane LSH — no cluster structure to
-    exploit) recall@5 measures 0.64 at both sf0.01 and sf0.1;
-    floored at 0.5 with margin. The oracle computes the truth-set
-    size exactly and asserts the recall contract held."""
+    """Random-hyperplane LSH ANN top-5 (8 tables x 4 bits) — the
+    PRODUCTION plan alone: only bucket-colliding candidates are
+    scored, so per-query work is bucket-bounded instead of
+    corpus-bounded. Approximate neighbor set (hyperplane buckets are
+    seed-dependent), so this query takes the driver's rows-only
+    check; the oracle-checked recall contract lives in ann_verify.
+    Bench timing here demonstrates the sublinear path without the
+    exact baseline's cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
+
+
+@query("ann_verify", oracle=_recall_oracle(0.5))
+def ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-anchored verification twin of ann_cosine_topk: recall@5
+    against the exact brute-force truth. On the near-uniform
+    synthetic corpus (the hardest case for hyperplane LSH — no
+    cluster structure to exploit) recall@5 measures 0.64 at both
+    sf0.01 and sf0.1; floored at 0.5 with margin. The oracle
+    computes the truth-set size exactly and asserts the recall
+    contract held. Excluded from bench.py timing."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = cosine_topk(emb, queries, k=TOP_K)

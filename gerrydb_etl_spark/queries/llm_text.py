@@ -4,11 +4,12 @@ byte-column plumbing (SURVEY.md §2.5 north star + §2.12).
 
 Exact operators carry full DuckDB oracles. Approximate operators
 (MinHash-LSH, SimHash — built on engine-specific xxhash64) are
-reported against the exact-Jaccard truth set (SQL-computable), so
-they are oracle-checkable too: per-pair found flags for MinHash
-(whose miss probability on this corpus is ~1e-9) and an aggregate
-recall-floor verdict for SimHash. Recall assertions also run in
-tests/test_llm_text.py.
+registered twice: the PRODUCTION plan under the operator's name
+(benched; value-hash oracle where the output is provably the truth
+set, rows-only where it is not SQL-expressible) and a *_verify twin
+that computes the exact-Jaccard truth set and asserts the recall
+contract (oracle-checked, excluded from bench timing). Recall
+assertions also run in tests/test_llm_text.py.
 """
 
 from __future__ import annotations
@@ -253,18 +254,54 @@ _JACCARD_TRUTH_SQL = """
     "minhash_near_dup",
     oracle=_JACCARD_TRUTH_SQL
     + """
-    SELECT d1, d2, jaccard, TRUE AS found_by_lsh FROM truth
+    SELECT d1, d2 FROM truth
     """,
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (32 hashes) + banded LSH (8x4) near-dup detection,
-    reported against the exact-Jaccard truth set so the approximate
-    path is fully oracle-checkable: one row per true near-dup pair
-    (Jaccard >= 0.8) with its exact Jaccard and whether the LSH path
-    surfaced it. True pairs in this corpus sit at s~0.98 where a
-    band miss has probability ~1e-9, so the oracle asserts
-    found_by_lsh for every truth row — a single miss turns the row
-    red, which is the honest outcome for a broken LSH path."""
+    """MinHash (32 hashes) + banded LSH (8x4) near-dup pairs — the
+    PRODUCTION plan alone: signatures -> band buckets -> bucketed
+    self-join -> signature-agreement estimate >= 0.7. No truth-set
+    computation rides in this query (that's minhash_verify), so its
+    bench timing is the operator a user runs.
+
+    It still carries a full value-hash oracle: true near-dup pairs
+    in this corpus sit at Jaccard ~0.98, where a band miss has
+    probability ~1e-9 and an est>=0.7 false positive would need an
+    est inflated ~0.3 above its expectation — so the LSH output
+    set-equals the exact-Jaccard truth pairs (verified empirically
+    at sf0.001 and sf0.01: 28/28 and 25/25, zero extra). The
+    engine-specific est_jaccard column is projected away; the oracle
+    is the truth-pair (d1, d2) set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.7,
+        max_bucket_size=1000,
+    ).select("d1", "d2")
+
+
+@query(
+    "minhash_verify",
+    oracle=_JACCARD_TRUTH_SQL
+    + """
+    SELECT d1, d2, jaccard, TRUE AS found_by_lsh FROM truth
+    """,
+)
+def minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-anchored verification twin of minhash_near_dup: one row
+    per exact-Jaccard truth pair (>= 0.8) with whether the LSH path
+    surfaced it. The oracle asserts found_by_lsh on every row — a
+    single band miss turns the row red, the honest outcome for a
+    broken LSH path. Runs UNCAPPED (max_bucket_size=None, complete
+    candidate generation) so a designed hot-bucket drop in the
+    production query can never masquerade as a correctness failure
+    here. Excluded from bench.py timing (verification harness, not
+    a production plan)."""
     docs = load_table(spark, sf_dir, "documents")
     truth = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000)
     found = minhash_lsh_pairs(
@@ -278,8 +315,25 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (16-bit-chunk blocking, Hamming <= 3)
+    — the PRODUCTION plan alone: fingerprints -> chunk buckets ->
+    bucketed self-join -> bit_count(xor) verify. The fingerprint is
+    xxhash64-based (engine-specific), so the pair set is not
+    SQL-expressible: this query takes the driver's rows-only check,
+    and the oracle-checked contract lives in simhash_verify (recall
+    floor vs the exact-Jaccard truth set). Bench timing here is the
+    operator a user runs, with the hot-bucket cap a production
+    deployment would carry."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(
+        docs, "doc_id", "text", max_hamming=3, max_bucket_size=1000
+    ).select("d1", "d2", "hamming")
+
+
 @query(
-    "simhash_near_dup",
+    "simhash_verify",
     oracle=_JACCARD_TRUTH_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
@@ -288,15 +342,16 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM truth
     """,
 )
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (16-bit-chunk blocking, Hamming <= 3) recall report
-    against the exact-Jaccard truth set. SimHash measures a different
-    similarity than Jaccard (weighted token profiles vs shingle
-    sets), so per-pair agreement is not a contract; the operator's
-    contract is aggregate recall, measured at 0.60 (sf0.01) / 0.74
+def simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-anchored verification twin of simhash_near_dup. SimHash
+    measures a different similarity than Jaccard (weighted token
+    profiles vs shingle sets), so per-pair agreement is not a
+    contract; the operator's contract is aggregate recall against
+    the exact-Jaccard truth set, measured at 0.60 (sf0.01) / 0.74
     (sf0.1) and floored at 0.5 with margin. The oracle computes the
     truth-set size exactly and asserts the recall contract held —
-    the summary row hash-matches only while the contract does."""
+    the summary row hash-matches only while the contract does. Runs
+    uncapped; excluded from bench.py timing."""
     docs = load_table(spark, sf_dir, "documents")
     truth = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000)
     found = simhash_pairs(docs, "doc_id", "text", max_hamming=3).select(

@@ -20,6 +20,7 @@ eviction; per-user state for running totals is O(distinct users).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Callable, Iterator
@@ -34,18 +35,41 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from gerrydb_etl_spark.sources.registry import _EVENTS_PHYSICAL
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet directory (file source),
-    with the same ns->µs timestamp conversion as the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the driver ships events as a single parquet FILE; the file
-    # stream source only accepts directories, so expose the file
-    # through a temp directory of symlinks (no data copy).
+def _stage_events_dir(sf_dir: str) -> str:
+    """The driver ships events as a single parquet FILE; the file
+    stream source only accepts directories, so expose the file
+    through a temp directory of symlinks (no data copy). Caller owns
+    cleanup of the returned directory."""
     src = os.path.join(sf_dir, "events.parquet")
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(stage, "events.parquet"))
+    return stage
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, stage: str | None = None
+) -> DataFrame:
+    """readStream over the events parquet directory (file source),
+    with the same ns->µs timestamp conversion as the batch loader.
+    If ``stage`` is None a staging dir is created and leaked — pass
+    one (see ``_stage_events_dir``) to own its lifetime."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if stage is None:
+        stage = _stage_events_dir(sf_dir)
     raw = spark.readStream.schema(_EVENTS_PHYSICAL).parquet(stage)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a memory-sink table into a driver-local DataFrame
+    and drop the sink's temp view, so repeated streaming runs leave
+    no registered tables behind. The collect is bounded by the
+    windowed-aggregate cardinality (state-store output), never by
+    the input row count."""
+    snap = spark.table(name)
+    rows, schema = snap.collect(), snap.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 def run_stream_to_memory(
@@ -56,21 +80,30 @@ def run_stream_to_memory(
     output_mode: str = "complete",
 ) -> DataFrame:
     """Drive a window builder as a stream with AvailableNow and
-    return the materialized result from the memory sink."""
-    stream = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
-    name = f"mem_{uuid.uuid4().hex[:8]}"
+    return the materialized result from the memory sink. The
+    checkpoint dir, symlink staging dir, and memory-sink table are
+    all cleaned up before returning."""
+    stage = _stage_events_dir(sf_dir)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = read_events_stream(spark, sf_dir, stage).withWatermark(
+            "ts", watermark
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _drain_memory_sink(spark, name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 USER_TOTALS_SCHEMA = T.StructType(
@@ -120,24 +153,31 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 def run_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the stateful operator with AvailableNow; returns the
-    final per-user totals (last update per user wins)."""
-    stream = read_events_stream(spark, sf_dir)
-    name = f"mem_{uuid.uuid4().hex[:8]}"
+    final per-user totals (last update per user wins). Cleans up its
+    checkpoint/staging dirs and memory-sink table like
+    run_stream_to_memory."""
+    stage = _stage_events_dir(sf_dir)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # update-mode memory sink appends every state update; keep the
-    # final row per user (max n_events is monotone in updates).
-    snap = spark.table(name)
-    return snap.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max_by("total_value", "n_events").alias("total_value"),
-    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = read_events_stream(spark, sf_dir, stage)
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update-mode memory sink appends every state update; keep the
+        # final row per user (max n_events is monotone in updates).
+        snap = _drain_memory_sink(spark, name)
+        return snap.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)

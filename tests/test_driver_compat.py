@@ -4,8 +4,11 @@ differential driver canonicalizes results through pandas
 ``sort_values``, which crashes on unhashable list cells
 (CORRECTNESS_r02: ``embedding_quantize``, ``media_decode_features``).
 Complex values must be stringified (concat_ws) or exploded to rows
-before leaving a query. Schema-only check: builds every plan at
-sf0.001 without executing it.
+before leaving a query. The check inspects schemas only, but
+building a "plan" is not free for every query: the streaming
+queries run their micro-batch job to completion (the result exists
+only materialized from the memory sink) and the IVF queries run
+bounded collect()s (centroid fit) during construction.
 """
 
 from __future__ import annotations
