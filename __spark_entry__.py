@@ -21,17 +21,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["pricing_summary"].spark(spark, SF0001)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+# The round driver samples a bounded prefix (~50) of this dict each
+# round and had re-sampled roughly the same set for three rounds,
+# leaving 16 queries with no external correctness signal (VERDICT r3
+# item 1). Exposure is therefore rotated explicitly: first the
+# never-sampled set, then this round's new/changed queries, then the
+# queries last sampled in rounds 1-2, then the rest (green in r3).
+_EXPOSURE_PRIORITY = [
+    # never driver-sampled through round 3
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    "scd2_current_view",
+    "validation_type_violations",
+    "validation_count_reconciliation",
+    "validation_collision_ceiling",
+    "validation_cross_row_consistency",
+    "eav_long_table",
+    "eav_pivot_roundtrip",
+    "alias_resolution_join",
+    "locality_hierarchy_paths",
+    "census_header_schema",
+    "rename_normalizations",
+    "format_roundtrip_json_csv",
+    "dim_upsert_if_absent",
+    "classifier_trailing_char",
+    # new or output-changed in round 4
+    "medsl_config_projection",
+    "events_stream_sliding",
+    "events_stream_session",
+    "minhash_near_dup",
+    "minhash_verify",
+    "simhash_near_dup",
+    "simhash_verify",
+    "ann_cosine_topk",
+    "ann_verify",
+    "ivf_cosine_topk",
+    "ivf_verify",
+    # last sampled in rounds 1-2
+    "filters_membership",
+    "string_keys",
+    "topk_expensive_items",
+    "topk_orders_per_customer",
+    "rank_dense_ntile",
+    "running_revenue_per_customer",
+    "order_gap_days",
+    "current_version_per_order",
+]
+
+
+def _ordered_registry():
     from gerrydb_etl_spark.queries import REGISTRY
 
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    missing = [n for n in _EXPOSURE_PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"exposure-priority names not in REGISTRY: {missing}")
+    rest = [n for n in REGISTRY if n not in _EXPOSURE_PRIORITY]
+    return {n: REGISTRY[n] for n in (*_EXPOSURE_PRIORITY, *rest)}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.spark for name, spec in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """Equivalent DuckDB SQL per query (omitted for non-SQL-expressible ops)."""
-    from gerrydb_etl_spark.queries import REGISTRY
-
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in _ordered_registry().items()
+        if spec.oracle is not None
     }

@@ -55,6 +55,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = 1024,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -64,7 +65,25 @@ def cosine_topk(
     the shuffle, so the final per-query window sees at most
     k x num_partitions rows instead of the whole corpus. Ties break
     on neighbor id for determinism.
+
+    This is deliberately O(corpus x queries): it is the exact
+    baseline that verifies the sublinear ANN paths (lsh_ann_topk,
+    ivf_topk), not the production path for large query sets.
+    ``max_queries`` guards that envelope — a query set larger than
+    the cap raises instead of silently launching a quadratic scan
+    (and a >1024-vector broadcast side is past where the broadcast
+    plan itself stops making sense). Pass None only when the
+    quadratic cost is understood and intended.
     """
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk is the exact O(corpus x queries) baseline; "
+                f"query set exceeds max_queries={max_queries}. Use "
+                f"lsh_ann_topk/ivf_topk for large query sets, or pass "
+                f"max_queries=None to accept the quadratic scan."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

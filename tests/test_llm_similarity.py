@@ -89,3 +89,17 @@ def test_exact_topk_is_k_rows_per_query(spark):
     top = out.filter(F.col("rank") == 1).collect()
     assert all(-1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9 for r in top)
     assert all(not math.isnan(r.cosine) for r in top)
+
+
+def test_cosine_topk_guards_large_query_sets(spark):
+    """cosine_topk is the exact O(corpus x queries) verification
+    baseline; a large query set must raise toward the ANN paths
+    instead of silently launching a quadratic scan."""
+    import pytest
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    with pytest.raises(ValueError, match="lsh_ann_topk/ivf_topk"):
+        cosine_topk(emb, queries, k=3, max_queries=10)
+    # opt-out accepts the quadratic scan explicitly
+    assert cosine_topk(emb, queries.limit(12), k=3, max_queries=None).count() > 0

@@ -170,3 +170,23 @@ def test_rolling_fingerprint_order_sensitive(spark):
         ).collect()
     ]
     assert fps[0] != fps[1], "fingerprint must be order-sensitive"
+
+
+def test_shingle_df_cap_recall(spark):
+    """Pins the max_shingle_df recall trade-off: a true near-dup
+    pair whose shared shingles are ALL above the cap (pure
+    boilerplate text duplicated across more docs than the cap) is
+    invisible to the capped inverted index BY DESIGN, and visible
+    again uncapped. Production guidance lives in the jaccard_pairs
+    docstring: such corpora belong to the exact tier or need a
+    higher cap."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [(i, boiler) for i in range(1, 9)]  # every shingle df=8
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = jaccard_pairs(df, "doc_id", "text", max_shingle_df=5).count()
+    assert capped == 0, "all shared shingles above cap -> pair designed-dropped"
+    uncapped = {
+        (r.d1, r.d2)
+        for r in jaccard_pairs(df, "doc_id", "text", max_shingle_df=None).collect()
+    }
+    assert (1, 2) in uncapped and len(uncapped) == 8 * 7 // 2

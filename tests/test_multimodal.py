@@ -78,3 +78,17 @@ def test_decode_media_deterministic(spark):
     a = {r.media_id: r.feature for r in decode_media(documents_as_media(docs)).collect()}
     b = {r.media_id: r.feature for r in decode_media(documents_as_media(docs)).collect()}
     assert a == b
+
+
+def test_documents_corpus_is_ascii(spark):
+    """The media_decode_features / media_frame_sample oracles equate
+    characters with bytes (substr/ascii vs the Spark side's raw byte
+    windows). That only holds for a pure-ASCII corpus — this guard
+    makes a multibyte character entering the documents table fail
+    loudly here instead of as an opaque hash mismatch in the driver
+    correctness gate."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    non_ascii = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert non_ascii == 0
