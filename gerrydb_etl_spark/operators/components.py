@@ -13,7 +13,9 @@ achieve the same bound; pointer jumping is the simpler spelling on
 a label table).
 
 Scale: each iteration is one join edges⋈labels + one min-aggregate
-+ one label⋈label self-join — all key-partitioned, no driver data.
+(plus, from round 3 on, the label⋈label jump self-join — deferred
+because shallow dedup graphs converge before a jump helps) — all
+key-partitioned, no driver data.
 The convergence probe (`changed == 0`) is a driver-side COUNT of a
 boolean aggregate — O(1) result, not a collect. Edges and each
 round's labels are eagerly materialized so iteration re-executes
@@ -76,10 +78,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the pre-round label as __prev so the change test at
+        # the end of the round is an inline comparison, not a join
+        # back against the previous label table
         prop = labels.join(
             neighbor_min, labels.node == neighbor_min.src, "left"
         ).select(
             "node",
+            F.col("label").alias("__prev"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
@@ -102,6 +108,7 @@ def connected_components(
                 parent, prop["label"] == parent["p_node"], "left"
             ).select(
                 prop["node"].alias("node"),
+                prop["__prev"].alias("__prev"),
                 F.least(
                     prop["label"], F.coalesce(parent["p_label"], prop["label"])
                 ).alias("label"),
@@ -109,9 +116,9 @@ def connected_components(
         # labels are monotonically non-increasing, so "< previous
         # round's label" is the complete change test
         updated = materialize(
-            labels.select("node", F.col("label").alias("__prev"))
-            .join(prop, "node")
-            .select("node", "label", (F.col("label") < F.col("__prev")).alias("__changed"))
+            prop.select(
+                "node", "label", (F.col("label") < F.col("__prev")).alias("__changed")
+            )
         )
         changed = updated.filter(F.col("__changed")).count()
         if prev is not None:
