@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the scale properties the 100 TB
+design depends on, asserted on every registered query's executed
+plan so a future edit can't silently reintroduce an anti-pattern.
+
+Invariants (verified plan audit, round 4):
+  - no CartesianProduct anywhere;
+  - no BatchEvalPython (row-at-a-time Python UDF) anywhere — Python
+    runs only through ArrowEvalPython (vectorized pandas UDFs), and
+    only in the geometry/vector kernels;
+  - BroadcastNestedLoopJoin only in the three exact-cosine baseline
+    queries, whose `!=` join is the deliberate O(corpus x queries)
+    verification path (operators/similarity.py cosine_topk — the
+    broadcast side is the capped query set);
+  - predicate pushdown and column pruning reach the parquet scans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gerrydb_etl_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+# the exact brute-force baseline (deliberate broadcast-bounded NLJ)
+EXACT_BASELINE_QUERIES = {"embedding_cosine_topk", "ivf_verify", "ann_verify"}
+
+# vectorized (Arrow) pandas UDFs are allowed only here: WKB geometry
+# kernels and LSH/IVF signature matmuls
+ARROW_UDF_QUERIES = {
+    "geo_point_roundtrip",
+    "geo_union_centroid",
+    "ivf_cosine_topk",
+    "ivf_verify",
+    "ann_cosine_topk",
+    "ann_verify",
+}
+
+
+def _executed_plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_has_no_scale_antipatterns(spark, name):
+    plan = _executed_plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan — use a pandas UDF"
+    )
+    if name not in EXACT_BASELINE_QUERIES:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join outside the exact-baseline set"
+        )
+    if name not in ARROW_UDF_QUERIES:
+        assert "ArrowEvalPython" not in plan, (
+            f"{name}: unexpected Python UDF — this query is expected "
+            "to stay entirely JVM-side"
+        )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Equality/membership predicates must land in the parquet scan's
+    PushedFilters, not evaluate post-scan only."""
+    plan = _executed_plan(spark, "filters_membership")
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed to the parquet scan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection over documents must not scan the third
+    column (ReadSchema shows what the scan actually decodes)."""
+    plan = _executed_plan(spark, "text_stats")
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema, "unused column not pruned from scan"
