@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 # the driver keeps the last 2000 chars of stdout; leave headroom for
 # a trailing newline and any stray log flush
 LINE_BUDGET = 1800
@@ -69,6 +71,19 @@ def main() -> None:
         F.broadcast(warm.select(F.col("r_regionkey").alias("k"))),
         warm["r_regionkey"] == F.col("k"),
     ).write.format("noop").mode("overwrite").save()
+
+    # also warm the Python-worker pool + Arrow serialization path: the
+    # first pandas-UDF query otherwise pays worker spawn + Arrow init
+    # (~2-3 s) that belongs to the session, not that query
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm_udf(s: pd.Series) -> pd.Series:
+        return s
+
+    warm.select(_warm_udf(F.col("r_regionkey"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     # *_verify queries are truth-anchoring twins of the approximate
