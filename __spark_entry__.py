@@ -57,6 +57,8 @@ _EXPOSURE_PRIORITY = [
     "ann_verify",
     "ivf_cosine_topk",
     "ivf_verify",
+    "embedding_neardup",
+    "embedding_neardup_verify",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -110,6 +110,86 @@ def cosine_topk(
     )
 
 
+def exact_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup set: every (d1 < d2) pair with
+    cosine >= threshold. O(n²) BY DESIGN — this is the verification
+    baseline for embedding_neardup (the broadcast nested-loop
+    self-join is the same deliberate envelope as cosine_topk), not a
+    production path; it exists so the LSH-bucketed operator has an
+    exact truth set to report recall against."""
+    a = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("a_vec"))
+    b = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2", cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space tier
+    of the dedup family (exact hash / Jaccard / MinHash / SimHash /
+    THIS): candidate pairs come only from shared LSH buckets
+    (hyperplane sign signatures, one per table), then an exact cosine
+    rescore keeps pairs at or above ``threshold``.
+
+    Scale: bucketing is a narrow map (one BLAS matmul per Arrow
+    batch); the self-join shuffles on (table, signature) so candidate
+    volume is sum of bucket² per table, never corpus² — the same
+    bucketed-candidates contract as the text near-dup operators, with
+    the same opt-in hot-bucket cap (a degenerate corpus of identical
+    vectors collapses into one bucket per table). Recall follows the
+    hyperplane collision curve 1-(1-(1-θ/π)^bits)^tables — at the
+    default 4x8 a pair at exactly cos 0.4 (θ≈66°) is caught with
+    p≈0.75, rising steeply for closer pairs; the registered
+    *_verify query pins the measured recall floor."""
+    from gerrydb_etl_spark.operators.dedup import _drop_hot_keys
+
+    sig_udf = _signature_udf(hyperplanes(dim, bits, tables, seed))
+    bucketed = (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("vec"),
+            sig_udf(F.col(vec_col)).alias("sigs"),
+        )
+        .select("doc", "vec", F.posexplode("sigs").alias("tbl", "sig"))
+    )
+    if max_bucket_size is not None:
+        bucketed = _drop_hot_keys(bucketed, ["tbl", "sig"], max_bucket_size)
+    cand = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), ["tbl", "sig"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.vec").alias("a_vec"),
+            F.col("b.vec").alias("b_vec"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    return cand.select(
+        "d1", "d2", cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def hyperplanes(
     dim: int, bits: int = 8, tables: int = 4, seed: int = 42
 ) -> np.ndarray:

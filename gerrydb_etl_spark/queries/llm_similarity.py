@@ -17,12 +17,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gerrydb_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from gerrydb_etl_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup,
+    exact_cosine_pairs,
+    lsh_ann_topk,
+)
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
 
 N_QUERIES = 10
 TOP_K = 5
+NEARDUP_COS = 0.4
 
 
 @query(
@@ -183,3 +189,72 @@ def ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, queries, k=TOP_K)
     approx = lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
     return _ann_recall_report(exact, approx, floor=0.5)
+
+
+# the all-pairs exact cosine truth set for the embedding near-dup
+# tier — the same sequential-fold arithmetic as the Spark side, so
+# the threshold boundary is bitwise-identical across engines
+_NEARDUP_TRUTH_SQL = f"""
+    WITH scored AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(a.embedding, b.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                       (x, y) -> x + y))
+                  * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                       (x, y) -> x + y))) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    truth AS (SELECT d1, d2 FROM scored WHERE cosine >= {NEARDUP_COS})
+"""
+
+
+@query("embedding_neardup")
+def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.4) — the
+    PRODUCTION plan: LSH-bucketed candidates + exact rescore, the
+    vector-space member of the dedup family. The pair set is
+    LSH-recall-bounded (not exhaustive), so this query takes the
+    driver's rows-only check; the oracle-checked recall contract
+    lives in embedding_neardup_verify. Zero false positives by
+    construction (every emitted pair is exactly rescored)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup(
+        emb, threshold=NEARDUP_COS, max_bucket_size=1000
+    ).select("d1", "d2")
+
+
+@query(
+    "embedding_neardup_verify",
+    oracle=_NEARDUP_TRUTH_SQL
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(0.6 AS DOUBLE) AS recall_floor,
+           TRUE AS recall_floor_met
+    FROM truth
+    """,
+)
+def embedding_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth-anchored verification twin of embedding_neardup: recall
+    against the exact all-pairs cosine truth set (O(n²) baseline,
+    operators/similarity.py exact_cosine_pairs), floored at 0.6
+    (measured 0.83 at sf0.01, 0.76 at sf0.1 — the hyperplane
+    collision curve at cos 0.4 is ~0.75 and rises steeply for closer
+    pairs). Runs uncapped; excluded from bench.py timing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = exact_cosine_pairs(emb, NEARDUP_COS).select("d1", "d2")
+    found = embedding_neardup(emb, threshold=NEARDUP_COS).select(
+        "d1", "d2", F.lit(1).alias("_hit")
+    )
+    marked = truth.join(found, ["d1", "d2"], "left")
+    n_true = F.count("*")
+    n_found = F.coalesce(F.sum("_hit"), F.lit(0))
+    return marked.agg(
+        n_true.alias("n_true"),
+        F.lit(0.6).cast("double").alias("recall_floor"),
+        (n_found / F.greatest(n_true, F.lit(1)) >= 0.6).alias("recall_floor_met"),
+    )

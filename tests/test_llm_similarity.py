@@ -103,3 +103,20 @@ def test_cosine_topk_guards_large_query_sets(spark):
         cosine_topk(emb, queries, k=3, max_queries=10)
     # opt-out accepts the quadratic scan explicitly
     assert cosine_topk(emb, queries.limit(12), k=3, max_queries=None).count() > 0
+
+
+def test_embedding_neardup_recall_and_no_false_positives(spark):
+    """The vector-space near-dup tier: LSH-bucketed candidates +
+    exact rescore must recover >= 0.6 of the exact all-pairs truth
+    set at cosine 0.4 (measured 0.83 at sf0.01) with ZERO false
+    positives (every emitted pair is exactly rescored)."""
+    from gerrydb_etl_spark.operators.similarity import (
+        embedding_neardup,
+        exact_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    truth = {(r.d1, r.d2) for r in exact_cosine_pairs(emb, 0.4).collect()}
+    found = {(r.d1, r.d2) for r in embedding_neardup(emb, 0.4).collect()}
+    assert not (found - truth), "rescored pairs can never be false positives"
+    assert len(found & truth) / len(truth) >= 0.6

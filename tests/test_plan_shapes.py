@@ -21,8 +21,14 @@ import pytest
 from gerrydb_etl_spark.queries import REGISTRY
 from tests.conftest import SF_SMOKE
 
-# the exact brute-force baseline (deliberate broadcast-bounded NLJ)
-EXACT_BASELINE_QUERIES = {"embedding_cosine_topk", "ivf_verify", "ann_verify"}
+# the exact brute-force baselines (deliberate broadcast-bounded NLJ:
+# cosine_topk's != join, exact_cosine_pairs' < self-join)
+EXACT_BASELINE_QUERIES = {
+    "embedding_cosine_topk",
+    "ivf_verify",
+    "ann_verify",
+    "embedding_neardup_verify",
+}
 
 # vectorized (Arrow) pandas UDFs are allowed only here: WKB geometry
 # kernels and LSH/IVF signature matmuls
@@ -33,6 +39,8 @@ ARROW_UDF_QUERIES = {
     "ivf_verify",
     "ann_cosine_topk",
     "ann_verify",
+    "embedding_neardup",
+    "embedding_neardup_verify",
 }
 
 
