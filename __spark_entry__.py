@@ -59,6 +59,7 @@ _EXPOSURE_PRIORITY = [
     "ivf_verify",
     "embedding_neardup",
     "embedding_neardup_verify",
+    "token_count_bpe",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -476,3 +476,40 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", micro).alias("feature"),
         "n_frames",
     )
+
+
+# BPE-ish pre-tokenization pattern: runs of letters, runs of digits,
+# or a single other non-space character — the shape GPT-style BPE
+# pre-tokenizers split on before merges (simplified to ASCII, which
+# the corpus is — see tests/test_multimodal.py ASCII guard). Spark
+# (Java regex) and DuckDB (RE2) agree on this alternation exactly.
+BPE_SPLIT_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_SPLIT_PATTERN}')) AS n_bpe_pieces,
+           len(list_distinct(regexp_extract_all(lower(text), '{BPE_SPLIT_PATTERN}')))
+               AS n_distinct_pieces
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the brief asks for: whitespace tokens
+    (the word count every quality heuristic uses) and BPE-ish regex
+    pieces (letter runs | digit runs | single punctuation — the
+    pre-tokenization granularity a GPT-style byte-pair encoder
+    merges from, so this count upper-bounds the real BPE token
+    count). Narrow map over the scan, zero shuffles, full value-hash
+    oracle (Java regex and RE2 agree on the alternation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_SPLIT_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_bpe_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
