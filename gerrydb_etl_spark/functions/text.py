@@ -57,6 +57,23 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_array(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles straight off the raw string: one
+    codegen'd regex pass with a token-anchored lookahead
+    (``(?<!\\S)`` pins each match to a token start; the zero-width
+    lookahead makes matches overlap), equivalent to
+    ``shingles(tokenize(text), n)`` on the single-space corpus
+    contract but ~2x cheaper per evaluation — higher-order lambdas
+    (transform/slice) fall back to interpreted evaluation, and the
+    per-shingle slice+concat allocates; this allocates only the
+    matched substrings. The saving triples: Catalyst evaluates a
+    shingle expression up to three times per row around an explode
+    (the pushed ``size(arr) > 0`` scan filter, the generator, and
+    any ``size(arr)`` projection)."""
+    pat = r"(?<!\S)(?=(\S+" + r"(?: \S+)" * (n - 1) + r"))"
+    return F.regexp_extract_all(text, F.lit(pat), 1)
+
+
 def stopword_hits(tokens: Column, lang: str) -> Column:
     """Count of tokens that are stopwords of ``lang`` (multiset count,
     not distinct — repeated stopwords count every time)."""

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window as W
 
+from gerrydb_etl_spark.operators.partitioning import fan_out
 from gerrydb_etl_spark.operators.similarity import cosine
 
 
@@ -66,6 +67,7 @@ def train_centroids(
     )
     centroids = np.asarray([r[0] for r in init], dtype=np.float64)
 
+    corpus = fan_out(corpus.select(vec_col))
     for _ in range(iters):
         assign = _assign_udf(centroids, n_probe=1)
         assigned = corpus.select(
@@ -99,6 +101,7 @@ def ivf_topk(
     (candidates ~ n_probe/n_cells of the corpus)."""
     centroids = train_centroids(corpus, vec_col, id_col, n_cells, iters)
 
+    corpus = fan_out(corpus.select(id_col, vec_col))
     corpus_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),

@@ -30,6 +30,8 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window as W
 
+from gerrydb_etl_spark.operators.partitioning import fan_out
+
 
 def fold_sum(arr: Column) -> Column:
     """Sequential left-fold sum in double (order-deterministic,
@@ -87,8 +89,10 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
+        )
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -151,8 +155,9 @@ def embedding_neardup(
     rescore keeps pairs at or above ``threshold``.
 
     Scale: bucketing is a narrow map (one BLAS matmul per Arrow
-    batch); the self-join shuffles on (table, signature) so candidate
-    volume is sum of bucket² per table, never corpus² — the same
+    batch); pair generation groups on (table, signature) and explodes
+    intra-bucket combinations (``bucket_pairs``) so candidate volume
+    is sum of bucket² per table, never corpus² — the same
     bucketed-candidates contract as the text near-dup operators, with
     the same opt-in hot-bucket cap (a degenerate corpus of identical
     vectors collapses into one bucket per table). Recall follows the
@@ -160,31 +165,22 @@ def embedding_neardup(
     default 4x8 a pair at exactly cos 0.4 (θ≈66°) is caught with
     p≈0.75, rising steeply for closer pairs; the registered
     *_verify query pins the measured recall floor."""
-    from gerrydb_etl_spark.operators.dedup import _drop_hot_keys
+    from gerrydb_etl_spark.operators.dedup import bucket_pairs
 
     sig_udf = _signature_udf(hyperplanes(dim, bits, tables, seed))
     bucketed = (
-        corpus.select(
-            F.col(id_col).alias("doc"),
-            F.col(vec_col).alias("vec"),
-            sig_udf(F.col(vec_col)).alias("sigs"),
-        )
+        fan_out(corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")))
+        .select("doc", "vec", sig_udf(F.col("vec")).alias("sigs"))
         .select("doc", "vec", F.posexplode("sigs").alias("tbl", "sig"))
     )
-    if max_bucket_size is not None:
-        bucketed = _drop_hot_keys(bucketed, ["tbl", "sig"], max_bucket_size)
-    cand = (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), ["tbl", "sig"])
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("d1"),
-            F.col("b.doc").alias("d2"),
-            F.col("a.vec").alias("a_vec"),
-            F.col("b.vec").alias("b_vec"),
-        )
-        .dropDuplicates(["d1", "d2"])
-    )
+    cand = bucket_pairs(
+        bucketed, ["tbl", "sig"], F.struct("doc", "vec"), max_bucket_size
+    ).select(
+        F.col("a.doc").alias("d1"),
+        F.col("b.doc").alias("d2"),
+        F.col("a.vec").alias("a_vec"),
+        F.col("b.vec").alias("b_vec"),
+    ).dropDuplicates(["d1", "d2"])
     return cand.select(
         "d1", "d2", cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
@@ -269,7 +265,7 @@ def lsh_ann_topk(
             )
         )
 
-    cb = bucketed(corpus, "neighbor")
+    cb = bucketed(fan_out(corpus), "neighbor")
     qb = bucketed(queries, "query")
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "sig"])
