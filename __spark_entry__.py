@@ -46,6 +46,12 @@ _EXPOSURE_PRIORITY = [
     "dim_upsert_if_absent",
     "classifier_trailing_char",
     # new or output-changed in round 4
+    "benchmark_decontam",
+    "train_val_test_split",
+    "stratified_sample_quota",
+    "sequence_packing",
+    "source_mix_rebalance",
+    "pii_redaction",
     "medsl_config_projection",
     "events_stream_sliding",
     "events_stream_session",

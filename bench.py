@@ -74,16 +74,22 @@ def main() -> None:
 
     # also warm the Python-worker pool + Arrow serialization path: the
     # first pandas-UDF query otherwise pays worker spawn + Arrow init
-    # (~2-3 s) that belongs to the session, not that query
+    # that belongs to the session, not that query. The warm-up must
+    # cover the WHOLE pool: workers are per-core and reused
+    # (spark.python.worker.reuse), so a single-partition warm-up
+    # spawns one worker and leaves the first 32-partition Arrow query
+    # paying 31 concurrent spawns + numpy/pandas imports — ~20 s on a
+    # cold page cache (observed: embedding_neardup billed 26 s cold,
+    # 6.9 s with the pool warm).
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _warm_udf(s: pd.Series) -> pd.Series:
         return s
 
-    warm.select(_warm_udf(F.col("r_regionkey"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    spark.range(0, 32_000, 1, int(cpus)).select(
+        _warm_udf(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     # *_verify queries are truth-anchoring twins of the approximate

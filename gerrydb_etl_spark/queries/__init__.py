@@ -2,6 +2,7 @@
 
 from gerrydb_etl_spark.queries import (  # noqa: F401
     config_queries,
+    curation,
     events,
     geo_queries,
     geoset_queries,

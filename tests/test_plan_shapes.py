@@ -67,6 +67,15 @@ def test_plan_has_no_scale_antipatterns(spark, name):
         )
 
 
+def test_decontam_broadcasts_benchmark_shingles(spark):
+    """The decontamination probe must broadcast the (eval-suite-sized)
+    benchmark shingle set — the corpus-side shingle stream may not
+    shuffle into a sort-merge/shuffled-hash join."""
+    plan = _executed_plan(spark, "benchmark_decontam")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """Equality/membership predicates must land in the parquet scan's
     PushedFilters, not evaluate post-scan only."""
