@@ -91,6 +91,24 @@ def main() -> None:
         _warm_udf(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
+    # and the Structured Streaming machinery (streaming engine +
+    # state-store classes, first-run JIT): otherwise the first
+    # events_stream_* query measured is charged ~4 s of engine start
+    # that belongs to the session. Warmed at the smallest scale
+    # factor so the warm-up itself stays ~1 s.
+    tiny = "/root/testdata/sf0.001"
+    if os.path.isdir(tiny):
+        from gerrydb_etl_spark.streaming.stream import run_stream_to_memory
+        from gerrydb_etl_spark.streaming.windows import tumbling
+
+        run_stream_to_memory(
+            spark,
+            tiny,
+            lambda df: tumbling(df, "1 hour"),
+            output_mode="complete",
+            state_partitions=2,
+        )
+
     timings: dict[str, float] = {}
     # *_verify queries are truth-anchoring twins of the approximate
     # operators (they recompute the exact baseline to assert a recall

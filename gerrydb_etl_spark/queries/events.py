@@ -108,7 +108,13 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gerrydb_etl_spark.streaming.stream import run_stream_to_memory
 
     return run_stream_to_memory(
-        spark, sf_dir, lambda df: tumbling(df, "1 hour"), output_mode="complete"
+        spark,
+        sf_dir,
+        lambda df: tumbling(df, "1 hour"),
+        output_mode="complete",
+        # sized to the test corpus's bounded state (a few thousand
+        # windows); see run_stream_to_memory's state_partitions note
+        state_partitions=8,
     )
 
 
@@ -141,6 +147,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda df: sliding(df, "30 minutes", "10 minutes"),
         output_mode="complete",
+        state_partitions=8,
     )
 
 
@@ -183,6 +190,7 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda df: session(df, "10 minutes"),
         output_mode="complete",
+        state_partitions=8,
     )
 
 
