@@ -55,6 +55,7 @@ _EXPOSURE_PRIORITY = [
     "medsl_config_projection",
     "events_stream_sliding",
     "events_stream_session",
+    "events_stream_user_totals",
     "minhash_near_dup",
     "minhash_verify",
     "simhash_near_dup",

@@ -195,6 +195,32 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator, driver-visible WITH a
+    real oracle: per-user running totals via applyInPandasWithState
+    (Arrow-batched per-group state across micro-batches), driven to
+    completion with AvailableNow. Exactness trick: the monetary
+    column becomes integer cents JVM-side before the UDF, so the
+    stateful sum is order-independent and the final state equals a
+    plain GROUP BY — previously this operator had pytest-only
+    coverage because float summation order blocked an oracle pairing
+    (streaming/stream.py:running_user_cents)."""
+    from gerrydb_etl_spark.streaming.stream import run_running_cents
+
+    return run_running_cents(spark, sf_dir, state_partitions=8)
+
+
+@query(
     "events_json_props",
     oracle="""
     SELECT event_type,

@@ -167,6 +167,97 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+USER_CENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+_CENTS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def _update_user_cents(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(pdf["value_cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+    )
+
+
+def running_user_cents(events: DataFrame) -> DataFrame:
+    """Oracle-exact variant of the stateful running-totals operator:
+    the monetary column is converted to integer cents JVM-side
+    (decimal cast, so 0.1*100 is exactly 10) BEFORE the UDF, and the
+    per-group state sums int64 — summation order can't perturb the
+    result, which is what lets a custom applyInPandasWithState
+    operator share a plain GROUP BY oracle."""
+    cents = events.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    return cents.groupBy("user_id").applyInPandasWithState(
+        _update_user_cents,
+        outputStructType=USER_CENTS_SCHEMA,
+        stateStructType=_CENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_running_cents(
+    spark: SparkSession, sf_dir: str, state_partitions: int | None = None
+) -> DataFrame:
+    """Drive the exact stateful operator with AvailableNow and return
+    final per-user totals. Update-mode memory sink appends one row
+    per (user, micro-batch); the final row per user (max n_events —
+    monotone in updates) is the complete total. Cleans up like
+    run_stream_to_memory."""
+    stage = _stage_events_dir(sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        stream = read_events_stream(spark, sf_dir, stage)
+        q = (
+            running_user_cents(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = _drain_memory_sink(spark, name)
+        return snap.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def run_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the stateful operator with AvailableNow; returns the
     final per-user totals (last update per user wins). Cleans up its

@@ -56,3 +56,33 @@ def test_stateful_running_totals_match_batch(spark):
     }
     for uid, tv in ((r.user_id, r.total_value) for r in got.collect()):
         assert abs(tv - want_t[uid]) < 1e-6 * max(1.0, abs(want_t[uid]))
+
+
+def test_stateful_running_cents_exact_on_adversarial_floats(spark, tmp_path):
+    """The integer-cents state must be immune to float summation
+    order: many 0.01-style values whose double sum is inexact
+    (sum of 0.01 x 300 = 2.9999999999999996 in float) must come out
+    as exactly 300 cents per 100 events."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gerrydb_etl_spark.streaming.stream import run_running_cents
+
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [1_700_000_000_000_000_000 + i * 10**9 for i in range(n)],
+            "user_id": [i % 3 for i in range(n)],
+            "event_type": ["t"] * n,
+            "value": [0.01] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in run_running_cents(spark, str(tmp_path), state_partitions=2).collect()
+    }
+    assert got == {0: (100, 100), 1: (100, 100), 2: (100, 100)}
