@@ -56,6 +56,8 @@ _EXPOSURE_PRIORITY = [
     "events_stream_sliding",
     "events_stream_session",
     "events_stream_user_totals",
+    "bucketed_colocated_join",
+    "salted_holistic_collect",
     "minhash_near_dup",
     "minhash_verify",
     "simhash_near_dup",

@@ -12,6 +12,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_text,
     relational,
     resolution,
+    scale_queries,
     sources_extra,
     store_queries,
     validation,

@@ -1,0 +1,116 @@
+"""Driver-visible demonstrations of the two storage/shuffle scale
+techniques that otherwise live only in plan-shape tests: bucketed
+co-located joins (tests/test_bucketing.py) and salted two-phase
+holistic aggregation (tests/test_skew.py). Each is registered as an
+oracle-paired query so the round driver externally verifies that the
+scale spelling produces byte-identical results to the naive one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.functions.numeric import dec, dsum
+from gerrydb_etl_spark.operators.skew import salted_collect_list
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources.registry import load_table
+from gerrydb_etl_spark.store.bucketing import read_bucketed, write_bucketed
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED storage: both tables are written
+    bucketed on the join key (16 buckets, bucket-sorted), so the
+    SortMergeJoin consumes matching buckets directly — ZERO exchanges
+    on the join (the single shuffle in the plan is the final
+    aggregation; tests/test_plan_shapes.py pins it). The merge hint
+    keeps the plan on SMJ so the co-location is what's demonstrated,
+    not a small-side broadcast that local scale would allow.
+
+    100 TB: bucketing pays one shuffle at write time, amortized over
+    every subsequent join on that key — the canonical answer to the
+    biggest cost of fact-fact joins. The bucketed write here runs
+    inside the query so the demonstration is self-contained; a real
+    deployment writes once and joins many times.
+    """
+    # the in-memory catalog forgets managed tables between sessions
+    # but their warehouse directories survive; clear both so the
+    # bucketed write is idempotent across driver/test/bench sessions
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bq_orders", "bq_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        "bq_orders",
+        ["o_orderkey"],
+        16,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        "bq_lineitem",
+        ["l_orderkey"],
+        16,
+        sort_cols=["l_orderkey"],
+    )
+    li = read_bucketed(spark, "bq_lineitem")
+    o = read_bucketed(spark, "bq_orders")
+    return (
+        li.hint("merge")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(dec("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "salted_holistic_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_values,
+           MIN(o_custkey) AS first_v,
+           MAX(o_custkey) AS last_v
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def salted_holistic_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic aggregation (collect_list) through the salted
+    two-phase path: phase 1 collects per (key, salt) so a hot key
+    spreads over 16 tasks instead of funnelling its entire value set
+    through one aggregation buffer; phase 2 flattens and sorts. The
+    5 order priorities × ~30k orders each at sf0.1 are exactly the
+    shape AQE's skew handling can't fix (skew inside an aggregation
+    state, not a join). Output is reduced to (count, first, last) of
+    the sorted list — equal to COUNT/MIN/MAX, which is what makes the
+    salted path's result externally checkable against plain SQL while
+    the full list still materializes distributed.
+    """
+    lists = salted_collect_list(
+        load_table(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+    )
+    return lists.select(
+        "o_orderpriority",
+        F.size("values").alias("n_values"),
+        F.element_at("values", 1).alias("first_v"),
+        F.element_at("values", -1).alias("last_v"),
+    )

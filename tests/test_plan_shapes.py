@@ -76,6 +76,15 @@ def test_decontam_broadcasts_benchmark_shingles(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_only_exchange_is_the_agg(spark):
+    """bucketed_colocated_join's SortMergeJoin must consume matching
+    buckets with no join-side shuffle: exactly one exchange (the
+    final aggregation) in the whole plan."""
+    plan = _executed_plan(spark, "bucketed_colocated_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """Equality/membership predicates must land in the parquet scan's
     PushedFilters, not evaluate post-scan only."""
