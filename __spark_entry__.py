@@ -58,6 +58,7 @@ _EXPOSURE_PRIORITY = [
     "events_stream_user_totals",
     "bucketed_colocated_join",
     "salted_holistic_collect",
+    "skew_replicated_join",
     "minhash_near_dup",
     "minhash_verify",
     "simhash_near_dup",

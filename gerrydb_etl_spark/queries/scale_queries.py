@@ -114,3 +114,43 @@ def salted_holistic_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("values", 1).alias("first_v"),
         F.element_at("values", -1).alias("last_v"),
     )
+
+
+@query(
+    "skew_replicated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join through the replicated-salt path
+    (operators/skew.py): the skewed side carries a deterministic
+    hash salt spreading each hot key over 4 shuffle partitions, and
+    the other side replicates each row 4x, joining on (key, salt) —
+    the manual spelling for skew AQE can't fix (a hot key against a
+    non-broadcastable build side). Aggregated to per-priority
+    count + quantity so plain join SQL verifies the salted result
+    exactly; tests/test_skew.py pins the mechanics on a synthetic
+    hot key.
+    """
+    from gerrydb_etl_spark.operators.skew import replicated_skew_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    return (
+        replicated_skew_join(li, orders, "okey", salts=4)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(dec("l_quantity")).alias("total_qty"),
+        )
+    )
