@@ -99,9 +99,10 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # Logical schema; the parquet stores ts as TIMESTAMP(NANOS),
-    # which load_table() reads as int64 ns and converts to a
-    # microsecond timestamp (see _EVENTS_PHYSICAL below).
+    # Logical schema; the parquet has stored ts as TIMESTAMP(NANOS)
+    # in some driver generations and TIMESTAMP(MICROS) in others —
+    # load_table() sniffs the footer and normalizes to µs (see
+    # _EVENTS_PHYSICAL below).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -131,11 +132,15 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-# events.ts is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), which
-# Spark's vectorized reader rejects outright. Physical read schema
-# takes the raw int64 nanoseconds (via the legacy nanosAsLong conf,
-# runtime-settable) and the loader converts ns -> µs timestamp —
-# truncation identical to DuckDB's ns -> µs read of the same file.
+# The driver's events.ts encoding has varied across testdata
+# generations: TIMESTAMP(NANOS, isAdjustedToUTC=false) — which
+# Spark's vectorized reader rejects outright — through round 3, and
+# plain TIMESTAMP(MICROS) from round 4. `events_ts_is_nanos` sniffs
+# the parquet footer (a metadata-only read, no row groups touched)
+# so the loader works against either generation: the nanos path
+# reads raw int64 via the legacy nanosAsLong conf and converts
+# ns -> µs (truncation identical to DuckDB's ns -> µs read of the
+# same file); the micros path is a native timestamp read.
 _EVENTS_PHYSICAL = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -148,12 +153,23 @@ _EVENTS_PHYSICAL = T.StructType(
 )
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the events parquet stores ts as nanoseconds (either
+    TIMESTAMP(NANOS), which Spark cannot read natively, or raw
+    int64). Footer-only pyarrow read; driver-side, once per load —
+    on a cluster this is one object-store ranged GET, not a scan."""
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(path).field("ts").type)
+    return t == "int64" or t.startswith("timestamp[ns")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and events_ts_is_nanos(path):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(_EVENTS_PHYSICAL).parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

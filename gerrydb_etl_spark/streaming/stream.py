@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from gerrydb_etl_spark.sources.registry import _EVENTS_PHYSICAL
+from gerrydb_etl_spark.sources.registry import (
+    _EVENTS_PHYSICAL,
+    TABLE_SCHEMAS,
+    events_ts_is_nanos,
+)
 
 
 def _stage_events_dir(sf_dir: str) -> str:
@@ -50,14 +54,19 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, stage: str | None = None
 ) -> DataFrame:
     """readStream over the events parquet directory (file source),
-    with the same ns->µs timestamp conversion as the batch loader.
-    If ``stage`` is None a staging dir is created and leaked — pass
-    one (see ``_stage_events_dir``) to own its lifetime."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with the same ts normalization as the batch loader (footer sniff:
+    nanos generations get the ns->µs conversion, micros generations a
+    native timestamp read). If ``stage`` is None a staging dir is
+    created and leaked — pass one (see ``_stage_events_dir``) to own
+    its lifetime."""
     if stage is None:
         stage = _stage_events_dir(sf_dir)
-    raw = spark.readStream.schema(_EVENTS_PHYSICAL).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = os.path.join(sf_dir, "events.parquet")
+    if events_ts_is_nanos(src):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_EVENTS_PHYSICAL).parquet(stage)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(stage)
 
 
 def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
