@@ -70,6 +70,7 @@ _EXPOSURE_PRIORITY = [
     "embedding_neardup",
     "embedding_neardup_verify",
     "token_count_bpe",
+    "hll_sketch_rollup",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -13,6 +13,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     relational,
     resolution,
     scale_queries,
+    sketches,
     sources_extra,
     store_queries,
     validation,

@@ -1,0 +1,102 @@
+"""Mergeable-sketch rollups (Datasketches HLL).
+
+The 100 TB pattern this demonstrates: distinct-count rollups over
+append-only data should never re-scan history. Each ingest slice
+persists a tiny binary HLL sketch per group (here: one per
+(priority, status) cell); any later rollup — per priority, per day,
+global — is a `hll_union_agg` over the stored sketches, an
+O(groups) merge instead of an O(rows) re-scan. Spark 3.5+ ships the
+Apache Datasketches HLL build/merge/estimate functions JVM-side
+(`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`), so
+the whole pipeline is whole-stage-codegen'd aggregation: partial
+sketches combine map-side exactly like partial sums, and the merged
+sketch column is what a versioned store would persist.
+
+Like `approx_distinct_customers` (queries/joins_extra.py), the
+estimate is engine-specific, so the registered query reports a
+tolerance VERDICT rather than the raw estimate: the exact distinct
+count plus whether the two-level sketch rollup landed within 5% of
+it (lgConfigK=12 -> relative standard error ~1.6%; 5% is ~3 sigma).
+The DuckDB oracle computes the exact count and asserts TRUE, giving
+the approximate rollup a full value-hash row.
+
+Reference parity note: the reference has no sketch layer at all
+(its distinct counts are pandas `nunique`, e.g.
+gerrydb_etl/pl_localities.py); this is a scale extra in the spirit
+of SURVEY §2.13.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources.registry import load_table
+
+
+def sketch_partials(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL sketch of value_col — the persistable partial.
+    One binary column per group; merging partials with
+    `merge_sketches` over a coarser grouping replaces re-scanning
+    the rows the partials were built from."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def merge_sketches(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll partial sketches up to a coarser grouping: pure merge,
+    never touches the base rows. Shuffle volume is one ~2^lgK-byte
+    sketch per input group, independent of base-table size. Note the
+    merge is statistically (not bit-) equivalent to direct sketching:
+    Datasketches unions via an HLL_8 gadget, so estimates can drift a
+    fraction of a percent from a directly-built sketch while staying
+    inside the lgK error envelope (pinned in tests/test_sketches.py)."""
+    return partials.groupBy(*group_cols).agg(
+        F.hll_union_agg("hll_sketch").alias("hll_sketch")
+    )
+
+
+@query(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs_exact,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable rollup: build per-(priority, status)
+    partial sketches of o_custkey, then merge the partials up to
+    per-priority WITHOUT re-reading orders — the merge input is 15
+    sketch rows, not 1.5M order rows. Reported as a tolerance
+    verdict against the exact per-priority distinct count (computed
+    from the base table here purely to anchor the oracle; a
+    production rollup would not run it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    partials = sketch_partials(
+        orders, ["o_orderpriority", "o_orderstatus"], "o_custkey"
+    )
+    merged = merge_sketches(partials, ["o_orderpriority"]).select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("hll_sketch").alias("_approx"),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs_exact")
+    )
+    return (
+        merged.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_custs_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_custs_exact"))
+                <= F.lit(0.05) * F.col("n_custs_exact")
+            ).alias("within_5pct"),
+        )
+    )
