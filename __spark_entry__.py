@@ -71,6 +71,7 @@ _EXPOSURE_PRIORITY = [
     "embedding_neardup_verify",
     "token_count_bpe",
     "hll_sketch_rollup",
+    "events_stream_dedup",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -236,3 +236,34 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json over the props column with an explicit schema, then
     aggregation on the extracted field (§2.6 JSON scalar target)."""
     return json_props(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_stream_dedup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          <= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once recovery from at-least-once delivery:
+    the staged stream source lists the events file TWICE (every event
+    arrives 2x), dropDuplicatesWithinWatermark collapses the replays
+    by event_id with watermark-bounded state, and the deduped stream
+    feeds the same tumbling aggregation as the batch path — two
+    chained stateful operators in one real streaming query (Spark
+    3.5+ multi-stateful support, append mode). The oracle aggregates
+    the SINGLE copy of events: matching proves the engine removed
+    every duplicate. Append emits only watermark-closed windows, so
+    the oracle excludes windows ending after max(ts) - delay
+    (streaming/stream.py:run_dedup_stream)."""
+    from gerrydb_etl_spark.streaming.stream import run_dedup_stream
+
+    return run_dedup_stream(spark, sf_dir, watermark="1 hour", state_partitions=8)

@@ -69,6 +69,69 @@ def read_events_stream(
     return spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(stage)
 
 
+def _stage_events_dir_duplicated(sf_dir: str) -> str:
+    """Stage the events file TWICE (two symlink names -> same file),
+    so the file stream source delivers every event exactly twice —
+    a deterministic stand-in for an at-least-once upstream (replayed
+    Kafka offsets, retried file drops). Caller owns cleanup."""
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="events_stream_dup_")
+    os.symlink(src, os.path.join(stage, "events_a.parquet"))
+    os.symlink(src, os.path.join(stage, "events_b.parquet"))
+    return stage
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 hour",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming exactly-once recovery from at-least-once input: the
+    staged source lists the events file twice (every event delivered
+    2x), `dropDuplicatesWithinWatermark` collapses replays by
+    event_id (state evicted by the watermark, so dedup memory is
+    bounded by the delay window — the only dedup that survives an
+    unbounded stream), and the deduped stream feeds the SAME tumbling
+    aggregation as the batch path. Two chained stateful operators in
+    one streaming query — Spark requires append output for stateful
+    chaining, and append emits only watermark-closed windows, so the
+    companion oracle excludes windows ending after max(ts) - delay.
+
+    At 100 TB of replayed input the dedup state is one event_id per
+    event inside the watermark horizon, hash-partitioned across the
+    state store; everything downstream sees each event once.
+    """
+    stage = _stage_events_dir_duplicated(sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        from gerrydb_etl_spark.streaming.windows import tumbling
+
+        stream = read_events_stream(spark, sf_dir, stage)
+        deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            tumbling(deduped, "1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _drain_memory_sink(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
     """Materialize a memory-sink table into a driver-local DataFrame
     and drop the sink's temp view, so repeated streaming runs leave

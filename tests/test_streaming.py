@@ -86,3 +86,40 @@ def test_stateful_running_cents_exact_on_adversarial_floats(spark, tmp_path):
         for r in run_running_cents(spark, str(tmp_path), state_partitions=2).collect()
     }
     assert got == {0: (100, 100), 1: (100, 100), 2: (100, 100)}
+
+
+def test_dedup_stream_collapses_duplicated_input(spark):
+    """run_dedup_stream's claim is only meaningful if the staged
+    source really delivers every event twice — assert the 2x via a
+    batch read of the same staged dir, then that the chained
+    dedup+agg equals the batch aggregation over the SINGLE copy,
+    restricted to watermark-closed windows (append mode emits only
+    windows ending at or before max(ts) - delay)."""
+    import datetime
+    import shutil
+
+    from gerrydb_etl_spark.streaming.stream import (
+        _stage_events_dir_duplicated,
+        run_dedup_stream,
+    )
+
+    single = load_table(spark, SF_SMOKE, "events")
+    n_single = single.count()
+
+    stage = _stage_events_dir_duplicated(SF_SMOKE)
+    try:
+        n_staged = spark.read.parquet(stage).count()
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    assert n_staged == 2 * n_single
+
+    deduped = run_dedup_stream(spark, SF_SMOKE, watermark="1 hour")
+    max_ts = single.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    horizon = (max_ts - datetime.timedelta(hours=1)).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    closed = tumbling(single, "1 hour").filter(
+        F.col("window_end") <= F.lit(horizon)
+    )
+    cols = ["window_start", "window_end", "event_type", "n", "total"]
+    assert _rows(deduped, cols) == _rows(closed, cols)
