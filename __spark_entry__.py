@@ -72,6 +72,8 @@ _EXPOSURE_PRIORITY = [
     "token_count_bpe",
     "hll_sketch_rollup",
     "events_stream_dedup",
+    "doc_chunking",
+    "repetition_quality",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

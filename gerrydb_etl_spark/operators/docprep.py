@@ -1,0 +1,137 @@
+"""Training-data document prep: fixed-stride chunking and
+intra-document repetition statistics.
+
+Two operators a large-scale LLM-data pipeline runs between dedup and
+tokenization, absent from the reference (its text handling stops at
+column renames, e.g. pl_localities.py:139-144):
+
+- ``chunk_documents``: split each document into fixed-size character
+  chunks with overlap (stride < chunk size). A pure narrow map —
+  sequence/transform/posexplode inside whole-stage codegen, zero
+  shuffles, so it scales with input splits: at 100 TB the operator
+  is embarrassingly parallel and the output partitioning inherits
+  the scan's.
+
+- ``repetition_stats``: per-document duplicate-word fraction and
+  top-bigram occurrence fraction — the intra-doc repetition signals
+  behind Gopher/RefinedWeb-style quality filtering (boilerplate and
+  generator loops show up as high duplicate fractions). Shape: one
+  explode (narrow) then two map-side-combined groupBys keyed by
+  (doc_id, gram) then (doc_id,) — the grouping key always carries
+  doc_id, so hot words never concentrate on one reducer and shuffle
+  volume is #distinct (doc, gram) pairs, not #gram occurrences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 100,
+    stride: int = 80,
+) -> DataFrame:
+    """Explode each document into overlapping character chunks:
+    chunk i covers [i*stride, i*stride + chunk_size). The last chunk
+    may be short; every character belongs to at least one chunk.
+    Start count is 1 + ceil(max(len - chunk_size, 0) / stride),
+    computed with integer-exact floor arithmetic so the SQL oracle
+    can reproduce it bit-for-bit."""
+    if not 0 < stride <= chunk_size:
+        raise ValueError("require 0 < stride <= chunk_size")
+    n = F.length(F.col(text_col))
+    extra = F.greatest(n - F.lit(chunk_size), F.lit(0))
+    last_start = F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), last_start)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.substring(
+        F.col(text_col),
+        (F.col("chunk_id") * stride + 1).cast("int"),
+        chunk_size,
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
+def _bigrams(words: Column) -> Column:
+    """Adjacent-word bigrams of a token array; empty for <2 tokens
+    (guarded: Spark's sequence(0, -1) would count DOWN)."""
+    return F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.55,
+    max_top_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Per-document repetition signals + keep verdict.
+
+    dup_word_frac  = (n_words - n_distinct_words) / n_words — the
+        fraction of word occurrences that are repeats.
+    top_bigram_frac = occurrences of the most frequent bigram /
+        total bigram occurrences (0.0 for single-word docs).
+    keep = both signals at or under their thresholds.
+    """
+    words_arr = F.split(F.col(text_col), " ")
+    words = docs.select(
+        id_col, F.explode(words_arr).alias("gram")
+    )
+    word_counts = words.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    per_doc_words = word_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+    )
+
+    bigrams = docs.select(
+        id_col, F.explode(_bigrams(words_arr)).alias("gram")
+    )
+    bigram_counts = bigrams.groupBy(id_col, "gram").agg(
+        F.count("*").alias("c")
+    )
+    per_doc_bigrams = bigram_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+    )
+
+    dup_frac = (F.col("n_words") - F.col("n_distinct_words")) / F.col(
+        "n_words"
+    )
+    top_frac = F.coalesce(
+        F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    return (
+        per_doc_words.join(per_doc_bigrams, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac <= F.lit(max_dup_word_frac))
+                & (top_frac <= F.lit(max_top_bigram_frac))
+            ).alias("keep"),
+        )
+    )

@@ -3,6 +3,7 @@
 from gerrydb_etl_spark.queries import (  # noqa: F401
     config_queries,
     curation,
+    docprep,
     events,
     geo_queries,
     geoset_queries,

@@ -1,0 +1,72 @@
+"""Edge cases for the document-prep operators (operators/docprep.py)
+that the corpus oracle can't reach: degenerate text lengths for
+chunking, single-word and pathologically repetitive docs for the
+repetition filter."""
+
+from __future__ import annotations
+
+import pytest
+
+from gerrydb_etl_spark.operators.docprep import chunk_documents, repetition_stats
+
+
+def _chunks(spark, text, chunk_size, stride):
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = (
+        chunk_documents(df, chunk_size=chunk_size, stride=stride)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    return [(r["chunk_id"], r["chunk_text"], r["chunk_len"]) for r in rows]
+
+
+def test_chunking_short_doc_is_one_chunk(spark):
+    assert _chunks(spark, "abc", 10, 8) == [(0, "abc", 3)]
+
+
+def test_chunking_exact_fit_is_one_chunk(spark):
+    assert _chunks(spark, "abcdefghij", 10, 8) == [(0, "abcdefghij", 10)]
+
+
+def test_chunking_overlap_covers_every_char(spark):
+    text = "abcdefghijklmno"  # 15 chars, size 10 stride 8 -> starts 0, 8
+    got = _chunks(spark, text, 10, 8)
+    assert got == [(0, "abcdefghij", 10), (1, "ijklmno", 7)]
+    # overlap: chars 8-9 appear in both chunks
+    assert got[0][1][8:] == got[1][1][:2]
+
+
+def test_chunking_no_overlap_when_stride_equals_size(spark):
+    got = _chunks(spark, "abcdefghijkl", 4, 4)
+    assert [c for _, c, _ in got] == ["abcd", "efgh", "ijkl"]
+    assert "".join(c for _, c, _ in got) == "abcdefghijkl"
+
+
+def test_chunking_rejects_bad_stride(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, stride=0)
+
+
+def test_repetition_single_word_doc(spark):
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    (row,) = repetition_stats(df).collect()
+    assert row["n_words"] == 1
+    assert row["dup_word_frac"] == 0.0
+    assert row["top_bigram_frac"] == 0.0  # no bigrams -> coalesced
+    assert row["keep"] is True
+
+
+def test_repetition_pathological_doc_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 50)), (2, " ".join(f"w{i}" for i in range(50)))],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["dup_word_frac"] == 49 / 50
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[1]["keep"] is False
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["keep"] is True

@@ -102,3 +102,11 @@ def test_column_pruning_reaches_scan(spark):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema, "unused column not pruned from scan"
+
+
+def test_chunking_has_no_exchange(spark):
+    """doc_chunking is a pure narrow map (sequence/explode/substring)
+    — any Exchange appearing in its plan means someone added a
+    shuffle to an embarrassingly parallel operator."""
+    plan = _executed_plan(spark, "doc_chunking")
+    assert "Exchange" not in plan, plan
