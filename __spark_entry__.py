@@ -74,6 +74,7 @@ _EXPOSURE_PRIORITY = [
     "events_stream_dedup",
     "doc_chunking",
     "repetition_quality",
+    "dense_id_assignment",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -1,0 +1,89 @@
+"""Dense sequential ID assignment at scale.
+
+The naive spelling — ``row_number() OVER (ORDER BY key)`` with no
+partition clause — funnels every row through ONE reducer: correct at
+60k rows, dead at 100 TB. The reference sidesteps the problem only
+because pandas is single-process (implicit positional index, e.g.
+its per-frame iteration in pl_geo.py); a distributed engine has to
+earn density.
+
+Scalable spelling (the two-phase zipWithIndex, DataFrame-native):
+
+1. ``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` —
+   one range shuffle; partition p holds a contiguous, sorted key
+   range, all partitions in parallel.
+2. Count rows per partition (map-side agg; #partitions rows to the
+   driver — bounded and tiny) and prefix-sum into per-partition
+   start offsets.
+3. A narrow Arrow-batched pass adds ``offset[pid] + position`` —
+   no further shuffle; the expensive ordering work stays step 1.
+
+Determinism requires the key to be unique (ties would make
+intra-partition order unstable); callers pass the full unique key.
+The input is analyzed twice (count pass + id pass) — same I/O
+contract as RDD ``zipWithIndex`` — so at scale callers should feed
+a materialized (checkpointed/written) input, not a long lineage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a dense 0-based sequential ``id_col`` ordered by
+    ``key_cols`` without a global single-reducer sort."""
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    keys = [F.col(c) for c in key_cols]
+    # Materialize the range-partitioned layout ONCE: the count pass
+    # and the id pass must see identical partition boundaries, and
+    # re-execution (AQE re-planning, lineage recompute) does not
+    # guarantee that. This is the same materialize-then-index
+    # contract RDD zipWithIndex has; localCheckpoint also truncates
+    # the upstream lineage so the expensive sort runs once.
+    parted = (
+        df.repartitionByRange(int(parts), *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    counts = parted.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        [f for f in parted.schema.fields if f.name != "_pid"]
+        + [T.StructField(id_col, T.LongType(), False)]
+    )
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        start = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if start is None:
+                start = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[id_col] = range(start + seen, start + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(add_ids, out_schema)

@@ -154,3 +154,27 @@ def skew_replicated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec("l_quantity")).alias("total_qty"),
         )
     )
+
+
+@query(
+    "dense_id_assignment",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+               AS row_id
+    FROM orders
+    """,
+)
+def dense_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based sequential IDs ordered by a unique key WITHOUT a
+    global single-reducer sort: range-partition + sort within
+    partitions, prefix-sum the per-partition counts (#partitions rows
+    to the driver), then a narrow Arrow pass adds offset + position
+    (operators/ids.py). The oracle is the naive single-reducer
+    row_number() — same answer, scalable plan."""
+    from gerrydb_etl_spark.operators.ids import assign_dense_ids
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return assign_dense_ids(orders, ["o_orderkey"])
