@@ -75,6 +75,7 @@ _EXPOSURE_PRIORITY = [
     "doc_chunking",
     "repetition_quality",
     "dense_id_assignment",
+    "hll_overlap_estimate",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -100,3 +100,72 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+@query(
+    "hll_overlap_estimate",
+    oracle="""
+    SELECT CAST((
+        SELECT COUNT(DISTINCT a.o_custkey) FROM orders a
+        WHERE a.o_orderpriority = '1-URGENT'
+          AND a.o_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '5-LOW')
+    ) AS BIGINT) AS n_overlap_exact,
+    TRUE AS within_10pct
+    """,
+)
+def hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based set-overlap estimation via inclusion-exclusion:
+    |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), all three read from the
+    SAME per-segment partial sketches (one conditional hll_union_agg
+    each — no re-scan, no join between the estimates). The 100 TB
+    use-case is cross-corpus contamination rate: how many training
+    customers/documents also appear in a held-out segment, answered
+    from stored per-segment sketches in O(segments) merge time.
+
+    Error compounds across three estimates (~sqrt(3) x the per-sketch
+    RSE of ~1.6% at lgConfigK=12), so the verdict tolerance is 10%
+    (~3 sigma) against the exact intersection, which the oracle
+    computes SQL-side and which anchors the value-hash row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a, b = "1-URGENT", "5-LOW"
+    two = orders.filter(F.col("o_orderpriority").isin(a, b))
+    parts = sketch_partials(two, ["o_orderpriority"], "o_custkey")
+    sk = F.col("hll_sketch")
+    pri = F.col("o_orderpriority")
+    ests = parts.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(pri == a, sk))
+        ).alias("_est_a"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.when(pri == b, sk))
+        ).alias("_est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg(sk)).alias("_est_union"),
+    )
+    exact = (
+        two.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("_n_pri"))
+        .agg(
+            F.sum(F.when(F.col("_n_pri") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_overlap_exact")
+        )
+    )
+    # Combine the two one-row frames by union + final max-collapse:
+    # a 1x1 join on a literal key would plan as a nested-loop join,
+    # which the plan-shape guard (rightly) forbids everywhere.
+    combined = ests.unionByName(exact, allowMissingColumns=True).agg(
+        *[
+            F.max(c).alias(c)
+            for c in ("_est_a", "_est_b", "_est_union", "n_overlap_exact")
+        ]
+    )
+    overlap_est = F.col("_est_a") + F.col("_est_b") - F.col("_est_union")
+    return combined.select(
+        "n_overlap_exact",
+        (
+            F.abs(overlap_est - F.col("n_overlap_exact"))
+            <= F.lit(0.10) * F.col("n_overlap_exact")
+        ).alias("within_10pct"),
+    )
