@@ -76,6 +76,7 @@ _EXPOSURE_PRIORITY = [
     "repetition_quality",
     "dense_id_assignment",
     "hll_overlap_estimate",
+    "partition_pruned_read",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -178,3 +178,41 @@ def dense_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey"
     )
     return assign_dense_ids(orders, ["o_orderkey"])
+
+
+@query(
+    "partition_pruned_read",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory pruning over a hive-partitioned layout: orders is
+    written partitioned by o_orderpriority (one dir per value), and
+    the segment-filtered read never lists the other directories —
+    the filter lands in the scan's PartitionFilters (pinned by
+    tests/test_plan_shapes.py), removing I/O at planning time rather
+    than filtering rows after the read. The write runs inside the
+    query to stay self-contained (same convention as
+    bucketed_colocated_join); a real deployment writes once and
+    prunes forever (store/partitioned.py)."""
+    from gerrydb_etl_spark.store.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = write_partitioned(orders, "part_orders", ["o_orderpriority"])
+    pruned = read_partitioned(spark, path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        dsum(dec("o_totalprice")).alias("revenue"),
+    )

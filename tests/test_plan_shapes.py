@@ -110,3 +110,14 @@ def test_chunking_has_no_exchange(spark):
     shuffle to an embarrassingly parallel operator."""
     plan = _executed_plan(spark, "doc_chunking")
     assert "Exchange" not in plan, plan
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """partition_pruned_read's filter must appear as a
+    PartitionFilters entry on the parquet scan (directory-level
+    pruning), not merely as a post-scan row filter."""
+    import re
+
+    plan = _executed_plan(spark, "partition_pruned_read")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), plan
