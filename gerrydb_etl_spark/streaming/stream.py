@@ -51,7 +51,10 @@ def _stage_events_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, stage: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    stage: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over the events parquet directory (file source),
     with the same ts normalization as the batch loader (footer sniff:
@@ -62,11 +65,21 @@ def read_events_stream(
     if stage is None:
         stage = _stage_events_dir(sf_dir)
     src = os.path.join(sf_dir, "events.parquet")
+
+    def reader(schema):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            # bound each micro-batch to N input files — the lever that
+            # forces MULTIPLE micro-batches over a bounded file set, so
+            # tests can prove state really carries across batches
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r.parquet(stage)
+
     if events_ts_is_nanos(src):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.readStream.schema(_EVENTS_PHYSICAL).parquet(stage)
+        raw = reader(_EVENTS_PHYSICAL)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(stage)
+    return reader(TABLE_SCHEMAS["events"])
 
 
 def _stage_events_dir_duplicated(sf_dir: str) -> str:
@@ -86,6 +99,7 @@ def run_dedup_stream(
     sf_dir: str,
     watermark: str = "1 hour",
     state_partitions: int | None = 8,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming exactly-once recovery from at-least-once input: the
     staged source lists the events file twice (every event delivered
@@ -111,7 +125,9 @@ def run_dedup_stream(
             spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         from gerrydb_etl_spark.streaming.windows import tumbling
 
-        stream = read_events_stream(spark, sf_dir, stage)
+        stream = read_events_stream(
+            spark, sf_dir, stage, max_files_per_trigger=max_files_per_trigger
+        )
         deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["event_id"]
         )

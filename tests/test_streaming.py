@@ -123,3 +123,54 @@ def test_dedup_stream_collapses_duplicated_input(spark):
     )
     cols = ["window_start", "window_end", "event_type", "n", "total"]
     assert _rows(deduped, cols) == _rows(closed, cols)
+
+
+def test_dedup_state_carries_across_micro_batches(spark):
+    """Airtight cross-batch state proof: maxFilesPerTrigger=1 puts
+    the two staged copies in SEPARATE micro-batches, and a watermark
+    far longer than the data span (40 days vs 30) means nothing is
+    ever late — so the only mechanism that can drop batch 2's copies
+    is dedup state persisted from batch 1. Dedup-only pipeline
+    (append mode emits deduped rows immediately, no window closure
+    needed); output ids must equal the single-copy id set."""
+    import shutil
+
+    from gerrydb_etl_spark.streaming.stream import (
+        _drain_memory_sink,
+        _stage_events_dir_duplicated,
+        read_events_stream,
+    )
+
+    single = load_table(spark, SF_SMOKE, "events")
+    want = sorted(r["event_id"] for r in single.select("event_id").collect())
+
+    stage = _stage_events_dir_duplicated(SF_SMOKE)
+    import tempfile
+    import uuid
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = read_events_stream(
+            spark, SF_SMOKE, stage, max_files_per_trigger=1
+        )
+        deduped = stream.withWatermark(
+            "ts", "40 days"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        q = (
+            deduped.select("event_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            r["event_id"] for r in _drain_memory_sink(spark, name).collect()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+    assert got == want
