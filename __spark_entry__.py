@@ -77,6 +77,7 @@ _EXPOSURE_PRIORITY = [
     "dense_id_assignment",
     "hll_overlap_estimate",
     "partition_pruned_read",
+    "schema_evolution_read",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -11,6 +11,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gerrydb_etl_spark.functions.numeric import dec, dsum
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
 from gerrydb_etl_spark.sources.formats import (
@@ -89,4 +90,50 @@ def rename_normalizations(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = [c for c in ("c_custkey", "c_name", "c_acctbal", "c_ghost") if c in lowered.columns]
     return lowered.select(
         *[F.col(c).alias(c.removeprefix("c_")) for c in keep]
+    )
+
+
+@query(
+    "schema_evolution_read",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1
+                THEN substr(o_orderpriority, 1, 1) END AS prio_flag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest batches: batch 1 (even order
+    keys) is written with the v1 schema, batch 2 (odd keys) with a
+    v2 schema that ADDS a column; a single mergeSchema read unions
+    the files, null-backfilling v1 rows — the standard answer to
+    evolving upstream schemas without rewriting history. (Default
+    parquet reads take ONE file's footer as the schema; mergeSchema
+    is the explicit opt-in that reconciles all footers.) The oracle
+    recomputes the same grouping from the base table, so the
+    round-trip through two physical schemas must lose nothing."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = load_table(spark, sf_dir, "orders")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(wh, "evolving_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    key = F.col("o_orderkey")
+    v1 = orders.filter(key % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = orders.filter(key % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).alias("prio_flag"),
+    )
+    v1.write.parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy("prio_flag").agg(
+        F.count("*").alias("n"),
+        dsum(dec("o_totalprice")).alias("revenue"),
     )
