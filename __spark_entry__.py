@@ -78,6 +78,7 @@ _EXPOSURE_PRIORITY = [
     "hll_overlap_estimate",
     "partition_pruned_read",
     "schema_evolution_read",
+    "corrupt_record_quarantine",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

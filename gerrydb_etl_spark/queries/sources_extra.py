@@ -137,3 +137,58 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(dec("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "corrupt_record_quarantine",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN o_orderkey % 97 <> 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS revenue_good
+    FROM orders
+    """,
+)
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine: a JSONL feed where a deterministic
+    subset of lines (orderkey % 97 == 0, truncated mid-object) is
+    invalid JSON, read back in PERMISSIVE mode with an explicit
+    schema and a _corrupt_record column — bad lines surface as
+    quarantine rows with the raw text preserved instead of failing
+    the job or silently vanishing (the ingest-robustness counterpart
+    of the reference's post-load validation, db.py:87-117). The
+    oracle derives the same good/quarantined split from the base
+    table, so the parse path can neither drop nor double-count.
+    Scale: the JSON source splits by line; PERMISSIVE adds no extra
+    pass — corrupt capture happens inside the same parse."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = load_table(spark, sf_dir, "orders")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(wh, "orders_jsonl_corrupt")
+    shutil.rmtree(path, ignore_errors=True)
+    line = F.to_json(F.struct("o_orderkey", "o_totalprice"))
+    feed = orders.select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.substring(line, 1, 10))
+        .otherwise(line)
+        .alias("value")
+    )
+    feed.write.text(path)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~good, 1).otherwise(0)).cast("long").alias("n_quarantined"),
+        F.sum(F.when(good, dec("o_totalprice"))).cast("double").alias("revenue_good"),
+    )
