@@ -79,6 +79,7 @@ _EXPOSURE_PRIORITY = [
     "partition_pruned_read",
     "schema_evolution_read",
     "corrupt_record_quarantine",
+    "zorder_layout",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

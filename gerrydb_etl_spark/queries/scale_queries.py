@@ -216,3 +216,56 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum(dec("o_totalprice")).alias("revenue"),
     )
+
+
+ZORDER_ORACLE = """
+    WITH dims AS (
+        SELECT o_custkey % 256 AS x,
+               datediff('day', DATE '1995-01-01', o_orderdate) % 256 AS y
+        FROM orders
+    ),
+    zed AS (SELECT x, y, (((CAST(x AS BIGINT) >> 0) & 1) << 0) + (((CAST(y AS BIGINT) >> 0) & 1) << 1) + (((CAST(x AS BIGINT) >> 1) & 1) << 2) + (((CAST(y AS BIGINT) >> 1) & 1) << 3) + (((CAST(x AS BIGINT) >> 2) & 1) << 4) + (((CAST(y AS BIGINT) >> 2) & 1) << 5) + (((CAST(x AS BIGINT) >> 3) & 1) << 6) + (((CAST(y AS BIGINT) >> 3) & 1) << 7) + (((CAST(x AS BIGINT) >> 4) & 1) << 8) + (((CAST(y AS BIGINT) >> 4) & 1) << 9) + (((CAST(x AS BIGINT) >> 5) & 1) << 10) + (((CAST(y AS BIGINT) >> 5) & 1) << 11) + (((CAST(x AS BIGINT) >> 6) & 1) << 12) + (((CAST(y AS BIGINT) >> 6) & 1) << 13) + (((CAST(x AS BIGINT) >> 7) & 1) << 14) + (((CAST(y AS BIGINT) >> 7) & 1) << 15) AS z FROM dims)
+    SELECT CAST(z >> 12 AS BIGINT) AS tile,
+           COUNT(*) AS n,
+           MIN(x) AS x_lo, MAX(x) AS x_hi,
+           MIN(y) AS y_lo, MAX(y) AS y_hi,
+           (MAX(x) - MIN(x) <= 63 AND MAX(y) - MIN(y) <= 63) AS is_tight_tile
+    FROM zed
+    GROUP BY 1
+"""
+
+
+@query("zorder_layout", oracle=ZORDER_ORACLE)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering demonstration (operators/zorder.py): Morton-
+    interleave (customer mod 256, order-day mod 256), then group by
+    the top-4 z-bits. Each of the 16 z-tiles must cover AT MOST a
+    64x64 rectangle in (x, y) space — the locality property that
+    makes parquet row-group min/max stats selective on BOTH columns
+    after a z-sorted write (repartitionByRange(z) + write; the write
+    side of the story is partition_pruned_read / bucketed's). The
+    interleave is pure codegen'd bit arithmetic, reproduced term-for-
+    term in the SQL oracle."""
+    from gerrydb_etl_spark.operators.zorder import z_value
+
+    orders = load_table(spark, sf_dir, "orders")
+    dims = orders.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            % 256
+        ).alias("y"),
+    )
+    zed = dims.select("x", "y", z_value(F.col("x"), F.col("y"), 8).alias("z"))
+    tile_w = F.max("x") - F.min("x")
+    tile_h = F.max("y") - F.min("y")
+    return zed.groupBy(
+        F.shiftright(F.col("z"), 12).cast("long").alias("tile")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("x_lo"),
+        F.max("x").alias("x_hi"),
+        F.min("y").alias("y_lo"),
+        F.max("y").alias("y_hi"),
+        ((tile_w <= 63) & (tile_h <= 63)).alias("is_tight_tile"),
+    )
