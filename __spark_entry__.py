@@ -80,6 +80,7 @@ _EXPOSURE_PRIORITY = [
     "schema_evolution_read",
     "corrupt_record_quarantine",
     "zorder_layout",
+    "snapshot_diff",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -195,3 +195,64 @@ def dim_upsert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation.select("n_nationkey")), "n_nationkey", "left_anti"
     )
     return nation.unionByName(novel)
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_totalprice AS price FROM orders),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 11 <> 0
+    )
+    SELECT CASE
+             WHEN v2.o_orderkey IS NULL THEN 'removed'
+             WHEN v1.o_orderkey IS NULL THEN 'added'
+             WHEN v1.price <> v2.price THEN 'changed'
+             ELSE 'unchanged'
+           END AS change,
+           COUNT(*) AS n,
+           CAST(MIN(COALESCE(v1.o_orderkey, v2.o_orderkey)) AS BIGINT)
+               AS min_key
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two table versions — the audit primitive behind
+    idempotent re-loads and CDC checks (the reference eyeballs this
+    with pandas compares during validation, db.py:87-117; here it is
+    one co-partitioned FULL OUTER join on the key, classifying every
+    key as added / removed / changed / unchanged). v2 is a derived
+    snapshot: open orders re-priced, every 11th key deleted. Scale:
+    both sides shuffle once on the join key; the classification is a
+    narrow CASE over the joined row — no collect, no second pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "O", F.col("o_totalprice") + 100.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+    )
+    joined = v1.withColumnRenamed("price", "p1").join(
+        v2.withColumnRenamed("price", "p2"), "o_orderkey", "full_outer"
+    )
+    change = (
+        F.when(F.col("p2").isNull(), "removed")
+        .when(F.col("p1").isNull(), "added")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(change.alias("change")).agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
