@@ -69,7 +69,6 @@ _EXPOSURE_PRIORITY = [
     "ivf_verify",
     "embedding_neardup",
     "embedding_neardup_verify",
-    "token_count_bpe",
     "hll_sketch_rollup",
     "events_stream_dedup",
     "doc_chunking",
@@ -81,6 +80,10 @@ _EXPOSURE_PRIORITY = [
     "corrupt_record_quarantine",
     "zorder_layout",
     "snapshot_diff",
+    # 51st never-sampled query — the driver samples ~50, so the
+    # lowest-risk entry (narrow regex count, local oracle green)
+    # waits for the round-5 window
+    "token_count_bpe",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",
