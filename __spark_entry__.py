@@ -71,7 +71,6 @@ _EXPOSURE_PRIORITY = [
     "embedding_neardup_verify",
     "hll_sketch_rollup",
     "events_stream_dedup",
-    "doc_chunking",
     "repetition_quality",
     "dense_id_assignment",
     "hll_overlap_estimate",
@@ -80,10 +79,13 @@ _EXPOSURE_PRIORITY = [
     "corrupt_record_quarantine",
     "zorder_layout",
     "snapshot_diff",
-    # 51st never-sampled query — the driver samples ~50, so the
-    # lowest-risk entry (narrow regex count, local oracle green)
-    # waits for the round-5 window
+    "trailing_window_features",
+    # beyond the driver's ~50 sample window: the two lowest-risk
+    # never-sampled queries (narrow regex count; pure-substring
+    # chunking with hypothesis + local-oracle coverage) lead the
+    # round-5 window
     "token_count_bpe",
+    "doc_chunking",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

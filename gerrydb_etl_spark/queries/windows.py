@@ -156,3 +156,51 @@ def current_version_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "trailing_window_features",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                OVER w AS BIGINT) AS cents_1h
+    FROM (
+        SELECT event_id, user_id, value,
+               date_diff('second', TIMESTAMP '1970-01-01', ts) AS epoch_s
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame features: for every event, the count
+    and exact cents-sum of the same user's events in the trailing
+    hour (inclusive) — the trailing-window feature extraction that
+    feeds ML training rows, and the one frame type (RANGE over a
+    numeric event-time key, peers included on ties) the rows-frame
+    queries can't express. One shuffle on user_id, in-partition sort,
+    frame evaluated in a single pass — the shape that holds when the
+    user count scales. Monetary values become integer cents before
+    the window so the running sums are order-independent and
+    engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").alias("epoch_s")
+    cents = (
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    base = ev.select("event_id", "user_id", epoch, cents)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("cents_1h"),
+    )
