@@ -51,7 +51,6 @@ _EXPOSURE_PRIORITY = [
     "stratified_sample_quota",
     "sequence_packing",
     "source_mix_rebalance",
-    "pii_redaction",
     "medsl_config_projection",
     "events_stream_sliding",
     "events_stream_session",
@@ -80,12 +79,14 @@ _EXPOSURE_PRIORITY = [
     "zorder_layout",
     "snapshot_diff",
     "trailing_window_features",
+    "observed_load_metrics",
     # beyond the driver's ~50 sample window: the two lowest-risk
     # never-sampled queries (narrow regex count; pure-substring
     # chunking with hypothesis + local-oracle coverage) lead the
     # round-5 window
     "token_count_bpe",
     "doc_chunking",
+    "pii_redaction",
     # last sampled in rounds 1-2
     "filters_membership",
     "string_keys",
