@@ -22,72 +22,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver samples a bounded prefix (~50) of this dict each
-# round and had re-sampled roughly the same set for three rounds,
-# leaving 16 queries with no external correctness signal (VERDICT r3
-# item 1). Exposure is therefore rotated explicitly: first the
-# never-sampled set, then this round's new/changed queries, then the
-# queries last sampled in rounds 1-2, then the rest (green in r3).
+# round, so ordering IS correctness visibility. Exposure is rotated
+# explicitly each round: never-sampled queries first, then this
+# round's code-touched queries, then whatever has gone longest
+# without a driver row. Queries green last round with unchanged code
+# sit below the window.
 _EXPOSURE_PRIORITY = [
-    # never driver-sampled through round 3
-    "scd2_double_load",
-    "scd2_idempotent_reload",
-    "scd2_current_view",
-    "validation_type_violations",
-    "validation_count_reconciliation",
-    "validation_collision_ceiling",
-    "validation_cross_row_consistency",
-    "eav_long_table",
-    "eav_pivot_roundtrip",
-    "alias_resolution_join",
-    "locality_hierarchy_paths",
-    "census_header_schema",
-    "rename_normalizations",
-    "format_roundtrip_json_csv",
-    "dim_upsert_if_absent",
-    "classifier_trailing_char",
-    # new or output-changed in round 4
-    "benchmark_decontam",
-    "train_val_test_split",
-    "stratified_sample_quota",
-    "sequence_packing",
-    "source_mix_rebalance",
-    "medsl_config_projection",
-    "events_stream_sliding",
-    "events_stream_session",
-    "events_stream_user_totals",
-    "bucketed_colocated_join",
-    "salted_holistic_collect",
-    "skew_replicated_join",
-    "minhash_near_dup",
-    "minhash_verify",
-    "simhash_near_dup",
-    "simhash_verify",
-    "ann_cosine_topk",
-    "ann_verify",
-    "ivf_cosine_topk",
-    "ivf_verify",
+    # round 6, positions 1-3: the only three queries never driver-
+    # sampled in rounds 1-5 (VERDICT r5 item 1) — unconditionally
+    # first until each has a green CORRECTNESS row
+    "pii_redaction",
+    "doc_chunking",
+    "token_count_bpe",
+    # code touched in round 6 (anchor-plane id contract + hash
+    # oracle, IVF broadcast guard, PIL decode default, reliable-
+    # checkpoint fix, bucketed-table fingerprint, staged signatures)
     "embedding_neardup",
     "embedding_neardup_verify",
-    "hll_sketch_rollup",
-    "events_stream_dedup",
-    "repetition_quality",
+    "ivf_cosine_topk",
+    "ivf_verify",
+    "media_decode_features",
     "dense_id_assignment",
-    "hll_overlap_estimate",
-    "partition_pruned_read",
-    "schema_evolution_read",
-    "corrupt_record_quarantine",
-    "zorder_layout",
-    "snapshot_diff",
-    "trailing_window_features",
-    "observed_load_metrics",
-    # beyond the driver's ~50 sample window: the two lowest-risk
-    # never-sampled queries (narrow regex count; pure-substring
-    # chunking with hypothesis + local-oracle coverage) lead the
-    # round-5 window
-    "token_count_bpe",
-    "doc_chunking",
-    "pii_redaction",
-    # last sampled in rounds 1-2
+    "bucketed_colocated_join",
+    "corpus_curation_filter",
+    # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",
     "topk_expensive_items",
@@ -96,6 +54,53 @@ _EXPOSURE_PRIORITY = [
     "running_revenue_per_customer",
     "order_gap_days",
     "current_version_per_order",
+    # last sampled in round 3 — oldest-first refill of the window
+    "pricing_summary",
+    "events_stream_tumbling",
+    "events_tumbling_hourly",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_json_props",
+    "asof_join_clicks_views",
+    "range_join_ship_window",
+    "neardup_clusters",
+    "ngram_jaccard_dedup",
+    "dedup_exact_text",
+    "embedding_cosine_topk",
+    "embedding_quantize",
+    "media_byte_stats",
+    "media_frame_sample",
+    "text_stats",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "token_topk",
+    "geo_point_roundtrip",
+    "geo_union_centroid",
+    "utm_zone_epsg",
+    "set_versioning_double_load",
+    "config_driven_projection",
+    "stats_quantiles_moments",
+    "grouping_sets_revenue",
+    "count_distinct_customers",
+    "approx_distinct_customers",
+    "right_outer_parts",
+    "full_outer_key_overlap",
+    "top_revenue_orders",
+    "region_nation_revenue",
+    "customers_with_orders",
+    "customers_without_orders",
+    "outer_join_order_counts",
+    "rollup_order_priority",
+    "cube_returnflag_status",
+    "mode_part_brand",
+    "nations_per_region",
+    "dedup_full_row",
+    "union_distinct_keys",
+    "intersect_nation_keys",
+    "except_order_keys",
+    "pivot_status_by_flag",
+    # everything below was green in round 5 with unchanged code;
+    # deferred past the ~50-query sample window this round
 ]
 
 
