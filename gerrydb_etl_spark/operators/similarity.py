@@ -152,14 +152,15 @@ def embedding_neardup(
     (hyperplane sign signatures, one per table), then an exact cosine
     rescore keeps pairs at or above ``threshold``.
 
-    The hyperplanes are ANCHOR DIFFERENCES (``anchor_planes``): plane
-    i = corpus vector 2i minus vector 2i+1, over the first
-    2·tables·bits vectors by id. Data-derived planes make the whole
-    pipeline deterministic given the corpus and reproducible in plain
-    SQL (the registered query carries a full value-hash oracle that
-    replays buckets → candidates → rescore in DuckDB), while
-    differences of i.i.d. vectors are distributed like the random
-    Gaussian hyperplanes they replace — same collision curve, no RNG.
+    The hyperplanes are ANCHOR DIFFERENCES (``anchor_planes``):
+    consecutive-row differences over the corpus prefix in id order,
+    with degenerate (near-duplicate anchor) pairs skipped.
+    Data-derived planes make the whole pipeline deterministic given
+    the corpus and reproducible in plain SQL (the registered query
+    carries a full value-hash oracle that replays anchors → planes →
+    buckets → candidates → rescore in DuckDB), while differences of
+    i.i.d. vectors are distributed like the random Gaussian
+    hyperplanes they replace — same collision curve, no RNG.
 
     Scale: bucketing is a narrow map (one BLAS matmul per Arrow
     batch); pair generation groups on (table, signature) and explodes
@@ -203,16 +204,35 @@ def hyperplanes(
     return rng.standard_normal((tables, bits, dim))
 
 
+ANCHOR_EPS = 1e-6
+ANCHOR_OVER_PROVISION = 4
+
+
 def anchor_planes(
     corpus: DataFrame,
     bits: int,
     tables: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eps: float = ANCHOR_EPS,
+    seed: int = 42,
+    over_provision: int = ANCHOR_OVER_PROVISION,
 ) -> np.ndarray:
-    """Data-derived LSH hyperplanes, shape (tables, bits, dim): plane
-    i is the elementwise DIFFERENCE of the corpus vectors with ids
-    2i and 2i+1 (the first 2·tables·bits vectors).
+    """Data-derived LSH hyperplanes, shape (tables, bits, dim).
+
+    Candidate plane j is the elementwise DIFFERENCE of the (2j)-th
+    and (2j+1)-th corpus vectors in ``id_col`` ORDER (row position,
+    not id value — sparse, offset, or string id spaces all work).
+    Candidates whose difference norm is below ``eps`` times the sum
+    of the two anchor norms are discarded: in a near-duplicate corpus
+    an anchor pair may itself be a near/exact duplicate, and a
+    near-zero plane contributes a constant or float-noise sign bit
+    that silently coarsens every bucket. The first tables·bits
+    surviving candidates become the planes. Pairs are drawn from the
+    first 2·tables·bits·over_provision rows; if fewer than
+    tables·bits candidates survive (tiny or pathologically
+    duplicated corpus), falls back to ``hyperplanes`` (seeded RNG,
+    any corpus) rather than raising.
 
     Why differences, not raw vectors: a difference of two i.i.d.
     embeddings is zero-mean even when the embedding distribution has
@@ -221,29 +241,44 @@ def anchor_planes(
     pruning); for i.i.d. Gaussian-ish embeddings the differences are
     distributed like the random hyperplanes they replace.
 
-    Why data-derived at all: determinism given the corpus, with the
-    exact arithmetic (float→double cast, elementwise subtract,
-    sequential-fold dot) reproducible in plain SQL — which is what
-    lets the embedding_neardup query carry a full value-hash oracle
-    instead of a rows-only check.
+    Why data-derived at all: determinism given the corpus, with
+    every selection step (ordered prefix, consecutive pairing, the
+    eps filter, first-n cut) and the exact arithmetic (float→double
+    cast, elementwise subtract, sequential-fold dot) reproducible in
+    plain SQL — which is what lets embedding_neardup carry a full
+    value-hash oracle instead of a rows-only check. The eps
+    comparison itself uses numpy pairwise-summed norms vs the
+    oracle's sequential fold; the decisions agree unless a pair sits
+    within a few ulp of the eps boundary, which only a corpus
+    engineered for that boundary can produce.
 
-    The driver materialization is bounded: 2·tables·bits rows (64 at
-    the defaults), the same bounded-collect class as IVF centroids.
+    The driver materialization is bounded: 2·tables·bits·
+    over_provision rows (256 at the defaults) via an ordered
+    ``limit`` (TakeOrdered — no full sort, no full collect), the
+    same bounded-collect class as IVF centroids.
     """
-    n = 2 * tables * bits
+    n = tables * bits
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .filter(F.col(id_col) < n)
         .orderBy("i")
+        .limit(2 * n * over_provision)
         .collect()
     )
-    if len(rows) != n:
-        raise ValueError(
-            f"anchor_planes needs ids 0..{n - 1} present; got {len(rows)} rows"
-        )
+    if not rows:
+        raise ValueError("anchor_planes: empty corpus")
     vecs = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
-    planes = vecs[0::2] - vecs[1::2]
-    return planes.reshape(tables, bits, vecs.shape[1])
+    dim = vecs.shape[1]
+    n_pairs = len(vecs) // 2
+    a = vecs[0 : 2 * n_pairs : 2]
+    b = vecs[1 : 2 * n_pairs : 2]
+    diffs = a - b
+    keep = np.sqrt((diffs * diffs).sum(axis=1)) >= eps * (
+        np.sqrt((a * a).sum(axis=1)) + np.sqrt((b * b).sum(axis=1))
+    )
+    good = diffs[keep]
+    if len(good) < n:
+        return hyperplanes(dim, bits, tables, seed)
+    return good[:n].reshape(tables, bits, dim)
 
 
 def _signature_udf(planes: np.ndarray):

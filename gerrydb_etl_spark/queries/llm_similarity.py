@@ -3,12 +3,15 @@
 
 The exact brute-force path hash-matches a DuckDB oracle (dot/norm
 folds are bitwise-identical across engines — see
-operators/similarity.py). The ANN paths (LSH, IVF) are approximate
-and registered twice: the PRODUCTION plan under the operator's name
-(benched, rows-only — the neighbor set is not SQL-expressible) and
-a *_verify twin that recomputes the exact truth set and reports
-recall@k with a floored contract verdict (oracle-checked, excluded
-from bench timing). Recall assertions also run in
+operators/similarity.py). The seeded ANN paths (LSH, IVF) are
+approximate and registered twice: the PRODUCTION plan under the
+operator's name (benched, rows-only — the RNG-seeded neighbor set
+is not SQL-expressible) and a *_verify twin that recomputes the
+exact truth set and reports recall@k with a floored contract verdict
+(oracle-checked, excluded from bench timing). embedding_neardup uses
+data-derived anchor planes instead of RNG, so its production plan
+carries a FULL value-hash oracle (complete DuckDB pipeline replay)
+on top of its recall twin. Recall assertions also run in
 tests/test_llm_similarity.py.
 """
 
@@ -213,15 +216,100 @@ _NEARDUP_TRUTH_SQL = f"""
 """
 
 
-@query("embedding_neardup")
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential-left-fold dot product in DOUBLE — the SQL twin of
+    operators.similarity.dot (bitwise-identical fold order)."""
+    return f"""list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip({a}, {b}),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        (x, y) -> x + y)"""
+
+
+def _norm_sql(a: str) -> str:
+    """Sequential-left-fold L2 norm in DOUBLE (SQL twin of norm)."""
+    return f"""sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+        (x, y) -> x + y))"""
+
+
+# Full replay of the embedding_neardup pipeline in DuckDB: anchor
+# prefix (row position by vec_id order) → consecutive-pair difference
+# planes with the degenerate-pair eps filter → per-table packed sign
+# signatures → bucket-capped within-bucket candidate pairs → exact
+# cosine rescore. Mirrors anchor_planes / _signature_udf /
+# bucket_pairs step for step; parameters must match the registered
+# Spark call (bits=4, tables=8, over_provision=4, eps=1e-6,
+# max_bucket_size=1000, threshold=0.4).
+_NEARDUP_BITS, _NEARDUP_TABLES, _NEARDUP_OVER = 4, 8, 4
+_NEARDUP_CAP = 1000
+_NEARDUP_REPLAY_SQL = f"""
+    WITH ordered AS (
+        SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+        FROM embeddings
+        QUALIFY rn < {2 * _NEARDUP_TABLES * _NEARDUP_BITS * _NEARDUP_OVER}
+    ),
+    cand_planes AS (
+        SELECT a.rn // 2 AS j,
+               list_transform(list_zip(a.embedding, b.embedding),
+                              p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   AS plane,
+               {_norm_sql('a.embedding')} AS anorm,
+               {_norm_sql('b.embedding')} AS bnorm
+        FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+        WHERE a.rn % 2 = 0
+    ),
+    good AS (
+        SELECT plane, ROW_NUMBER() OVER (ORDER BY j) - 1 AS p
+        FROM cand_planes
+        WHERE {_norm_sql('plane')} >= 1e-06 * (anorm + bnorm)
+        QUALIFY p < {_NEARDUP_TABLES * _NEARDUP_BITS}
+    ),
+    planes AS (
+        SELECT p // {_NEARDUP_BITS} AS tbl, p % {_NEARDUP_BITS} AS bit, plane
+        FROM good
+    ),
+    sigs AS (
+        SELECT e.vec_id AS doc, pl.tbl,
+               SUM(CASE WHEN {_dot_sql('e.embedding', 'pl.plane')} >= 0
+                        THEN 1 << pl.bit ELSE 0 END) AS sig
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.tbl
+    ),
+    ok_buckets AS (
+        SELECT tbl, sig FROM sigs
+        GROUP BY tbl, sig HAVING COUNT(*) <= {_NEARDUP_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT s1.doc AS d1, s2.doc AS d2
+        FROM sigs s1
+        JOIN ok_buckets ob ON ob.tbl = s1.tbl AND ob.sig = s1.sig
+        JOIN sigs s2 ON s2.tbl = s1.tbl AND s2.sig = s1.sig
+                    AND s1.doc < s2.doc
+    )
+    SELECT c.d1, c.d2
+    FROM cand c
+    JOIN embeddings x ON x.vec_id = c.d1
+    JOIN embeddings y ON y.vec_id = c.d2
+    WHERE {_dot_sql('x.embedding', 'y.embedding')}
+          / ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')})
+          >= {NEARDUP_COS}
+"""
+
+
+@query("embedding_neardup", oracle=_NEARDUP_REPLAY_SQL)
 def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.4) — the
     PRODUCTION plan: LSH-bucketed candidates + exact rescore, the
-    vector-space member of the dedup family. The pair set is
-    LSH-recall-bounded (not exhaustive), so this query takes the
-    driver's rows-only check; the oracle-checked recall contract
-    lives in embedding_neardup_verify. Zero false positives by
-    construction (every emitted pair is exactly rescored)."""
+    vector-space member of the dedup family. Anchor-difference planes
+    are deterministic given the corpus, so this query carries a FULL
+    value-hash oracle replaying the whole pipeline (anchors → planes
+    → signatures → capped buckets → rescore) in DuckDB; the
+    recall-vs-exact-truth contract additionally lives in
+    embedding_neardup_verify. Zero false positives by construction
+    (every emitted pair is exactly rescored). The only cross-engine
+    float hazard is a signature sign bit whose plane dot sits within
+    ~1 ulp of zero (BLAS matmul vs sequential fold) — probability ~0
+    on real-valued embeddings."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup(
         emb, threshold=NEARDUP_COS, max_bucket_size=1000

@@ -120,3 +120,44 @@ def test_embedding_neardup_recall_and_no_false_positives(spark):
     found = {(r.d1, r.d2) for r in embedding_neardup(emb, 0.4).collect()}
     assert not (found - truth), "rescored pairs can never be false positives"
     assert len(found & truth) / len(truth) >= 0.6
+
+
+def test_anchor_planes_sparse_string_ids_and_degenerate_pairs(spark):
+    """anchor_planes selects anchors by row POSITION in id order, so
+    sparse/offset/string id spaces all work; a degenerate anchor pair
+    (near-duplicate vectors -> near-zero difference plane) is skipped
+    in favor of the next surviving pair."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.similarity import anchor_planes
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((12, 4)).tolist()
+    # rows 2 and 3 (pair j=1) are near-identical -> degenerate plane
+    vecs[3] = [v + 1e-12 for v in vecs[2]]
+    # string ids, lexicographic order defines the prefix
+    rows = [(f"doc-{i:03d}", [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    planes = anchor_planes(df, bits=1, tables=2, id_col="vec_id")
+    assert planes.shape == (2, 1, 4)
+    got = planes.reshape(2, 4)
+    arr = np.asarray(vecs, dtype=np.float64)
+    # plane 0 = rows 0-1; pair (2,3) is degenerate and skipped;
+    # plane 1 = rows 4-5
+    assert np.allclose(got[0], arr[0] - arr[1])
+    assert np.allclose(got[1], arr[4] - arr[5])
+
+
+def test_anchor_planes_small_corpus_falls_back_to_seeded(spark):
+    """A corpus with fewer surviving pairs than tables*bits planes
+    falls back to the seeded RNG hyperplanes instead of raising."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.similarity import anchor_planes, hyperplanes
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(4)]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = anchor_planes(df, bits=2, tables=2, id_col="vec_id")
+    assert np.allclose(planes, hyperplanes(4, bits=2, tables=2, seed=42))
