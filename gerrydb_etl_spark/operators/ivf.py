@@ -95,12 +95,26 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    broadcast_query_limit: int = 1024,
 ) -> DataFrame:
     """Approximate cosine top-k: score each query only against corpus
     rows whose cell is among the query's n_probe nearest cells
-    (candidates ~ n_probe/n_cells of the corpus)."""
+    (candidates ~ n_probe/n_cells of the corpus).
+
+    Join strategy: the query side is broadcast ONLY while it is
+    provably small — at most ``broadcast_query_limit`` query vectors
+    (counted with a bounded limit probe, one cheap job). A
+    bulk-ANN call (e.g. the corpus as its own query set) would
+    otherwise broadcast the corpus; above the limit the candidate
+    join becomes a plain shuffle on ``cell`` instead, which is the
+    correct co-partitioned plan at that shape. Pass a larger limit
+    explicitly when a bigger broadcast side is intended and the
+    executor memory budget is known."""
     centroids = train_centroids(corpus, vec_col, id_col, n_cells, iters)
 
+    small_query_set = (
+        queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit
+    )
     corpus = fan_out(corpus.select(id_col, vec_col))
     corpus_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -112,8 +126,9 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(_assign_udf(centroids, n_probe)(F.col(vec_col))).alias("cell"),
     )
+    probe = F.broadcast(query_cells) if small_query_set else query_cells
     cand = (
-        corpus_cells.join(F.broadcast(query_cells), "cell")
+        corpus_cells.join(probe, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "q_vec", "n_vec")
     )

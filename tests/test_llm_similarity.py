@@ -161,3 +161,27 @@ def test_anchor_planes_small_corpus_falls_back_to_seeded(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     planes = anchor_planes(df, bits=2, tables=2, id_col="vec_id")
     assert np.allclose(planes, hyperplanes(4, bits=2, tables=2, seed=42))
+
+
+def test_ivf_broadcast_guard_switches_to_shuffle_join(spark):
+    """Above broadcast_query_limit the candidate join must NOT
+    broadcast the query side (a bulk-ANN query set can be the whole
+    corpus); results are identical either way."""
+    from gerrydb_etl_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    wide = ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2, iters=1,
+                    broadcast_query_limit=4)
+    # no broadcast HINT on the query side past the limit (AQE may
+    # still pick a broadcast join on its own size estimates — that is
+    # its call, not a forced plan)
+    assert "ResolvedHint" not in wide._jdf.queryExecution().analyzed().toString()
+
+    narrow = ivf_topk(emb, queries, k=3, n_cells=4, n_probe=2, iters=1,
+                      broadcast_query_limit=1024)
+    assert "ResolvedHint" in narrow._jdf.queryExecution().analyzed().toString()
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in wide.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in narrow.collect()}
+    assert got == want
