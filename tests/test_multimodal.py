@@ -92,3 +92,48 @@ def test_documents_corpus_is_ascii(spark):
         F.octet_length("text") != F.length("text")
     ).count()
     assert non_ascii == 0
+
+
+def test_pil_decode_kernel_contract_with_stub_codec(monkeypatch):
+    """Driver-side contract test of the _pil_decode kernel glue
+    (bytes -> Image.open -> grayscale -> 16x16 resize -> 16-bin
+    luminance histogram, L1-normalized) with a stub codec injected
+    into sys.modules. The real-PIL mapInPandas test above covers the
+    same contract end-to-end when the library exists; this one keeps
+    the kernel's wiring pinned in containers without it."""
+    import sys
+    import types
+
+    import numpy as np
+
+    class _StubImg:
+        def __init__(self, lum):
+            self._lum = lum
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, size):
+            assert size == (16, 16)
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            arr = np.full((16, 16), self._lum, dtype=np.uint8)
+            return arr if dtype is None else arr.astype(dtype)
+
+    stub_image = types.SimpleNamespace(
+        open=lambda fh: _StubImg(lum=fh.read()[0])
+    )
+    stub_pil = types.ModuleType("PIL")
+    stub_pil.Image = stub_image
+    monkeypatch.setitem(sys.modules, "PIL", stub_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", stub_image)
+
+    from gerrydb_etl_spark.operators.multimodal import _pil_decode
+
+    feat = _pil_decode(bytes([200, 1, 2, 3]))
+    assert feat.shape == (16,)
+    # uniform luminance 200 -> all mass in bin 200 >> 4 == 12
+    assert abs(feat[12] - 1.0) < 1e-12
+    assert abs(feat.sum() - 1.0) < 1e-12
