@@ -143,7 +143,38 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    full = dict(payload, queries=dict(sorted(timings.items())), cpus=int(cpus))
+    # Self-describe the driver's correctness-sample window (VERDICT
+    # r5 item 8): which registered queries sit beyond the ~50-query
+    # prefix this round (so no external row), and whether any of
+    # those have never been driver-verified in ANY recorded round —
+    # previously this required cross-round JSON digging.
+    window = 50
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+    import __spark_entry__ as entry_mod
+
+    ordered = list(entry_mod.queries())
+    sampled_ever: set[str] = set()
+    import glob
+
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        with open(p) as f:
+            sampled_ever.update(json.load(f))
+    beyond = ordered[window:]
+    exposure = {
+        "window": window,
+        "deferred_beyond_window": beyond,
+        "deferred_never_verified": [n for n in beyond if n not in sampled_ever],
+    }
+    payload["deferred"] = len(beyond)
+    payload["deferred_never_verified"] = len(exposure["deferred_never_verified"])
+
+    full = dict(
+        payload,
+        queries=dict(sorted(timings.items())),
+        cpus=int(cpus),
+        exposure=exposure,
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

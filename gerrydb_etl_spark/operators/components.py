@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gerrydb_etl_spark.operators.checkpointing import checkpoint_once
+
 
 def connected_components(
     pairs: DataFrame,
@@ -49,17 +51,11 @@ def connected_components(
     pass a reliable dir (HDFS/S3 path). Checkpoint files accumulate
     for the run's duration; the caller owns the directory's cleanup.
     """
-    spark = pairs.sparkSession
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
     def materialize(df: DataFrame) -> DataFrame:
         # truncate lineage NOW: pair generation (e.g. the Jaccard
         # inverted index) is the expensive upstream, and every
         # round + convergence count would otherwise re-execute it
-        if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return checkpoint_once(df, checkpoint_dir)
 
     edges = materialize(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gerrydb_etl_spark.operators.checkpointing import checkpoint_once
+
 
 def assign_dense_ids(
     df: DataFrame,
@@ -70,11 +72,7 @@ def assign_dense_ids(
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
     )
-    if checkpoint_dir is not None:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        parted = parted.checkpoint(eager=True)
-    else:
-        parted = parted.localCheckpoint(eager=True)
+    parted = checkpoint_once(parted, checkpoint_dir)
 
     counts = parted.groupBy("_pid").count().collect()
     offsets: dict[int, int] = {}

@@ -44,13 +44,42 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Short content fingerprint of the staged tables' source files:
+    absolute path + every parquet part's (path, mtime_ns, size). If
+    the sf_dir data is regenerated in place mid-session the
+    fingerprint — and so the managed-table tag — changes, forcing a
+    restage instead of silently reusing the stale bucketed copy."""
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for table in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        parts = (
+            sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if not f.startswith((".", "_"))
+            )
+            if os.path.isdir(p)
+            else [p]
+        )
+        for fp in parts:
+            if os.path.exists(fp):
+                st = os.stat(fp)
+                h.update(f"{fp}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()[:8]
+
+
 def bucketed_fact_names(sf_dir: str) -> tuple[str, str]:
     """Session-stable managed-table names for the staged bucketed
     copies of (orders, lineitem) at a given scale-factor directory.
-    The name carries a short path hash so two sf_dirs never collide
-    in one warehouse."""
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    The name carries a short source fingerprint (path + file mtimes/
+    sizes) so two sf_dirs never collide in one warehouse AND
+    regenerated data at the same path never hits a stale staged
+    copy."""
+    return (
+        f"bq_orders_{_source_fingerprint(sf_dir)}",
+        f"bq_lineitem_{_source_fingerprint(sf_dir)}",
+    )
 
 
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -66,8 +95,12 @@ def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     The in-memory catalog forgets managed tables between sessions but
     their warehouse directories survive; a catalog hit means THIS
-    session staged them (trustworthy), a miss means leftover dirs
-    must be cleared before the idempotent rewrite.
+    session staged them from sources with the same fingerprint
+    (path + mtimes/sizes — regenerated data mints a new table tag),
+    a miss means leftover dirs must be cleared before the idempotent
+    rewrite. Superseded fingerprints' directories linger until the
+    same tag is restaged; the warehouse is session-scoped scratch, so
+    that is bounded by regenerations within one session.
     """
     from gerrydb_etl_spark.sources.registry import load_table
 

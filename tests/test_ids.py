@@ -39,3 +39,27 @@ def test_ids_single_row_and_more_partitions_than_rows(spark):
 def test_ids_empty_input(spark):
     df = spark.createDataFrame([], "k INT, v STRING")
     assert assign_dense_ids(df, ["k"], num_partitions=4).count() == 0
+
+
+def test_reliable_checkpoint_sets_dir_once_and_stays_correct(spark, tmp_path):
+    """checkpoint_once must not re-point the global checkpoint dir on
+    every call (each setCheckpointDir mints a new UUID subdir) and the
+    persist->checkpoint->unpersist sequence must leave no cache behind
+    while producing the same dense ids."""
+    from gerrydb_etl_spark.operators.checkpointing import ensure_checkpoint_dir
+    from gerrydb_etl_spark.operators.ids import assign_dense_ids
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    ensure_checkpoint_dir(sc, ckpt)
+    resolved = sc.getCheckpointDir()
+    ensure_checkpoint_dir(sc, ckpt)
+    assert sc.getCheckpointDir() == resolved, "dir re-set on identical path"
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 7 % 500).alias("k"), F.col("id").alias("payload")
+    )
+    out = assign_dense_ids(df, ["k"], checkpoint_dir=ckpt)
+    rows = sorted((r.k, r.row_id) for r in out.collect())
+    assert [rid for _, rid in rows] == list(range(500))
+    assert [k for k, _ in rows] == sorted({i * 7 % 500 for i in range(500)})
