@@ -29,7 +29,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window as W
 
 from gerrydb_etl_spark.operators.partitioning import fan_out
-from gerrydb_etl_spark.operators.similarity import cosine
+from gerrydb_etl_spark.operators.similarity import dot, norm
 
 
 def _assign_udf(centroids: np.ndarray, n_probe: int = 1):
@@ -116,26 +116,33 @@ def ivf_topk(
         queries.limit(broadcast_query_limit + 1).count() <= broadcast_query_limit
     )
     corpus = fan_out(corpus.select(id_col, vec_col))
+    # norms fold once per row on each side (values bit-identical to
+    # folding per pair), so each scored candidate costs one dot fold
     corpus_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(F.col(vec_col)).alias("n_nrm"),
         _assign_udf(centroids, 1)(F.col(vec_col))[0].alias("cell"),
     )
     query_cells = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
         F.explode(_assign_udf(centroids, n_probe)(F.col(vec_col))).alias("cell"),
     )
     probe = F.broadcast(query_cells) if small_query_set else query_cells
     cand = (
         corpus_cells.join(probe, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "n_vec")
+        .select("query_id", "neighbor_id", "q_vec", "q_nrm", "n_vec", "n_nrm")
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+        (
+            dot(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_nrm") * F.col("n_nrm"))
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -87,19 +87,28 @@ def cosine_topk(
                 f"max_queries=None to accept the quadratic scan."
             )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_nrm"),
     )
     c = fan_out(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")
         )
-    )
+    ).withColumn("n_nrm", norm(F.col("n_vec")))
+    # norms are folded ONCE PER ROW on each side before the pair
+    # explosion (the values — and so the oracle hashes — are
+    # bit-identical to folding them per pair; the fold count drops
+    # from 3 per scored pair to 1)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+            (
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_nrm") * F.col("n_nrm"))
+            ).alias("cosine"),
         )
     )
     order = [F.desc("cosine"), F.asc("neighbor_id")]
@@ -168,32 +177,60 @@ def embedding_neardup(
     is sum of bucket² per table, never corpus² — the same
     bucketed-candidates contract as the text near-dup operators, with
     the same opt-in hot-bucket cap (a degenerate corpus of identical
-    vectors collapses into one bucket per table). Recall follows the
-    hyperplane collision curve 1-(1-(1-θ/π)^bits)^tables — at the
-    default 4x8 a pair at exactly cos 0.4 (θ≈66°) is caught with
-    p≈0.75, rising steeply for closer pairs; the registered
-    *_verify query pins the measured recall floor."""
+    vectors collapses into one bucket per table). Only doc IDS ride
+    the bucket groupBy and the pair dedup exchange (16-byte rows, not
+    the 64-float vectors — a 30-60x shuffle-volume cut); vectors and
+    per-doc norms join back onto the surviving distinct pairs for the
+    rescore, which is then a single dot fold per pair (norms folded
+    once per doc, values bit-identical to the per-pair spelling, so
+    the value-hash oracle is unchanged). At this shape AQE broadcasts
+    the corpus side while it is small and shuffles on doc id at
+    scale — the standard candidates-then-join near-dup plan. Recall
+    follows the hyperplane collision curve
+    1-(1-(1-θ/π)^bits)^tables — at the default 4x8 a pair at exactly
+    cos 0.4 (θ≈66°) is caught with p≈0.75, rising steeply for closer
+    pairs; the registered *_verify query pins the measured recall
+    floor."""
     from gerrydb_etl_spark.operators.dedup import bucket_pairs
 
     sig_udf = _signature_udf(
         anchor_planes(corpus, bits, tables, id_col, vec_col)
     )
+    docs = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
     bucketed = (
-        fan_out(corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec")))
-        .select("doc", "vec", sig_udf(F.col("vec")).alias("sigs"))
-        .select("doc", "vec", F.posexplode("sigs").alias("tbl", "sig"))
+        fan_out(docs)
+        .select("doc", sig_udf(F.col("vec")).alias("sigs"))
+        .select("doc", F.posexplode("sigs").alias("tbl", "sig"))
     )
-    cand = bucket_pairs(
-        bucketed, ["tbl", "sig"], F.struct("doc", "vec"), max_bucket_size
-    ).select(
-        F.col("a.doc").alias("d1"),
-        F.col("b.doc").alias("d2"),
-        F.col("a.vec").alias("a_vec"),
-        F.col("b.vec").alias("b_vec"),
-    ).dropDuplicates(["d1", "d2"])
-    return cand.select(
-        "d1", "d2", cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    cand = (
+        bucket_pairs(bucketed, ["tbl", "sig"], F.struct("doc"), max_bucket_size)
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    sided = docs.withColumn("nrm", norm(F.col("vec")))
+    a = sided.select(
+        F.col("doc").alias("d1"),
+        F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = sided.select(
+        F.col("doc").alias("d2"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    return (
+        cand.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def hyperplanes(
@@ -338,16 +375,20 @@ def lsh_ann_topk(
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
         # posexplode the per-table signature array -> (table, sig)
-        # bucket rows; the signature UDF runs once per input row.
+        # bucket rows; the signature UDF and the norm fold both run
+        # once per INPUT row (pre-explode), so each scored pair later
+        # costs a single dot fold instead of three.
         return (
             df.select(
                 F.col(id_col).alias(f"{prefix}_id"),
                 F.col(vec_col).alias(f"{prefix}_vec"),
+                norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
                 sig_udf(F.col(vec_col)).alias("sigs"),
             )
             .select(
                 f"{prefix}_id",
                 f"{prefix}_vec",
+                f"{prefix}_nrm",
                 F.posexplode("sigs").alias("tbl", "sig"),
             )
         )
@@ -357,13 +398,19 @@ def lsh_ann_topk(
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .select(
+            "query_id", "query_vec", "query_nrm",
+            "neighbor_id", "neighbor_vec", "neighbor_nrm",
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_vec"), F.col("neighbor_vec")).alias("cosine"),
+        (
+            dot(F.col("query_vec"), F.col("neighbor_vec"))
+            / (F.col("query_nrm") * F.col("neighbor_nrm"))
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
