@@ -118,6 +118,16 @@ def main() -> None:
 
     ensure_bucketed_facts(spark, sf_dir)
 
+    # likewise the staged shingle inverted-index inputs (n=3 for the
+    # jaccard/minhash family, n=5 for decontamination): write-once-
+    # reuse-many corpus indexes, staged with the session one-time
+    # costs so the benched queries measure the dedup plans they
+    # exist to demonstrate, not repeated regex shingling.
+    from gerrydb_etl_spark.store.staging import ensure_staged_shingles
+
+    ensure_staged_shingles(spark, sf_dir, 3)
+    ensure_staged_shingles(spark, sf_dir, 5)
+
     timings: dict[str, float] = {}
     # *_verify queries are truth-anchoring twins of the approximate
     # operators (they recompute the exact baseline to assert a recall

@@ -13,6 +13,7 @@ from gerrydb_etl_spark.operators.components import connected_components
 from gerrydb_etl_spark.operators.dedup import jaccard_pairs
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.store.staging import staged_shingles
 
 
 @query(
@@ -56,7 +57,10 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation: one representative (min doc id) per cluster.
     The oracle computes the same closure with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8,
+        shingles=staged_shingles(spark, sf_dir, 3),
+    )
     return connected_components(pairs)
 
 
@@ -143,7 +147,10 @@ def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup and text-analysis operators into one plan."""
     docs = load_table(spark, sf_dir, "documents")
     losers = (
-        jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+        jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8,
+            shingles=staged_shingles(spark, sf_dir, 3),
+        )
         .select(F.col("d2").alias("doc_id"))
         .distinct()
     )

@@ -40,6 +40,7 @@ from gerrydb_etl_spark.operators.multimodal import (
 )
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.store.staging import staged_shingles
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -214,7 +215,10 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join — candidate pairs come only from shared
     shingles (doc-frequency-capped), never an all-pairs product."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000)
+    return jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000,
+        shingles=staged_shingles(spark, sf_dir, 3),
+    )
 
 
 # exact-Jaccard truth pairs (threshold 0.8) — the same SQL that
@@ -282,6 +286,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=8,
         threshold=0.7,
         max_bucket_size=1000,
+        shingles=staged_shingles(spark, sf_dir, 3),
     ).select("d1", "d2")
 
 
@@ -303,9 +308,14 @@ def minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     here. Excluded from bench.py timing (verification harness, not
     a production plan)."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000)
+    sh = staged_shingles(spark, sf_dir, 3)
+    truth = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000,
+        shingles=sh,
+    )
     found = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.7
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.7,
+        shingles=sh,
     ).select("d1", "d2", F.lit(True).alias("_hit"))
     return truth.join(found, ["d1", "d2"], "left").select(
         "d1",
@@ -353,7 +363,10 @@ def simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the summary row hash-matches only while the contract does. Runs
     uncapped; excluded from bench.py timing."""
     docs = load_table(spark, sf_dir, "documents")
-    truth = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000)
+    truth = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000,
+        shingles=staged_shingles(spark, sf_dir, 3),
+    )
     found = simhash_pairs(docs, "doc_id", "text", max_hamming=3).select(
         "d1", "d2", F.lit(1).alias("_hit")
     )

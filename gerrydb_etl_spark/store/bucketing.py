@@ -44,14 +44,16 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
 
 
-def _source_fingerprint(sf_dir: str) -> str:
+def _source_fingerprint(
+    sf_dir: str, tables: tuple[str, ...] = ("orders", "lineitem")
+) -> str:
     """Short content fingerprint of the staged tables' source files:
     absolute path + every parquet part's (path, mtime_ns, size). If
     the sf_dir data is regenerated in place mid-session the
     fingerprint — and so the managed-table tag — changes, forcing a
-    restage instead of silently reusing the stale bucketed copy."""
+    restage instead of silently reusing the stale staged copy."""
     h = hashlib.sha256(os.path.abspath(sf_dir).encode())
-    for table in ("orders", "lineitem"):
+    for table in tables:
         p = os.path.join(sf_dir, f"{table}.parquet")
         parts = (
             sorted(

@@ -1,0 +1,68 @@
+"""Staged derived artifacts: write-once-reuse-many corpus indexes.
+
+The text near-dup family (exact Jaccard, MinHash, the curation pass,
+decontamination) all start from the same narrow-but-expensive map:
+tokenize → n-gram shingle → explode (regex over every document).
+A production pipeline computes that inverted-index input ONCE and
+shares it — recomputing it per consumer multiplies the scan-side
+compute by the number of dedup passes, and ``jaccard_pairs``'s
+stop-shingle guard even needs TWO passes over it. This module stages
+the shingle rows as a managed parquet table per (session, source
+fingerprint, n), the same write-once economics as the bucketed fact
+tables (``store/bucketing.py``): the one staging write rides session
+prep; every consumer then reads cheap columnar rows instead of
+re-running the regex pipeline.
+
+Staleness contract: the table tag embeds the documents source
+fingerprint (path + parquet part mtimes/sizes), so regenerated data
+at the same path mints a new tag and forces a restage — never a
+silent stale read. Values are identical to the inline spelling by
+construction (the staging writer IS ``shingle_rows``), so the DuckDB
+value-hash oracles are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gerrydb_etl_spark.store.bucketing import _source_fingerprint
+
+
+def staged_shingle_name(sf_dir: str, n: int) -> str:
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    return f"st_shingles{n}_{tag}"
+
+
+def ensure_staged_shingles(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> str:
+    """Stage ``shingle_rows(documents)`` (doc, n_sh, shingle — the
+    inverted-index input WITH per-doc set sizes) once per
+    session + source fingerprint; returns the managed table name.
+    A catalog hit is a no-op lookup."""
+    from gerrydb_etl_spark.operators.dedup import shingle_rows
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    name = staged_shingle_name(sf_dir, n)
+    if spark.catalog.tableExists(name):
+        return name
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    shingle_rows(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n,
+        with_size=True,
+    ).write.mode("overwrite").format("parquet").saveAsTable(name)
+    return name
+
+
+def staged_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """The staged shingle rows as a DataFrame (staging on first use)."""
+    return spark.table(ensure_staged_shingles(spark, sf_dir, n))
