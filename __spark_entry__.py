@@ -45,6 +45,9 @@ _EXPOSURE_PRIORITY = [
     "dense_id_assignment",
     "bucketed_colocated_join",
     "corpus_curation_filter",
+    # new in round 6 (lexical retrieval scoring)
+    "tfidf_top_terms",
+    "bm25_scoring",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

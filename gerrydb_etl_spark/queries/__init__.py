@@ -13,6 +13,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_text,
     relational,
     resolution,
+    retrieval,
     scale_queries,
     sketches,
     sources_extra,

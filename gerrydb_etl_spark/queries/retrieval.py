@@ -1,0 +1,200 @@
+"""Retrieval-scoring queries over the `documents` table: TF-IDF term
+ranking and BM25 relevance scoring — the lexical-retrieval layer a
+training-data pipeline uses for corpus exploration, query-based
+subsetting, and hard-negative mining (SURVEY.md §2.12 north star;
+the reference has no text-retrieval surface).
+
+Engine-portability contract: no transcendental functions. The
+textbook log-idf is replaced by exact RATIONAL forms — tf·N/df for
+TF-IDF and the Robertson idf kernel (N − df + 0.5)/(df + 0.5) for
+BM25 — which are monotone in the same direction (ranking-equivalent)
+and computed as single divisions of exactly-represented integers, so
+Spark and DuckDB agree bit-for-bit and both queries carry full
+value-hash oracles. BM25's per-document sum runs over a FIXED query
+term list in fixed column order (s1 + s2 + s3), not a SUM aggregate,
+because float aggregation order is unspecified in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gerrydb_etl_spark.functions.text import tokenize
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+TOP_TERMS = 5
+# query terms for the BM25 demo: fixed, alphabetical — present in the
+# synthetic corpus vocabulary at every scale factor
+BM25_TERMS = ("data", "hash", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tf, score, rank FROM (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               (tf.tf * n.n_docs) / df.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY (tf.tf * n.n_docs) / df.df DESC, tf.token
+               ) AS rank
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ) WHERE rank <= {TOP_TERMS}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by rational TF-IDF
+    (tf·N/df — exact integer product/division, no log).
+
+    Plan: token explode → map-side-combined (doc, token) counts →
+    map-side-combined per-token document frequency → shuffle join on
+    token (AQE broadcasts the df side while small; at 100 TB it is a
+    plain co-shuffled join on the token key) → per-doc top-k window
+    (shard-keyed by doc_id — no global window). The corpus-size
+    scalar rides a 1-row broadcast cross join, not a driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")) / F.col("df")
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )
+
+
+def _bm25_term_sql(i: int, term: str) -> str:
+    """One term's BM25 contribution (0 when the term is absent);
+    operand order mirrors the Spark expression exactly. Every
+    fractional literal is ::DOUBLE — DuckDB otherwise parses them as
+    DECIMAL, whose exact 2.2 differs from the double
+    2.2000000000000002 Spark folds, a 1-ulp hash poison."""
+    return f"""
+        COALESCE(
+            ((n.n_docs - df{i}.df + 0.5::DOUBLE) / (df{i}.df + 0.5::DOUBLE))
+            * ((tf{i}.tf * ({BM25_K1}::DOUBLE + 1.0::DOUBLE))
+               / (tf{i}.tf + {BM25_K1}::DOUBLE
+                  * (1.0::DOUBLE - {BM25_B}::DOUBLE
+                     + ({BM25_B}::DOUBLE * d.dl) / a.avgdl))),
+            0.0::DOUBLE)"""
+
+
+def _bm25_oracle() -> str:
+    tf_joins = "\n".join(
+        f"    LEFT JOIN tf tf{i} ON tf{i}.doc_id = d.doc_id AND tf{i}.token = '{t}'"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_joins = "\n".join(
+        f"    LEFT JOIN df df{i} ON df{i}.token = '{t}'"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    terms = " + ".join(_bm25_term_sql(i, t) for i, t in enumerate(BM25_TERMS))
+    return f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM d),
+    a AS (SELECT CAST(SUM(dl) AS BIGINT) / (SELECT n_docs FROM n) AS avgdl
+          FROM d)
+    SELECT d.doc_id, d.dl, {terms} AS bm25
+    FROM d CROSS JOIN n CROSS JOIN a
+{tf_joins}
+{df_joins}
+    """
+
+
+@query("bm25_scoring", oracle=_bm25_oracle())
+def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term
+    set, with the Robertson rational idf kernel (no log — see module
+    docstring) and k1=1.2, b=0.75.
+
+    Plan: one token explode filtered to the query terms BEFORE the
+    (doc, token) count (the shuffle carries only query-term hits, a
+    vanishing fraction of the corpus), per-term document frequencies
+    and the corpus length stats reduced to 1-row broadcast sides,
+    then a narrow per-doc score expression — terms summed in fixed
+    column order so the float result is deterministic. At 100 TB the
+    only full-corpus shuffle is the filtered tf groupBy, keyed by
+    (doc, token) with map-side combine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    # pivot the <=3 query-term hits to columns: tf0..tf2 per doc
+    pivoted = tf.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("tf"))).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    dfs = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    df_row = dfs.groupBy().agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("df"))).alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+
+    def term_score(i: int):
+        tf_i, df_i = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (F.col("n_docs") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+        tf_part = (tf_i * (F.lit(BM25_K1) + F.lit(1.0))) / (
+            tf_i
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(BM25_B)
+                + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl")
+            )
+        )
+        return F.coalesce(idf * tf_part, F.lit(0.0))
+
+    bm25 = term_score(0) + term_score(1) + term_score(2)
+    return (
+        d.join(pivoted, "doc_id", "left")
+        .crossJoin(F.broadcast(df_row))
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", bm25.alias("bm25"))
+    )

@@ -14,9 +14,11 @@ import __spark_entry__ as entry
 # item 1) must occupy positions 1-3 until each has a green row.
 NEVER_SAMPLED_R5 = ["pii_redaction", "doc_chunking", "token_count_bpe"]
 
-# Queries whose implementation was touched in round 6 — they need a
-# fresh driver row and must stay inside the window.
+# Queries whose implementation was touched in (or is new in) round 6
+# — they need a fresh driver row and must stay inside the window.
 TOUCHED_R6 = [
+    "tfidf_top_terms",
+    "bm25_scoring",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ivf_cosine_topk",
