@@ -63,22 +63,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined per-token document frequency → shuffle join on
     token (AQE broadcasts the df side while small; at 100 TB it is a
     plain co-shuffled join on the token key) → per-doc top-k window
-    (shard-keyed by doc_id — no global window). The corpus-size
-    scalar rides a 1-row broadcast cross join, not a driver collect.
+    (shard-keyed by doc_id — no global window). The corpus size is a
+    bounded O(1) driver aggregate folded in as a literal (a 1-row
+    scalar join would plan as the BroadcastNestedLoopJoin the plan
+    guard forbids) — the same bounded-collect class as the IVF
+    centroids.
     """
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
     tf = (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    score = (F.col("tf") * F.col("n_docs")) / F.col("df")
+    score = (F.col("tf") * F.lit(n_docs)) / F.col("df")
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return (
         tf.join(df_, "token")
-        .crossJoin(F.broadcast(n))
         .withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_TERMS)
@@ -142,12 +144,17 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one token explode filtered to the query terms BEFORE the
     (doc, token) count (the shuffle carries only query-term hits, a
-    vanishing fraction of the corpus), per-term document frequencies
-    and the corpus length stats reduced to 1-row broadcast sides,
-    then a narrow per-doc score expression — terms summed in fixed
-    column order so the float result is deterministic. At 100 TB the
-    only full-corpus shuffle is the filtered tf groupBy, keyed by
-    (doc, token) with map-side combine.
+    vanishing fraction of the corpus), then a narrow per-doc score
+    expression — terms summed in fixed column order so the float
+    result is deterministic. The per-term document frequencies and
+    the corpus length stats are bounded O(1) driver aggregates
+    (≤ len(BM25_TERMS)+1 rows — 1-row scalar joins would plan as the
+    BroadcastNestedLoopJoin the plan guard forbids) folded in as
+    literals; their float arithmetic (exact-int operands, one
+    division) is reproduced identically by the oracle's in-SQL
+    computation. At 100 TB the only full-corpus shuffle is the
+    filtered tf groupBy, keyed by (doc, token) with map-side
+    combine.
     """
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.size(tokenize(F.col("text"))).alias("dl"))
@@ -164,37 +171,38 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(BM25_TERMS)
         ]
     )
-    dfs = tf.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
+    dfs = {
+        r["token"]: r["df"]
+        for r in tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    n_docs, sum_dl = (
+        d.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     )
-    df_row = dfs.groupBy().agg(
-        *[
-            F.max(F.when(F.col("token") == t, F.col("df"))).alias(f"df{i}")
-            for i, t in enumerate(BM25_TERMS)
-        ]
-    )
-    stats = d.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    avgdl = sum_dl / n_docs
 
-    def term_score(i: int):
-        tf_i, df_i = F.col(f"tf{i}"), F.col(f"df{i}")
-        idf = (F.col("n_docs") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
-        tf_part = (tf_i * (F.lit(BM25_K1) + F.lit(1.0))) / (
+    def term_score(i: int, term: str):
+        df_i = dfs.get(term)
+        if df_i is None:
+            return F.lit(0.0)
+        tf_i = F.col(f"tf{i}")
+        idf = (n_docs - df_i + 0.5) / (df_i + 0.5)
+        tf_part = (tf_i * F.lit(BM25_K1 + 1.0)) / (
             tf_i
             + F.lit(BM25_K1)
             * (
-                F.lit(1.0)
-                - F.lit(BM25_B)
-                + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl")
+                F.lit(1.0 - BM25_B)
+                + (F.lit(BM25_B) * F.col("dl")) / F.lit(avgdl)
             )
         )
-        return F.coalesce(idf * tf_part, F.lit(0.0))
+        return F.coalesce(F.lit(idf) * tf_part, F.lit(0.0))
 
-    bm25 = term_score(0) + term_score(1) + term_score(2)
-    return (
-        d.join(pivoted, "doc_id", "left")
-        .crossJoin(F.broadcast(df_row))
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "dl", bm25.alias("bm25"))
+    bm25 = (
+        term_score(0, BM25_TERMS[0])
+        + term_score(1, BM25_TERMS[1])
+        + term_score(2, BM25_TERMS[2])
+    )
+    return d.join(pivoted, "doc_id", "left").select(
+        "doc_id", "dl", bm25.alias("bm25")
     )

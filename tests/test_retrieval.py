@@ -86,8 +86,10 @@ def test_retrieval_plan_shapes(spark):
     # the top-k window exchange is keyed by doc_id (shard-keyed, not
     # a single global window partition)
     assert "hashpartitioning(doc_id" in plan
-    # the 1-row corpus-count side must be broadcast, not shuffled
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no scalar-join BNLJ (corpus size folds in as a literal); the
+    # df side rides a broadcast hash join at this scale
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
 
     bm25 = REGISTRY["bm25_scoring"].spark(spark, SF_ORACLE)
     bplan = bm25._jdf.queryExecution().executedPlan().toString()
