@@ -45,9 +45,12 @@ _EXPOSURE_PRIORITY = [
     "dense_id_assignment",
     "bucketed_colocated_join",
     "corpus_curation_filter",
-    # new in round 6 (lexical retrieval scoring)
+    # new in round 6 (lexical retrieval scoring; fixed-point k-means
+    # + SemDeDup clustering)
     "tfidf_top_terms",
     "bm25_scoring",
+    "kmeans_train_assign",
+    "semantic_dedup_survivors",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

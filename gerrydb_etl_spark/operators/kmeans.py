@@ -1,0 +1,200 @@
+"""Fixed-point k-means (Lloyd) and SemDeDup-style semantic dedup
+over embedding columns (SURVEY.md §2.12 north star; the reference
+has no clustering surface — this is the coarse-quantizer /
+semantic-dedup building block of an LLM data pipeline, per
+Abbas et al., "SemDeDup" (arXiv:2303.09540)).
+
+Determinism contract (what makes a MULTI-ITERATION training run
+value-hash reproducible in DuckDB SQL):
+
+  * embeddings are quantized ONCE to BIGINT units
+    (``round(double(v) * 1e6)``) — all later arithmetic starts
+    from integers, so no float-sum ordering can leak in;
+  * centroid updates are element-wise INTEGER sums per cluster
+    (order-independent and exact, unlike a double SUM whose value
+    depends on combine order) divided in one fixed spelling
+    ``double(s) / double(n)``;
+  * distances are sequential left folds in DOUBLE over
+    (component - centroid)^2, the same fold DuckDB's
+    ``list_reduce(list_prepend(0.0, ...))`` performs;
+  * ties in the argmin break on the lower cluster id, matching
+    ``ROW_NUMBER() OVER (ORDER BY d, cluster_id)``;
+  * initial centroids are the first k vectors in id order (data-
+    derived, like operators/similarity.anchor_planes — no RNG).
+
+Scale notes (100 TB):
+
+  * assignment is a NARROW projection against k literal centroid
+    arrays — no join, no shuffle, whole-stage codegen;
+  * the update step is ONE map-side-combined shuffle producing k
+    rows of dim integer sums (partial aggregation compresses each
+    task's contribution to k rows before the exchange);
+  * the driver collects k rows (k x dim doubles) per iteration —
+    the same footprint Spark MLlib's KMeans accepts; this is a
+    bounded model, not a data collect;
+  * integer component sums stay exact while |sum| < 2^63 and
+    convert exactly to double while < 2^53 — at 1e6-unit
+    components that is ~9e9 rows per cluster before any rounding,
+    and overflow raises (ANSI) rather than corrupting.
+
+SemDeDup (`semantic_dedup`): pairwise cosine is computed ONLY
+within a k-means cell, so the candidate volume is sum(n_c^2) —
+bounded by choosing k proportional to corpus size (the paper uses
+k ~ sqrt(N); the cells, not the corpus, bound the join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.operators.similarity import fold_sum
+
+QUANT_SCALE = 1_000_000.0
+
+
+def quantize(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qv: array<bigint>) — embeddings in exact 1e-6 units."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * F.lit(QUANT_SCALE)).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def _sqdist(qv: Column, centroid: list[float]) -> Column:
+    """Sequential-fold squared L2 distance between an integer vector
+    (read as double) and a literal centroid, in quantized units^2."""
+    cv = F.array(*[F.lit(float(c)) for c in centroid])
+    diff = F.zip_with(qv, cv, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
+    return fold_sum(diff)
+
+
+def assign(quant: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """(vec_id, qv, cluster_id, sq_dist_q): nearest centroid by
+    squared distance, ties to the lower cluster id. Pure projection:
+    the k centroids are literals, so there is no join and no shuffle."""
+    cells = F.array(
+        *[
+            F.struct(
+                _sqdist(F.col("qv"), centroids[cid]).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid in sorted(centroids)
+        ]
+    )
+    best = F.array_min(cells)
+    return quant.select(
+        "vec_id",
+        "qv",
+        best.getField("c").alias("cluster_id"),
+        best.getField("d").alias("sq_dist_q"),
+    )
+
+
+def _update(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
+    """New centroids: per-cluster element-wise integer sums (exact,
+    order-free) divided once. One k-group shuffle + a k-row collect."""
+    sums = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    out: dict[int, list[float]] = {}
+    for row in sums.collect():
+        n = float(row["n"])
+        out[row["cluster_id"]] = [float(row[f"s{i}"]) / n for i in range(dim)]
+    return out
+
+
+def init_centroids(quant: DataFrame, k: int) -> tuple[dict[int, list[float]], int]:
+    """First k vectors in id order as centroids 0..k-1 (data-derived,
+    deterministic on any id space). Returns (centroids, dim)."""
+    rows = quant.orderBy("vec_id").limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"k={k} but corpus has only {len(rows)} vectors")
+    dim = len(rows[0]["qv"])
+    return {i: [float(x) for x in rows[i]["qv"]] for i in range(k)}, dim
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`iters` Lloyd assignment passes (so iters-1 centroid updates),
+    returning the final (vec_id, cluster_id, sq_dist_q) assignment.
+
+    Empty clusters simply drop out of the update (their id stops
+    being a candidate), mirroring the SQL replay exactly."""
+    quant = quantize(emb, vec_col=vec_col, id_col=id_col).persist()
+    try:
+        centroids, dim = init_centroids(quant, k)
+        assigned = assign(quant, centroids)
+        for _ in range(iters - 1):
+            centroids = _update(assigned, dim)
+            assigned = assign(quant, centroids)
+        return assigned.select("vec_id", "cluster_id", "sq_dist_q")
+    finally:
+        quant.unpersist()
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup: drop every vector that has an EARLIER (lower-id)
+    same-cell neighbor with cosine >= tau; return the survivors
+    (vec_id, cluster_id). Cosine is folded over the quantized
+    doubles so the whole pipeline replays bitwise in SQL.
+
+    The pairwise join is cell-local (shuffle key = cluster_id), so
+    candidate volume is sum(n_c^2) over cells — the SemDeDup cost
+    model — not corpus^2."""
+    quant = quantize(emb, vec_col=vec_col, id_col=id_col).persist()
+    try:
+        centroids, dim = init_centroids(quant, k)
+        assigned = assign(quant, centroids)
+        for _ in range(iters - 1):
+            centroids = _update(assigned, dim)
+            assigned = assign(quant, centroids)
+        assigned = assigned.persist()
+        try:
+            qd = assigned.select(
+                "vec_id",
+                "cluster_id",
+                F.transform("qv", lambda x: x.cast("double")).alias("dv"),
+            )
+            a = qd.alias("a")
+            b = qd.alias("b")
+            dot_ab = fold_sum(
+                F.zip_with(F.col("a.dv"), F.col("b.dv"), lambda x, y: x * y)
+            )
+            nrm = lambda c: F.sqrt(fold_sum(F.transform(c, lambda x: x * x)))  # noqa: E731
+            dropped = (
+                a.join(
+                    b,
+                    (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .filter(dot_ab / (nrm(F.col("a.dv")) * nrm(F.col("b.dv"))) >= F.lit(tau))
+                .select(F.col("b.vec_id").alias("vec_id"))
+                .distinct()
+            )
+            return (
+                assigned.select("vec_id", "cluster_id")
+                .join(dropped, "vec_id", "left_anti")
+            )
+        finally:
+            assigned.unpersist()
+    finally:
+        quant.unpersist()

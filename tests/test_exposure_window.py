@@ -19,6 +19,8 @@ NEVER_SAMPLED_R5 = ["pii_redaction", "doc_chunking", "token_count_bpe"]
 TOUCHED_R6 = [
     "tfidf_top_terms",
     "bm25_scoring",
+    "kmeans_train_assign",
+    "semantic_dedup_survivors",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ivf_cosine_topk",

@@ -1,0 +1,118 @@
+"""Unit tests for fixed-point k-means + SemDeDup beyond the
+registered oracle-differential checks (tests/test_queries_oracle.py
+covers kmeans_train_assign / semantic_dedup_survivors end to end)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.operators.kmeans import (
+    init_centroids,
+    kmeans_train,
+    quantize,
+    semantic_dedup,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_quantization_matches_duckdb_bitwise(spark):
+    """round(double(v)*1e6) must agree component-for-component with
+    DuckDB on the real float32 corpus — the whole determinism
+    contract rests on the two engines quantizing identically."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = {
+        r["vec_id"]: list(r["qv"])
+        for r in quantize(emb).orderBy("vec_id").limit(50).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""
+            SELECT vec_id,
+                   list_transform(embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+            FROM '{SF_ORACLE}/embeddings.parquet'
+            ORDER BY vec_id LIMIT 50
+            """
+        ).fetchall()
+    )
+    assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_kmeans_on_sparse_noncontiguous_ids(spark):
+    """Init centroids come from row ORDER, not id VALUES — a corpus
+    with gappy/offset ids must train without error (the
+    anchor_planes regression class from ADVICE r5)."""
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .filter(F.col("vec_id") % 3 != 1)
+        .withColumn("vec_id", F.col("vec_id") * 1000 + 7)
+    )
+    out = kmeans_train(emb, k=4, iters=2)
+    n = emb.count()
+    assert out.count() == n
+    assert out.select("cluster_id").distinct().count() <= 4
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    a = sorted(map(tuple, kmeans_train(emb, k=5, iters=3).collect()))
+    b = sorted(map(tuple, kmeans_train(emb, k=5, iters=3).collect()))
+    assert a == b
+
+
+def test_kmeans_k_larger_than_corpus_raises(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(3)
+    with pytest.raises(ValueError, match="k=5"):
+        init_centroids(quantize(emb), k=5)
+
+
+def test_iterations_do_not_increase_inertia(spark):
+    """Lloyd's monotonicity: total squared distance after 3 passes
+    <= after 1 pass (equality only if already converged)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    i1 = kmeans_train(emb, k=8, iters=1).agg(F.sum("sq_dist_q")).first()[0]
+    i3 = kmeans_train(emb, k=8, iters=3).agg(F.sum("sq_dist_q")).first()[0]
+    assert i3 <= i1
+
+
+def test_semdedup_drops_only_docs_with_earlier_neighbor(spark):
+    """Every dropped vector must have a lower-id same-cell neighbor
+    at cosine>=tau; every survivor must not."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    survivors = {r["vec_id"] for r in semantic_dedup(emb, k=8, iters=3, tau=0.4).collect()}
+    assigned = kmeans_train(emb, k=8, iters=3)
+    rows = [(r["vec_id"], r["cluster_id"]) for r in assigned.collect()]
+    emb_map = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def cos(u, v):
+        d = sum(float(a) * float(b) for a, b in zip(u, v))
+        nu = sum(float(a) * float(a) for a in u) ** 0.5
+        nv = sum(float(b) * float(b) for b in v) ** 0.5
+        return d / (nu * nv)
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, cid in rows:
+        by_cell.setdefault(cid, []).append(vid)
+    for cid, members in by_cell.items():
+        members.sort()
+        for i, vid in enumerate(members):
+            has_earlier = any(
+                cos(emb_map[e], emb_map[vid]) >= 0.4 - 1e-9 for e in members[:i]
+            )
+            if vid not in survivors:
+                assert has_earlier, f"{vid} dropped without an earlier neighbor"
+
+
+def test_empty_cluster_drops_out(spark):
+    """A k chosen so some init centroids capture nothing must not
+    crash; surviving cluster ids are a subset of 0..k-1."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(20)
+    out = kmeans_train(emb, k=10, iters=3)
+    cids = {r["cluster_id"] for r in out.select("cluster_id").distinct().collect()}
+    assert cids <= set(range(10))
+    assert out.count() == 20
