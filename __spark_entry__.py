@@ -51,6 +51,7 @@ _EXPOSURE_PRIORITY = [
     "bm25_scoring",
     "kmeans_train_assign",
     "semantic_dedup_survivors",
+    "events_stream_join_attribution",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -267,3 +267,29 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gerrydb_etl_spark.streaming.stream import run_dedup_stream
 
     return run_dedup_stream(spark, sf_dir, watermark="1 hour", state_partitions=8)
+
+
+@query(
+    "events_stream_join_attribution",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us,
+           epoch_us(v.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL '4 hours'
+    """,
+)
+def events_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (click->view attribution within 4
+    hours, per user) executed by the real Structured Streaming
+    engine: two watermarked file-source streams, an event-time range
+    join condition (the state-eviction contract — see
+    streaming/stream.py run_click_view_attribution for the 100 TB
+    state-bound analysis), append-mode memory sink, AvailableNow.
+    The oracle is the equivalent batch interval join; epoch-micro
+    BIGINT outputs make the comparison exact."""
+    from gerrydb_etl_spark.streaming.stream import run_click_view_attribution
+
+    return run_click_view_attribution(spark, sf_dir)

@@ -376,3 +376,90 @@ def run_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def run_click_view_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    attribution_window: str = "4 hours",
+    watermark: str = "1 hour",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition:
+    every view is attributed to each prior click by the same user
+    within ``attribution_window`` — the classic streaming ad-
+    attribution join, and the one Structured Streaming join shape
+    the rest of this module didn't yet exercise.
+
+    Both sides are independent file-source streams (two readStream
+    handles over the same staged dir) with their own watermark; the
+    range condition ``view.ts BETWEEN click.ts AND click.ts + W``
+    is ON THE EVENT-TIME COLUMNS, which is what lets the engine
+    derive state-eviction bounds: click state is dropped once the
+    view-side watermark passes click.ts + W, and view state once the
+    click-side watermark passes view.ts. Join state is therefore
+    bounded by (watermark + window) x arrival rate, per user-id
+    state partition — an unbounded 100 TB/day stream holds only
+    hours of state, hash-spread across the state store.
+
+    Output is append-mode (the only mode stream-stream inner joins
+    support); timestamps are emitted as exact epoch-microsecond
+    BIGINTs so the batch-SQL oracle compares integer-for-integer.
+    """
+    stage = _stage_events_dir(sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        clicks = (
+            read_events_stream(spark, sf_dir, stage)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", watermark)
+        )
+        views = (
+            read_events_stream(spark, sf_dir, stage)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", watermark)
+        )
+        joined = clicks.join(
+            views,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("view_ts") >= F.col("click_ts"))
+            & (
+                F.col("view_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+            ),
+        ).select(
+            "click_id",
+            "view_id",
+            F.col("c_user").alias("user_id"),
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("view_ts").alias("view_us"),
+            (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _drain_memory_sink(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)

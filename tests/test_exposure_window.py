@@ -21,6 +21,7 @@ TOUCHED_R6 = [
     "bm25_scoring",
     "kmeans_train_assign",
     "semantic_dedup_survivors",
+    "events_stream_join_attribution",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ivf_cosine_topk",

@@ -174,3 +174,39 @@ def test_dedup_state_carries_across_micro_batches(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
     assert got == want
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """The streaming click->view attribution join must emit exactly
+    the batch interval join's rows (availableNow processes the
+    bounded input before any watermark can expire state)."""
+    from gerrydb_etl_spark.streaming.stream import run_click_view_attribution
+
+    streamed = run_click_view_attribution(spark, SF_SMOKE)
+    ev = load_table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    batch = (
+        clicks.join(views, "user_id")
+        .filter(
+            (F.col("view_ts") >= F.col("click_ts"))
+            & (F.col("view_ts") <= F.col("click_ts") + F.expr("INTERVAL 4 hours"))
+        )
+        .select(
+            "click_id",
+            "view_id",
+            "user_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("view_ts").alias("view_us"),
+            (F.unix_micros("view_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        )
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
