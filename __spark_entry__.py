@@ -52,6 +52,8 @@ _EXPOSURE_PRIORITY = [
     "kmeans_train_assign",
     "semantic_dedup_survivors",
     "events_stream_join_attribution",
+    "cms_heavy_hitters",
+    "funnel_conversion_stages",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

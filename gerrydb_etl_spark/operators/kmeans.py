@@ -66,10 +66,9 @@ def quantize(
     )
 
 
-def _sqdist(qv: Column, centroid: list[float]) -> Column:
+def _sqdist(qv: Column, cv: Column) -> Column:
     """Sequential-fold squared L2 distance between an integer vector
-    (read as double) and a literal centroid, in quantized units^2."""
-    cv = F.array(*[F.lit(float(c)) for c in centroid])
+    (read as double) and a centroid array, in quantized units^2."""
     diff = F.zip_with(qv, cv, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y))
     return fold_sum(diff)
 
@@ -77,15 +76,22 @@ def _sqdist(qv: Column, centroid: list[float]) -> Column:
 def assign(quant: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     """(vec_id, qv, cluster_id, sq_dist_q): nearest centroid by
     squared distance, ties to the lower cluster id. Pure projection:
-    the k centroids are literals, so there is no join and no shuffle."""
-    cells = F.array(
-        *[
-            F.struct(
-                _sqdist(F.col("qv"), centroids[cid]).alias("d"),
-                F.lit(cid).alias("c"),
-            )
-            for cid in sorted(centroids)
-        ]
+    the k centroids ride along as ONE nested literal array walked by
+    a single transform lambda — no join, no shuffle, and the
+    generated code is one fold loop instead of k unrolled folds
+    (k x dim unrolled literals made Janino compilation, not the
+    data, the dominant cost)."""
+    cids = sorted(centroids)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in centroids[cid]]) for cid in cids]
+    )
+    cid_lit = F.array(*[F.lit(cid) for cid in cids])
+    cells = F.transform(
+        cent_lit,
+        lambda cv, i: F.struct(
+            _sqdist(F.col("qv"), cv).alias("d"),
+            F.element_at(cid_lit, i + 1).alias("c"),
+        ),
     )
     best = F.array_min(cells)
     return quant.select(
@@ -167,34 +173,51 @@ def semantic_dedup(
         for _ in range(iters - 1):
             centroids = _update(assigned, dim)
             assigned = assign(quant, centroids)
-        assigned = assigned.persist()
-        try:
-            qd = assigned.select(
-                "vec_id",
-                "cluster_id",
-                F.transform("qv", lambda x: x.cast("double")).alias("dv"),
-            )
-            a = qd.alias("a")
-            b = qd.alias("b")
-            dot_ab = fold_sum(
-                F.zip_with(F.col("a.dv"), F.col("b.dv"), lambda x, y: x * y)
-            )
-            nrm = lambda c: F.sqrt(fold_sum(F.transform(c, lambda x: x * x)))  # noqa: E731
-            dropped = (
-                a.join(
-                    b,
-                    (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")),
-                )
-                .filter(dot_ab / (nrm(F.col("a.dv")) * nrm(F.col("b.dv"))) >= F.lit(tau))
-                .select(F.col("b.vec_id").alias("vec_id"))
-                .distinct()
-            )
-            return (
-                assigned.select("vec_id", "cluster_id")
-                .join(dropped, "vec_id", "left_anti")
-            )
-        finally:
-            assigned.unpersist()
+        # the final assignment is a narrow literal-centroid
+        # projection, so the three plan branches below (a side,
+        # b side, survivor base) each recompute it cheaply; holding
+        # a persist here would never materialize before the caller's
+        # action anyway
+        # norms are folded ONCE PER ROW here; recomputing them
+        # inside the pair filter would triple the per-pair fold
+        # work (same fix as the vector-family rescore path)
+        dv = F.transform("qv", lambda x: x.cast("double"))
+        qd = assigned.select(
+            "vec_id",
+            "cluster_id",
+            dv.alias("dv"),
+            F.sqrt(fold_sum(F.transform(dv, lambda x: x * x))).alias("nrm"),
+        )
+        # the join key is cluster_id — only k distinct values, so
+        # an unsalted shuffle caps parallelism at k tasks. Salt
+        # the b side by row hash and replicate the a side over
+        # the salts: k x salts tasks, each holding an a-cluster
+        # against 1/salts of its b rows (operators/skew.py
+        # replicated-join pattern, deterministic salt).
+        salts = 16
+        a = qd.select(
+            "cluster_id",
+            F.col("vec_id").alias("a_id"),
+            F.col("dv").alias("a_dv"),
+            F.col("nrm").alias("a_nrm"),
+        ).withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+        b = qd.select(
+            "cluster_id",
+            F.col("vec_id").alias("b_id"),
+            F.col("dv").alias("b_dv"),
+            F.col("nrm").alias("b_nrm"),
+        ).withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
+        dot_ab = fold_sum(F.zip_with(F.col("a_dv"), F.col("b_dv"), lambda x, y: x * y))
+        dropped = (
+            a.join(b, ["cluster_id", "__salt"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(dot_ab / (F.col("a_nrm") * F.col("b_nrm")) >= F.lit(tau))
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+        )
+        return (
+            assigned.select("vec_id", "cluster_id")
+            .join(dropped, "vec_id", "left_anti")
+        )
     finally:
         quant.unpersist()

@@ -8,6 +8,7 @@ the SQL spelling of what session_window computes in one pass.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
@@ -293,3 +294,84 @@ def events_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     from gerrydb_etl_spark.streaming.stream import run_click_view_attribution
 
     return run_click_view_attribution(spark, sf_dir)
+
+
+@query(
+    "funnel_conversion_stages",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT v.user_id, MIN(e.ts) AS first_click
+        FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'click'
+         AND e.ts > v.first_view AND e.ts <= v.first_view + INTERVAL '24 hours'
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT c.user_id, MIN(e.ts) AS first_purchase
+        FROM c JOIN events e ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.first_click AND e.ts <= c.first_click + INTERVAL '24 hours'
+        GROUP BY 1
+    )
+    SELECT v.user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage,
+           epoch_us(v.first_view) AS view_us,
+           epoch_us(c.first_click) AS click_us,
+           epoch_us(p.first_purchase) AS purchase_us
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view -> first click
+    within 24h of it -> first purchase within 24h of that. Each stage
+    is a per-user min-agg (map-side combined) plus a user-keyed join
+    against the next event type — the funnel depth, not the corpus,
+    sets the number of shuffles, and every join key is user_id, so
+    all stages co-partition under one exchange reuse at scale.
+    Timestamps come out as exact epoch-micro BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        v.join(ev.filter(F.col("event_type") == "click").select("user_id", "ts"), "user_id")
+        .filter(
+            (F.col("ts") > F.col("first_view"))
+            & (F.col("ts") <= F.col("first_view") + F.expr("INTERVAL 24 hours"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        c.join(
+            ev.filter(F.col("event_type") == "purchase").select("user_id", "ts"),
+            "user_id",
+        )
+        .filter(
+            (F.col("ts") > F.col("first_click"))
+            & (F.col("ts") <= F.col("first_click") + F.expr("INTERVAL 24 hours"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("first_purchase").isNotNull(), F.lit(3))
+            .when(F.col("first_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("stage"),
+            F.unix_micros("first_view").alias("view_us"),
+            F.unix_micros("first_click").alias("click_us"),
+            F.unix_micros("first_purchase").alias("purchase_us"),
+        )
+    )

@@ -169,3 +169,59 @@ def hll_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.10) * F.col("n_overlap_exact")
         ).alias("within_10pct"),
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH cnt AS (
+        SELECT token, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token
+    ),
+    dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    sk AS (
+        SELECT d,
+               CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || token), 1, 8) AS BIGINT) % 1024 AS b,
+               CAST(SUM(n) AS BIGINT) AS c
+        FROM cnt CROSS JOIN dd
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT cnt.token, cnt.n, dd.d,
+               CAST('0x' || substr(md5(CAST(dd.d AS VARCHAR) || '|' || cnt.token), 1, 8) AS BIGINT) % 1024 AS b
+        FROM cnt CROSS JOIN dd
+    ),
+    est AS (
+        SELECT p.token, p.n, MIN(sk.c) AS est
+        FROM probe p JOIN sk ON sk.d = p.d AND sk.b = p.b
+        GROUP BY 1, 2
+    ),
+    thr AS (SELECT CAST(SUM(n) // 200 AS BIGINT) AS t FROM cnt)
+    SELECT token, est AS est_count, n AS exact_count, n < thr.t AS is_false_positive
+    FROM est, thr
+    WHERE est >= thr.t
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the document token stream:
+    build a 4x1024 row-salted-md5 CMS (operators/cms.py has the
+    merge/broadcast scale model), probe every distinct token, and
+    report the ones whose ESTIMATE clears 0.5% of the stream — with
+    the exact count alongside and CMS false positives flagged
+    (est >= T but exact < T; est < exact is impossible by
+    construction). Deterministic hash family -> full value-hash
+    oracle replaying build + probe in SQL."""
+    from gerrydb_etl_spark.operators.cms import build_sketch, estimate, token_counts
+
+    counts = token_counts(load_table(spark, sf_dir, "documents"))
+    # exact integer total -> threshold folded in as a literal; the
+    # oracle recomputes the identical exact sum on its side
+    thr = int(counts.agg(F.sum("n")).first()[0]) // 200
+    est = estimate(counts, build_sketch(counts))
+    return est.filter(F.col("est") >= F.lit(thr)).select(
+        "token",
+        F.col("est").alias("est_count"),
+        F.col("n").alias("exact_count"),
+        (F.col("n") < F.lit(thr)).alias("is_false_positive"),
+    )

@@ -22,6 +22,8 @@ TOUCHED_R6 = [
     "kmeans_train_assign",
     "semantic_dedup_survivors",
     "events_stream_join_attribution",
+    "cms_heavy_hitters",
+    "funnel_conversion_stages",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ivf_cosine_topk",
