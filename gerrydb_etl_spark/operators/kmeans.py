@@ -173,11 +173,6 @@ def semantic_dedup(
         for _ in range(iters - 1):
             centroids = _update(assigned, dim)
             assigned = assign(quant, centroids)
-        # the final assignment is a narrow literal-centroid
-        # projection, so the three plan branches below (a side,
-        # b side, survivor base) each recompute it cheaply; holding
-        # a persist here would never materialize before the caller's
-        # action anyway
         # norms are folded ONCE PER ROW here; recomputing them
         # inside the pair filter would triple the per-pair fold
         # work (same fix as the vector-family rescore path)
@@ -188,6 +183,14 @@ def semantic_dedup(
             dv.alias("dv"),
             F.sqrt(fold_sum(F.transform(dv, lambda x: x * x))).alias("nrm"),
         )
+        # three plan branches consume the assignment (a side, b side,
+        # survivor base); localCheckpoint materializes it once to
+        # executor storage and truncates the literal-centroid lineage
+        # so the caller's action doesn't re-run scan+quantize+assign
+        # per branch. Storage is one (id, cell, vector, norm) row per
+        # corpus row — the same footprint the pair shuffle moves
+        # anyway — and the blocks free with the DataFrame.
+        qd = qd.localCheckpoint(eager=True)
         # the join key is cluster_id — only k distinct values, so
         # an unsalted shuffle caps parallelism at k tasks. Salt
         # the b side by row hash and replicate the a side over
@@ -216,7 +219,7 @@ def semantic_dedup(
             .distinct()
         )
         return (
-            assigned.select("vec_id", "cluster_id")
+            qd.select("vec_id", "cluster_id")
             .join(dropped, "vec_id", "left_anti")
         )
     finally:
