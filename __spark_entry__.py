@@ -54,6 +54,8 @@ _EXPOSURE_PRIORITY = [
     "events_stream_join_attribution",
     "cms_heavy_hitters",
     "funnel_conversion_stages",
+    "passage_dedup",
+    "winnow_fingerprints",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

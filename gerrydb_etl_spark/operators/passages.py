@@ -1,0 +1,186 @@
+"""Cross-document passage dedup and winnowing fingerprint selection.
+
+Two corpus-hygiene operators a training-data pipeline runs before
+tokenization (the reference has no text surface; this extends the
+SURVEY.md §2.12 north star alongside operators/dedup.py):
+
+- **Repeated-passage removal** (C4-style, Raffel et al. 2020 §2.2):
+  split every document into fixed-size non-overlapping token blocks,
+  find blocks that occur in >= min_docs distinct documents
+  (boilerplate / license headers / navigation chrome), delete them
+  from every document, and reassemble the survivors in order.
+
+- **Robust winnowing** (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+  per-position k-gram rolling hashes; for every window of w
+  consecutive hashes select the minimum, breaking ties by the
+  RIGHTMOST occurrence; the distinct selected (position, hash) pairs
+  are the document's fingerprints. Guarantees at least one shared
+  fingerprint for any match of length >= w + k - 1.
+
+Scale design: winnowing is computed entirely in the per-row array
+domain (transform/slice/aggregate — whole-stage codegen, ZERO
+shuffles before the final explode), so it runs at scan speed over
+100 TB. Passage dedup is the canonical two-shuffle shape: one
+map-side-combined distinct-doc count per block text, one anti-join
+of blocks against the boilerplate set, one reassembly aggregation;
+no step is quadratic and the block-count aggregate is bounded by
+corpus vocabulary, not pair counts. Both use the portable token-code
+hash from functions/text.py (no engine-specific hash functions), so
+each carries a full DuckDB value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.functions.text import FP_BASE, FP_MOD, tokenize
+
+
+def _token_codes(tokens: Column) -> Column:
+    """Engine-portable per-token integer code (same scheme as
+    functions/text.py rolling_fingerprint): len(token)*256 + ascii of
+    the first char. Stays < 2^20, so a k-step base-131 fold mod
+    FP_MOD never overflows int64 in either engine."""
+    return F.transform(
+        tokens, lambda t: F.length(t).cast("long") * 256 + F.ascii(t).cast("long")
+    )
+
+
+def kgram_hashes(tokens: Column, k: int) -> Column:
+    """array<long> of rolling k-gram hashes, one per start position
+    0..n-k: base-131 polynomial fold of the k token codes mod FP_MOD.
+    Pure array-domain expression — no explode, no shuffle."""
+    codes = _token_codes(tokens)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(codes) - k),
+        lambda i: F.aggregate(
+            F.slice(codes, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+        ),
+    )
+
+
+def winnow_select(khashes: Column, w: int) -> Column:
+    """Robust-winnowing selection over an array of k-gram hashes:
+    for each window start j in 0..P-w pick the 0-based position of
+    the window's minimum hash, rightmost on ties, and return the
+    distinct selected positions (array<long>, ascending by window).
+
+    Rightmost arg-min of slice s = w - position_of_min_in(reverse(s))
+    (array_position is 1-based first-occurrence, so on the reversed
+    slice it finds the rightmost original occurrence)."""
+
+    def pick(j: Column) -> Column:
+        window = F.slice(khashes, j + 1, w)
+        return j + (w - F.array_position(F.reverse(window), F.array_min(window)))
+
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size(khashes) - w), pick)
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints per document: (doc_id, pos, fingerprint)
+    rows, one per selected k-gram. Documents shorter than k + w - 1
+    tokens (no complete window) are dropped — same guard in the SQL
+    oracle, so the contract is explicit rather than a boundary
+    special-case.
+
+    Plan shape: a single narrow projection chain over the scan (the
+    whole selection happens inside array expressions), then one
+    explode. Zero shuffles — verified by tests/test_passages.py.
+    """
+    # Guard BEFORE building k-gram hashes: Spark's sequence(0, n-k)
+    # silently produces a DESCENDING sequence when n < k, so short
+    # documents must never reach the hash expression.
+    toks = docs.select(
+        F.col(id_col), tokenize(text_col).alias("toks")
+    ).where(F.size("toks") >= k + w - 1)
+    picked = toks.select(
+        F.col(id_col),
+        kgram_hashes(F.col("toks"), k).alias("kh"),
+    )
+    sel = picked.select(
+        id_col,
+        "kh",
+        F.explode(winnow_select(F.col("kh"), w)).alias("pos"),
+    )
+    return sel.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.element_at("kh", (F.col("pos") + 1).cast("int")).alias("fingerprint"),
+    )
+
+
+def passage_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style repeated-passage removal.
+
+    Splits each document into consecutive ``block_tokens``-token
+    blocks, removes every block whose exact text occurs in >=
+    ``min_docs`` DISTINCT documents, and reassembles the remaining
+    blocks in original order. Returns one row per input document:
+    (doc_id, clean_text, n_blocks, blocks_removed) — documents whose
+    every block was boilerplate survive with clean_text = ''.
+
+    Scale: block texts are grouped map-side-combined (cardinality =
+    distinct passages, not documents x blocks); the boilerplate set
+    is joined back with a shuffle hash anti-join keyed on the block
+    text (at 100 TB you would key this on xxhash64(block) — kept as
+    the raw text here so the DuckDB oracle replays bit-for-bit, and
+    documented as the one concession to oracle parity). Reassembly
+    is one aggregation with an in-group array sort — no window over
+    an unbounded frame, no collect.
+    """
+    toks = tokenize(text_col)
+    n_blocks = F.expr(f"(size(split({text_col}, ' ')) + {block_tokens - 1}) div {block_tokens}")
+    blocks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda j: F.array_join(
+                    F.slice(toks, j * block_tokens + 1, block_tokens), " "
+                ),
+            )
+        ).alias("blk", "blk_text"),
+    )
+    boilerplate = (
+        blocks.groupBy("blk_text")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select("blk_text")
+    )
+    kept = blocks.join(boilerplate, "blk_text", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("blk", "blk_text"))),
+                lambda s: s["blk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(F.col(id_col), n_blocks.cast("long").alias("n_blocks"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_blocks",
+        (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("blocks_removed"),
+    )

@@ -12,6 +12,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_pipeline,
     llm_similarity,
     llm_text,
+    passages,
     relational,
     resolution,
     retrieval,

@@ -1,0 +1,110 @@
+"""Driver-visible queries for the passage-hygiene operators
+(operators/passages.py): C4-style repeated-passage removal and
+robust winnowing fingerprints, each with a full DuckDB value-hash
+oracle built on the same portable token-code hash the Spark side
+uses (no engine-specific hash functions anywhere)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gerrydb_etl_spark.functions.text import FP_BASE, FP_MOD
+from gerrydb_etl_spark.operators.passages import passage_dedup, winnow_fingerprints
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+BLOCK_TOKENS = 10
+MIN_DOCS = 2
+WINNOW_K = 3
+WINNOW_W = 4
+
+# Shared oracle fragment: per-token integer code, identical to
+# operators/passages.py _token_codes (len*256 + ascii of first char).
+_CODES = "list_transform(string_split(text, ' '), t -> length(t)::BIGINT * 256 + ascii(t)::BIGINT)"
+
+
+@query(
+    "passage_dedup",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               (len(string_split(text, ' ')) + {BLOCK_TOKENS - 1}) // {BLOCK_TOKENS}
+                   AS n_blocks
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, blk,
+               array_to_string(
+                   w[blk * {BLOCK_TOKENS} + 1 : (blk + 1) * {BLOCK_TOKENS}], ' '
+               ) AS blk_text
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(0, n_blocks - 1)) AS blk
+              FROM s)
+    ),
+    boilerplate AS (
+        SELECT blk_text FROM blocks
+        GROUP BY blk_text HAVING COUNT(DISTINCT doc_id) >= {MIN_DOCS}
+    ),
+    kept AS (
+        SELECT * FROM blocks
+        WHERE blk_text NOT IN (SELECT blk_text FROM boilerplate)
+    ),
+    reassembled AS (
+        SELECT doc_id,
+               string_agg(blk_text, ' ' ORDER BY blk) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(clean_text, '') AS clean_text,
+           s.n_blocks,
+           CAST(s.n_blocks - COALESCE(n_kept, 0) AS BIGINT) AS blocks_removed
+    FROM s LEFT JOIN reassembled ON s.doc_id = reassembled.doc_id
+    """,
+)
+def passage_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove every 10-token block that appears verbatim in >= 2
+    distinct documents (boilerplate / near-duplicate passages) and
+    reassemble each document from its surviving blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup(docs, block_tokens=BLOCK_TOKENS, min_docs=MIN_DOCS)
+
+
+@query(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH kh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, len(codes) - {WINNOW_K} + 1),
+                   i -> list_reduce(
+                       codes[i + 1 : i + {WINNOW_K}],
+                       (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}
+                   ) % {FP_MOD}
+               ) AS kh
+        FROM (SELECT doc_id, {_CODES} AS codes FROM documents)
+        WHERE len(codes) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    sel AS (
+        SELECT doc_id, kh,
+               unnest(list_distinct(list_transform(
+                   range(0, len(kh) - {WINNOW_W} + 1),
+                   j -> j + ({WINNOW_W} - list_position(
+                       list_reverse(kh[j + 1 : j + {WINNOW_W}]),
+                       list_min(kh[j + 1 : j + {WINNOW_W}])
+                   ))
+               ))) AS pos
+        FROM kh
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           kh[CAST(pos AS INT) + 1] AS fingerprint
+    FROM sel
+    """,
+)
+def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing fingerprints (k=3-gram rolling hash, window
+    w=4, rightmost-min tie-break) per document — the MOSS document-
+    fingerprint scheme, computed entirely in the array domain with
+    zero shuffles before the output explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
