@@ -56,6 +56,8 @@ _EXPOSURE_PRIORITY = [
     "funnel_conversion_stages",
     "passage_dedup",
     "winnow_fingerprints",
+    "fuzzy_blocked_match",
+    "timeline_gap_fill",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -9,6 +9,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     geo_queries,
     geoset_queries,
     joins_extra,
+    linkage,
     llm_pipeline,
     llm_similarity,
     llm_text,
@@ -20,6 +21,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     sketches,
     sources_extra,
     store_queries,
+    timeseries,
     validation,
     windows,
 )

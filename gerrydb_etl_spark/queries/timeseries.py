@@ -1,0 +1,95 @@
+"""Time-spine gap fill / resampling over the events stream.
+
+A feature pipeline consuming event streams needs dense time series:
+every (entity, hour) present, zero-filled counts, and last-known
+values carried forward across empty buckets. Spark's sequence() +
+explode builds the per-entity spine declaratively, and the
+forward-fill is a single last(ignorenulls) running window — both
+Catalyst-native, no Python, no driver loop.
+
+Float discipline: the filled metrics are counts and ids (BIGINT),
+never double sums, so the DuckDB oracle (generate_series spine +
+last_value IGNORE NULLS) replays bit-for-bit.
+
+Scale design: the spine explode is linear in (entities x buckets)
+and partitions by the same key as the aggregation, so AQE coalesces
+the two shuffles; the forward-fill window partitions by entity and
+is bounded by the spine length. Per-entity min/max bounds come from
+the same pre-aggregation — no global collect. Skewed entities (one
+event type dominating) only skew the count aggregation, which is
+map-side combined; the window runs over the uniform spine, not the
+raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+
+@query(
+    "timeline_gap_fill",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts
+        FROM b
+    ),
+    agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               COUNT(*) AS c, MAX(event_id) AS max_id
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_ts,
+           COALESCE(c, 0) AS n_events,
+           last_value(max_id IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_event_id,
+           c IS NULL AS is_gap
+    FROM spine LEFT JOIN agg USING (event_type, hour_ts)
+    """,
+)
+def timeline_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample per event type: dense spine from first to last
+    observed hour, zero-filled event counts, forward-filled last seen
+    event_id, and an is_gap marker for originally-empty hours."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    bounds = events.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    agg = events.groupBy("event_type", hour.alias("hour_ts")).agg(
+        F.count("*").alias("c"),
+        F.max("event_id").alias("max_id"),
+    )
+    ffill = W.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        spine.join(agg, ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce("c", F.lit(0)).cast("long").alias("n_events"),
+            F.last("max_id", ignorenulls=True).over(ffill).alias("last_event_id"),
+            F.col("c").isNull().alias("is_gap"),
+        )
+    )
