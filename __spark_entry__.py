@@ -58,6 +58,7 @@ _EXPOSURE_PRIORITY = [
     "winnow_fingerprints",
     "fuzzy_blocked_match",
     "timeline_gap_fill",
+    "pagerank_fixed_point",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

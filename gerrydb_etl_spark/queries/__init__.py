@@ -8,6 +8,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     events,
     geo_queries,
     geoset_queries,
+    graph,
     joins_extra,
     linkage,
     llm_pipeline,

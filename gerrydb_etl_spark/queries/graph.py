@@ -1,0 +1,101 @@
+"""Graph-centrality query: fixed-point PageRank over the
+customer -> supplier purchase graph (operators/pagerank.py), with the
+recurrence unrolled into a DuckDB CTE chain as the value-hash oracle.
+
+Node namespace: customer c -> node 2c, supplier s -> node 2s + 1.
+Suppliers never have out-edges and customers without orders have
+none either; both kinds of dangling mass are redistributed uniformly
+each round — the oracle replays exactly the same integer recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.operators.pagerank import SCALE, pagerank_fixed_point
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+ITERATIONS = 3
+
+
+def _oracle(iterations: int) -> str:
+    parts = [
+        f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nodes AS (
+        SELECT c_custkey * 2 AS node FROM customer
+        UNION ALL
+        SELECT s_suppkey * 2 + 1 FROM supplier
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, {SCALE} // n_nodes AS score FROM nodes CROSS JOIN n)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    d{k} AS (
+        SELECT COALESCE(SUM(score), 0) AS dang
+        FROM r{k - 1} LEFT JOIN deg USING (node) WHERE outdeg IS NULL
+    ),
+    s{k} AS (
+        SELECT e.dst AS node, SUM(r.score // g.outdeg) AS insum
+        FROM edges e
+        JOIN r{k - 1} r ON e.src = r.node
+        JOIN deg g ON g.node = e.src
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT nd.node,
+               (15 * ({SCALE} // n.n_nodes)) // 100
+               + (85 * (COALESCE(s.insum, 0) + d.dang // n.n_nodes)) // 100
+                   AS score
+        FROM nodes nd CROSS JOIN n CROSS JOIN d{k} d
+        LEFT JOIN s{k} s ON nd.node = s.node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS node_key,
+           CAST(score AS BIGINT) AS score
+    FROM r{iterations}"""
+    )
+    return "".join(parts)
+
+
+@query("pagerank_fixed_point", oracle=_oracle(ITERATIONS))
+def pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round fixed-point PageRank over distinct (customer ->
+    supplier) purchase edges; scores are integer micro-units of a
+    10^12 total mass, so the result is exactly reproducible."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        customer.select((F.col("c_custkey") * 2).alias("node"))
+        .unionAll(supplier.select((F.col("s_suppkey") * 2 + 1).alias("node")))
+    )
+    scores = pagerank_fixed_point(nodes, edges, iterations=ITERATIONS)
+    return scores.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("score").cast("long").alias("score"),
+    )
