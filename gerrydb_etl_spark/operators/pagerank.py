@@ -57,11 +57,16 @@ def pagerank_fixed_point(
     # its k x dim centroids) and folded back in as literals — a
     # scalar cross join would compile to BroadcastNestedLoopJoin,
     # which the plan gate (tests/test_plan_shapes.py) bans.
+    # Edges (and their degree table) feed every round's contribution
+    # join AND the dangling-mass anti-join; without a persist the
+    # upstream edge derivation (often a join + distinct) would be
+    # recomputed O(iterations) times.
+    edges = edges.persist()
     n = nodes.count()
     base = (15 * (scale // n)) // 100
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
-    )
+    ).persist()
     scores = nodes.select("node", F.lit(scale // n).cast("long").alias("score"))
     prev = None
     for _ in range(iterations):
@@ -88,4 +93,12 @@ def pagerank_fixed_point(
             f"{base} + (85 * (COALESCE(insum, 0) + {dang // n})) div 100"
             " AS score",
         )
+    # Materialize the final round once and sever lineage so every
+    # cached input can be released before returning (same
+    # localCheckpoint pattern as operators/kmeans.py semantic dedup).
+    scores = scores.localCheckpoint(eager=True)
+    edges.unpersist()
+    deg.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return scores

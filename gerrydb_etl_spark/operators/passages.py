@@ -47,11 +47,13 @@ def _token_codes(tokens: Column) -> Column:
     )
 
 
-def kgram_hashes(tokens: Column, k: int) -> Column:
-    """array<long> of rolling k-gram hashes, one per start position
-    0..n-k: base-131 polynomial fold of the k token codes mod FP_MOD.
-    Pure array-domain expression — no explode, no shuffle."""
-    codes = _token_codes(tokens)
+def kgram_hashes(codes: Column, k: int) -> Column:
+    """array<long> of rolling k-gram hashes over a MATERIALIZED
+    token-code array column (apply _token_codes in a prior select —
+    passing the codes expression inline would re-evaluate it once
+    per sequence element, turning O(n·k) into O(n²)): base-131
+    polynomial fold of the k codes mod FP_MOD per start position
+    0..n-k. Pure array-domain expression — no explode, no shuffle."""
     return F.transform(
         F.sequence(F.lit(0), F.size(codes) - k),
         lambda i: F.aggregate(
@@ -101,13 +103,16 @@ def winnow_fingerprints(
     """
     # Guard BEFORE building k-gram hashes: Spark's sequence(0, n-k)
     # silently produces a DESCENDING sequence when n < k, so short
-    # documents must never reach the hash expression.
-    toks = docs.select(
-        F.col(id_col), tokenize(text_col).alias("toks")
-    ).where(F.size("toks") >= k + w - 1)
-    picked = toks.select(
+    # documents must never reach the hash expression. Token codes
+    # are materialized as a column in their own projection so the
+    # k-gram transform references them O(1) per position instead of
+    # re-running tokenize per position.
+    codes = docs.select(
+        F.col(id_col), _token_codes(tokenize(text_col)).alias("codes")
+    ).where(F.size("codes") >= k + w - 1)
+    picked = codes.select(
         F.col(id_col),
-        kgram_hashes(F.col("toks"), k).alias("kh"),
+        kgram_hashes(F.col("codes"), k).alias("kh"),
     )
     sel = picked.select(
         id_col,
@@ -147,15 +152,25 @@ def passage_dedup(
     is one aggregation with an in-group array sort — no window over
     an unbounded frame, no collect.
     """
-    toks = tokenize(text_col)
-    n_blocks = F.expr(f"(size(split({text_col}, ' ')) + {block_tokens - 1}) div {block_tokens}")
-    blocks = docs.select(
+    # Materialize the token array in its own projection first: using
+    # the tokenize expression inside the per-block lambda would
+    # re-split the whole document once per block (O(n²/B) per doc).
+    tokenized = docs.select(
+        F.col(id_col), tokenize(text_col).alias("toks")
+    ).select(
+        id_col,
+        "toks",
+        F.expr(f"(size(toks) + {block_tokens - 1}) div {block_tokens}").alias(
+            "n_blocks"
+        ),
+    )
+    blocks = tokenized.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), n_blocks - 1),
+                F.sequence(F.lit(0), F.col("n_blocks") - 1),
                 lambda j: F.array_join(
-                    F.slice(toks, j * block_tokens + 1, block_tokens), " "
+                    F.slice("toks", j * block_tokens + 1, block_tokens), " "
                 ),
             )
         ).alias("blk", "blk_text"),
@@ -177,7 +192,9 @@ def passage_dedup(
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = docs.select(F.col(id_col), n_blocks.cast("long").alias("n_blocks"))
+    totals = tokenized.select(
+        id_col, F.col("n_blocks").cast("long").alias("n_blocks")
+    )
     return totals.join(reassembled, id_col, "left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -83,17 +83,31 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dirty_name"),
         )
     )
-    dist = F.levenshtein("dirty_name", "c_name")
+    # project the distance BEFORE filtering so levenshtein is
+    # evaluated once per candidate pair, not once in the predicate
+    # and again in the output projection
+    # Broadcast the probe side: blocking keys are low-cardinality
+    # (25 nations), so a shuffle join would cap parallelism at 25
+    # partitions and skew on the biggest block; broadcasting the
+    # (small) probe set keeps the big side free to parallelize. The
+    # big side is round-robin repartitioned first because the edit-
+    # distance evaluation — not the scan — dominates this join, and
+    # a small parquet file arrives as one partition that would
+    # serialize all of it on one core. At 100 TB the scan has
+    # thousands of partitions and both the repartition and the probe
+    # broadcast give way to a shuffle join + operators/skew.py
+    # salting.
+    fanout = customer.sparkSession.sparkContext.defaultParallelism
     cand = (
-        probes.join(customer, "c_nationkey")
-        .where(dist <= MAX_DIST)
+        F.broadcast(probes).join(customer.repartition(fanout), "c_nationkey")
         .select(
             "probe_key",
             "dirty_name",
             F.col("c_custkey").alias("matched_key"),
             F.col("c_name").alias("matched_name"),
-            dist.cast("long").alias("dist"),
+            F.levenshtein("dirty_name", "c_name").cast("long").alias("dist"),
         )
+        .where(F.col("dist") <= MAX_DIST)
     )
     best = W.partitionBy("probe_key").orderBy("dist", "matched_key")
     return (

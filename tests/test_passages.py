@@ -68,9 +68,13 @@ def _py_kgram(tokens, k):
 
 
 def test_kgram_hashes_match_reference_fold(spark):
+    from gerrydb_etl_spark.operators.passages import _token_codes
+
     text = "the quick brown fox jumps over"
-    df = _docs(spark, [(1, text)]).select(
-        kgram_hashes(F.split("text", " "), 3).alias("kh")
+    df = (
+        _docs(spark, [(1, text)])
+        .select(_token_codes(F.split("text", " ")).alias("codes"))
+        .select(kgram_hashes(F.col("codes"), 3).alias("kh"))
     )
     assert df.first()["kh"] == _py_kgram(text.split(" "), 3)
 
