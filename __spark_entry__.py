@@ -59,6 +59,8 @@ _EXPOSURE_PRIORITY = [
     "fuzzy_blocked_match",
     "timeline_gap_fill",
     "pagerank_fixed_point",
+    "robust_length_filter",
+    "shingle_novelty",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

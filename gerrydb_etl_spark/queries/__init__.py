@@ -3,6 +3,7 @@
 from gerrydb_etl_spark.queries import (  # noqa: F401
     clustering,
     config_queries,
+    corpus_stats,
     curation,
     docprep,
     events,

@@ -1,0 +1,137 @@
+"""Corpus-distribution operators: discrete-quantile outlier
+filtering and cross-document shingle novelty.
+
+Both are standard curation passes over the documents table
+(SURVEY.md §2.12 north star):
+
+- **robust_length_filter** — drop length outliers outside the
+  [p5, p95] band. The thresholds are TYPE-1 (discrete) quantiles:
+  the smallest observed value whose cumulative frequency reaches
+  ceil(q·N). Discrete quantiles are pure integer arithmetic — no
+  interpolation — so Spark and DuckDB agree exactly, where
+  percentile()/quantile_cont() interpolation would be a float
+  minefield.
+
+- **shingle_novelty** — per document, the fraction of its distinct
+  3-gram shingles whose FIRST owner (minimum doc_id) is the document
+  itself: 1.0 = entirely novel text, ~0 = document is assembled from
+  passages seen earlier in the corpus. The cross-document structure
+  is one inverted-index aggregation (min owner per shingle) + one
+  join back — the same no-all-pairs shape as operators/dedup.py.
+
+Scale notes: the length histogram cumulates over DISTINCT length
+values (value-domain, bounded by max document length — not row
+count), so its unpartitioned running-sum window is dimension-sized,
+like the documented windows in queries/curation.py. The two quantile
+thresholds are single-BIGINT model state collected to the driver
+(operators/kmeans.py contract) and folded back as literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.store.staging import staged_shingles
+
+Q_LO = 5    # percent
+Q_HI = 95   # percent
+
+
+@query(
+    "robust_length_filter",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    hist AS (SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+    cum AS (
+        SELECT n_chars,
+               SUM(cnt) OVER (ORDER BY n_chars
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM hist
+    ),
+    q AS (
+        SELECT
+            (SELECT MIN(n_chars) FROM cum, n
+              WHERE cum >= ({Q_LO} * c + 99) // 100) AS q_lo,
+            (SELECT MIN(n_chars) FROM cum, n
+              WHERE cum >= ({Q_HI} * c + 99) // 100) AS q_hi
+    )
+    SELECT doc_id, n_chars,
+           n_chars BETWEEN q_lo AND q_hi AS keep
+    FROM documents, q
+    """,
+)
+def robust_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag documents whose n_chars falls outside the discrete
+    [p5, p95] corpus band."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    cum_w = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select("n_chars", F.sum("cnt").over(cum_w).alias("cum"))
+    # two single-BIGINT threshold scalars (bounded model collect)
+    q_lo = (
+        cum.where(F.col("cum") >= (Q_LO * n + 99) // 100)
+        .agg(F.min("n_chars"))
+        .first()[0]
+    )
+    q_hi = (
+        cum.where(F.col("cum") >= (Q_HI * n + 99) // 100)
+        .agg(F.min("n_chars"))
+        .first()[0]
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.col("n_chars").between(F.lit(q_lo), F.lit(q_hi)).alias("keep"),
+    )
+
+
+@query(
+    "shingle_novelty",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> array_to_string(t[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    ),
+    owner AS (SELECT shingle, MIN(doc) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN owner.first_doc = sh.doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel,
+           SUM(CASE WHEN owner.first_doc = sh.doc THEN 1 ELSE 0 END)
+               / COUNT(*) AS novelty
+    FROM sh JOIN owner ON sh.shingle = owner.shingle
+    GROUP BY sh.doc
+    """,
+)
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of its distinct 3-gram shingles
+    first introduced (min doc_id) by the document itself. Uses the
+    session-staged shingle inverted-index input."""
+    sh = staged_shingles(spark, sf_dir, 3).select("doc", "shingle")
+    owner = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+    )
+    return (
+        sh.join(owner, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.cast("long").alias("novel"),
+            (novel / F.count("*")).alias("novelty"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"), "n_shingles", "novel", "novelty"
+        )
+    )
