@@ -61,6 +61,9 @@ _EXPOSURE_PRIORITY = [
     "pagerank_fixed_point",
     "robust_length_filter",
     "shingle_novelty",
+    "containment_dedup",
+    "event_rate_anomaly",
+    "local_supplier_volume",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

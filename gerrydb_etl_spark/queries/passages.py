@@ -9,9 +9,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from gerrydb_etl_spark.functions.text import FP_BASE, FP_MOD
+from gerrydb_etl_spark.operators.dedup import containment_pairs
 from gerrydb_etl_spark.operators.passages import passage_dedup, winnow_fingerprints
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.store.staging import staged_shingles
 
 BLOCK_TOKENS = 10
 MIN_DOCS = 2
@@ -108,3 +110,55 @@ def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles before the output explode."""
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+
+
+CONTAINMENT_TAU = 0.9
+
+
+@query(
+    "containment_dedup",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> array_to_string(t[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    keyed AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle IN (SELECT shingle FROM sh
+                          GROUP BY shingle HAVING COUNT(*) <= 1000)
+    ),
+    pairs AS (
+        SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+        FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    orient AS (
+        SELECT d1 AS contained_doc, d2 AS container_doc, common,
+               s.n_sh AS n_contained
+        FROM pairs JOIN sizes s ON s.doc = d1
+        UNION ALL
+        SELECT d2, d1, common, s.n_sh
+        FROM pairs JOIN sizes s ON s.doc = d2
+    )
+    SELECT contained_doc, container_doc,
+           common / n_contained AS containment
+    FROM orient
+    WHERE common / n_contained >= {CONTAINMENT_TAU}
+    """,
+)
+def containment_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment >= 0.9: documents that are
+    (near-)subsets of another document, in both orientations —
+    the excerpt/truncated-recrawl case symmetric Jaccard misses.
+    Reuses the session-staged shingle inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=CONTAINMENT_TAU,
+        max_shingle_df=1000, shingles=staged_shingles(spark, sf_dir, 3),
+    )

@@ -93,3 +93,56 @@ def timeline_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").isNull().alias("is_gap"),
         )
     )
+
+
+@query(
+    "event_rate_anomaly",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_events) AS BIGINT) AS s1,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, hour_ts, n_events,
+           (n * n_events - s1) * (n * n_events - s1)
+               > 9 * (n * s2 - s1 * s1) AS is_anomaly
+    FROM h JOIN s ON h.event_type = s.event_type
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma hourly rate anomalies per event type, in EXACT integer
+    arithmetic: the float test (x - mean)^2 > 9 * variance is scaled
+    by n^2 into (n*x - S)^2 > 9 * (n*S2 - S^2) — BIGINT-only, so the
+    flag replays bit-for-bit in the oracle (a float mean/stddev
+    would be an engine-order minefield). Per-type moments are a
+    25-row broadcast join back onto the hourly counts. Int64
+    headroom: the scaled test squares (n*x - S) ~ (hours x peak
+    rate), safe to ~3e9 hour-rate product — bucket coarser or use
+    DECIMAL beyond that."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("s1")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_ts",
+            "n_events",
+            (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+            .alias("is_anomaly"),
+        )
+    )

@@ -126,3 +126,28 @@ def test_winnow_plan_has_no_exchange(spark):
     df = REGISTRY["winnow_fingerprints"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_containment_asymmetric_subset_found(spark):
+    # doc 2 is a strict prefix-subset of doc 1: containment(2 in 1)
+    # = 1.0 while Jaccard is well below a 0.9 bar.
+    from gerrydb_etl_spark.operators.dedup import containment_pairs
+
+    long = "a b c d e f g h i j k l m n o p"
+    short = "a b c d e f g"
+    df = _docs(spark, [(1, long), (2, short)])
+    out = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert {(r["contained_doc"], r["container_doc"]) for r in out} == {(2, 1)}
+    assert all(r["containment"] == 1.0 for r in out)
+
+
+def test_containment_emits_both_orientations_for_twins(spark):
+    from gerrydb_etl_spark.operators.dedup import containment_pairs
+
+    text = "a b c d e f g"
+    df = _docs(spark, [(1, text), (2, text)])
+    out = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert {(r["contained_doc"], r["container_doc"]) for r in out} == {
+        (1, 2),
+        (2, 1),
+    }
