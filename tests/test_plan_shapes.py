@@ -121,3 +121,22 @@ def test_partition_pruning_reaches_scan(spark):
     plan = _executed_plan(spark, "partition_pruned_read")
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderpriority" in m.group(1), plan
+
+
+def test_q5_star_join_shape(spark):
+    """local_supplier_volume: the o_orderdate range filter must reach
+    the orders parquet scan, and every dimension join must be a
+    broadcast hash join (the fact-fact join is the only allowed
+    shuffle join)."""
+    plan = _executed_plan(spark, "local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, (
+        "date range not pushed to the orders scan"
+    )
+
+
+def test_winnow_selection_is_shuffle_free(spark):
+    """winnow_fingerprints computes its whole selection in the array
+    domain — no Exchange may appear before the output explode."""
+    plan = _executed_plan(spark, "winnow_fingerprints")
+    assert "Exchange" not in plan, plan
