@@ -64,6 +64,8 @@ _EXPOSURE_PRIORITY = [
     "containment_dedup",
     "event_rate_anomaly",
     "local_supplier_volume",
+    "session_id_assignment",
+    "group_median_discrete",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

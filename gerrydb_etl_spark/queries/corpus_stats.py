@@ -135,3 +135,42 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc").alias("doc_id"), "n_shingles", "novel", "novelty"
         )
     )
+
+
+@query(
+    "group_median_discrete",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n_docs
+        FROM documents
+    )
+    SELECT lang, source, n_chars AS median_n_chars, n_docs
+    FROM ranked
+    WHERE rn = (n_docs + 1) // 2
+    """,
+)
+def group_median_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1, lower) median document length per
+    (lang, source) stratum: the value at sorted position
+    ceil(n/2). Like robust_length_filter, the discrete definition
+    keeps the statistic in pure integers — no interpolation, no
+    float drift — so the oracle matches by value hash. The window
+    is keyed by the stratum (dimension cardinality), never global."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
+    cnt = W.partitionBy("lang", "source")
+    ranked = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n_docs"),
+    )
+    return ranked.where(
+        F.col("rn") == F.expr("(n_docs + 1) div 2")
+    ).select(
+        "lang", "source", F.col("n_chars").alias("median_n_chars"), "n_docs"
+    )

@@ -146,3 +146,62 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "session_id_assignment",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                    WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_idx
+    FROM flagged
+    """,
+)
+def session_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit per-event session ids: a
+    new session starts after a 30-minute inactivity gap, and each
+    event gets its user's running session ordinal (cumulative sum of
+    gap flags over the per-user event-time window). This is the
+    event-level complement of the session-window AGGREGATES
+    (events_session_windows): downstream feature pipelines need the
+    id on every row, not just per-session rollups. Ties on ts are
+    broken by event_id so the window order is total and the oracle
+    replays exactly. Scale: both windows are keyed by user_id —
+    parallelism is user-cardinality, no global window anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap on BOTH sides: a seconds cast truncates
+    # sub-second parts and can flip the flag vs the oracle
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(gap_us.isNull(), 0)
+        .when(gap_us > SESSION_GAP_MIN * 60 * 1_000_000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("new_session").over(run).cast("long").alias("session_idx"),
+    )
