@@ -325,17 +325,78 @@ def minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_near_dup")
+def _simhash_oracle(max_hamming: int = 3, cap: int = 1000) -> str:
+    """Full pipeline replay of simhash_pairs in DuckDB: portable
+    token hash → 64 bit-sign sums → fingerprint assembly → 16-bit
+    chunk blocking (WITH the hot-bucket cap) → bit_count(xor)
+    verification. Possible because the token hash is the portable
+    polynomial family (operators/dedup.py portable_token_hash);
+    bits 62-63 of every hash are 0 by construction, so the oracle
+    assembles bits 0..61 only (a 2^63 BIGINT multiplier would not
+    even parse)."""
+    from gerrydb_etl_spark.operators.dedup import HASH_MASK
+
+    def fold(base: int) -> str:
+        return (
+            "list_reduce(list_transform(range(length(t)),"
+            " i -> ascii(t[i+1])::BIGINT),"
+            f" (a,c) -> (a*{base}+c) & {HASH_MASK})"
+        )
+
+    bitsums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(62)
+    )
+    fp_terms = "\n             + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(62)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               {fold(131)} * {1 << 31} + {fold(137)} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)
+    ),
+    bits AS (
+        SELECT doc,
+               {bitsums}
+        FROM tok GROUP BY doc
+    ),
+    fp AS (
+        SELECT doc,
+               {fp_terms} AS fp
+        FROM bits
+    ),
+    blocked AS (
+        SELECT doc, fp, c.chunk, (fp >> (c.chunk * 16)) & 65535 AS key
+        FROM fp, (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+    ),
+    sizes AS (
+        SELECT chunk, key, COUNT(*) AS n FROM blocked GROUP BY chunk, key
+    ),
+    capped AS (
+        SELECT b.* FROM blocked b
+        JOIN sizes USING (chunk, key) WHERE sizes.n <= {cap}
+    )
+    SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM capped a
+    JOIN capped b ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+@query("simhash_near_dup", oracle=_simhash_oracle(max_hamming=3, cap=1000))
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (16-bit-chunk blocking, Hamming <= 3)
-    — the PRODUCTION plan alone: fingerprints -> chunk buckets ->
-    bucketed self-join -> bit_count(xor) verify. The fingerprint is
-    xxhash64-based (engine-specific), so the pair set is not
-    SQL-expressible: this query takes the driver's rows-only check,
-    and the oracle-checked contract lives in simhash_verify (recall
-    floor vs the exact-Jaccard truth set). Bench timing here is the
-    operator a user runs, with the hot-bucket cap a production
-    deployment would carry."""
+    — the PRODUCTION plan: fingerprints -> chunk buckets -> bucketed
+    self-join -> bit_count(xor) verify, hot-bucket cap included.
+    Since the fingerprints moved to the portable polynomial hash
+    family, the WHOLE pipeline (including the cap) replays in DuckDB
+    and this query carries a full value-hash oracle; simhash_verify
+    additionally anchors recall against the exact-Jaccard truth
+    set."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(
         docs, "doc_id", "text", max_hamming=3, max_bucket_size=1000
