@@ -369,8 +369,17 @@ def lsh_ann_topk(
     candidate join shuffles on (table, signature) — bucket sizes
     are ~corpus/2^bits per table, so candidate volume per query is
     tables x bucket, independent of corpus size for fixed density.
+
+    Planes are the data-derived anchor differences (``anchor_planes``
+    — deterministic given the corpus and SQL-replayable, falling
+    back to seeded RNG hyperplanes only on corpora too small to
+    anchor), which is what lets the registered ann_cosine_topk query
+    carry a full pipeline-replay value-hash oracle like
+    embedding_neardup's instead of a rows-only check.
     """
-    planes = hyperplanes(dim, bits, tables, seed)
+    planes = anchor_planes(
+        corpus, bits, tables, id_col=id_col, vec_col=vec_col, seed=seed
+    )
     sig_udf = _signature_udf(planes)
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:

@@ -3,16 +3,16 @@
 
 The exact brute-force path hash-matches a DuckDB oracle (dot/norm
 folds are bitwise-identical across engines — see
-operators/similarity.py). The seeded ANN paths (LSH, IVF) are
-approximate and registered twice: the PRODUCTION plan under the
-operator's name (benched, rows-only — the RNG-seeded neighbor set
-is not SQL-expressible) and a *_verify twin that recomputes the
-exact truth set and reports recall@k with a floored contract verdict
-(oracle-checked, excluded from bench timing). embedding_neardup uses
-data-derived anchor planes instead of RNG, so its production plan
-carries a FULL value-hash oracle (complete DuckDB pipeline replay)
-on top of its recall twin. Recall assertions also run in
-tests/test_llm_similarity.py.
+operators/similarity.py). The approximate paths are registered
+twice: the PRODUCTION plan under the operator's name (benched) and
+a *_verify twin that recomputes the exact truth set and reports
+recall@k with a floored contract verdict (oracle-checked, excluded
+from bench timing). The hyperplane family (embedding_neardup AND
+ann_cosine_topk) uses data-derived anchor planes instead of RNG, so
+both production plans carry FULL value-hash oracles (complete
+DuckDB pipeline replays) on top of their recall twins; only
+ivf_cosine_topk (float centroid k-means) remains rows-only. Recall
+assertions also run in tests/test_llm_similarity.py.
 """
 
 from __future__ import annotations
@@ -163,19 +163,6 @@ def ivf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_report(exact, approx, floor=0.8)
 
 
-@query("ann_cosine_topk")
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN top-5 (8 tables x 4 bits) — the
-    PRODUCTION plan alone: only bucket-colliding candidates are
-    scored, so per-query work is bucket-bounded instead of
-    corpus-bounded. Approximate neighbor set (hyperplane buckets are
-    seed-dependent), so this query takes the driver's rows-only
-    check; the oracle-checked recall contract lives in ann_verify.
-    Bench timing here demonstrates the sublinear path without the
-    exact baseline's cost."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
 
 
 @query("ann_verify", oracle=_recall_oracle(0.5))
@@ -242,7 +229,14 @@ def _norm_sql(a: str) -> str:
 # max_bucket_size=1000, threshold=0.4).
 _NEARDUP_BITS, _NEARDUP_TABLES, _NEARDUP_OVER = 4, 8, 4
 _NEARDUP_CAP = 1000
-_NEARDUP_REPLAY_SQL = f"""
+
+# Shared CTE chain: anchor-prefix planes + per-table packed sign
+# signatures, exactly mirroring anchor_planes / _signature_udf. Used
+# by BOTH full-replay oracles (embedding_neardup's capped-bucket
+# pair path and ann_cosine_topk's query-vs-corpus collision path);
+# parameters must match the registered Spark calls (bits=4,
+# tables=8, over_provision=4, eps=1e-6).
+_PLANES_SIGS_CTE = f"""
     WITH ordered AS (
         SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
         FROM embeddings
@@ -274,7 +268,9 @@ _NEARDUP_REPLAY_SQL = f"""
                         THEN 1 << pl.bit ELSE 0 END) AS sig
         FROM embeddings e CROSS JOIN planes pl
         GROUP BY e.vec_id, pl.tbl
-    ),
+    )"""
+
+_NEARDUP_REPLAY_SQL = _PLANES_SIGS_CTE + f""",
     ok_buckets AS (
         SELECT tbl, sig FROM sigs
         GROUP BY tbl, sig HAVING COUNT(*) <= {_NEARDUP_CAP}
@@ -294,6 +290,48 @@ _NEARDUP_REPLAY_SQL = f"""
           / ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')})
           >= {NEARDUP_COS}
 """
+
+
+_ANN_REPLAY_SQL = _PLANES_SIGS_CTE + f""",
+    qsigs AS (SELECT * FROM sigs WHERE doc < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT q.doc AS query_id, s.doc AS neighbor_id
+        FROM qsigs q
+        JOIN sigs s ON s.tbl = q.tbl AND s.sig = q.sig
+                   AND s.doc != q.doc
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {_dot_sql('x.embedding', 'y.embedding')}
+               / ({_norm_sql('x.embedding')} * {_norm_sql('y.embedding')})
+                   AS cosine
+        FROM cand c
+        JOIN embeddings x ON x.vec_id = c.query_id
+        JOIN embeddings y ON y.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id
+                  ) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@query("ann_cosine_topk", oracle=_ANN_REPLAY_SQL)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 (8 tables x 4 bits) — the PRODUCTION
+    plan: only bucket-colliding candidates are scored, so per-query
+    work is bucket-bounded instead of corpus-bounded. Planes are the
+    data-derived anchor differences (deterministic given the
+    corpus), so like embedding_neardup this query carries a FULL
+    pipeline-replay value-hash oracle (planes → signatures → bucket
+    collisions → exact rescore → rank) in addition to ann_verify's
+    recall contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
 
 
 @query("embedding_neardup", oracle=_NEARDUP_REPLAY_SQL)
