@@ -102,6 +102,38 @@ def assign(quant: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     )
 
 
+def assign_topn(
+    quant: DataFrame, centroids: dict[int, list[float]], n: int
+) -> DataFrame:
+    """(vec_id, qv, cluster_id, sq_dist_q) rows for each vector's n
+    NEAREST centroids (ties to the lower cluster id) — the IVF probe
+    list. Same literal-centroid narrow projection as ``assign``;
+    array_sort on struct(d, c) gives exactly the
+    ROW_NUMBER() OVER (ORDER BY d, cluster_id) <= n ordering the SQL
+    replay uses."""
+    cids = sorted(centroids)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in centroids[cid]]) for cid in cids]
+    )
+    cid_lit = F.array(*[F.lit(cid) for cid in cids])
+    cells = F.transform(
+        cent_lit,
+        lambda cv, i: F.struct(
+            _sqdist(F.col("qv"), cv).alias("d"),
+            F.element_at(cid_lit, i + 1).alias("c"),
+        ),
+    )
+    top = F.slice(F.array_sort(cells), 1, n)
+    return quant.select(
+        "vec_id", "qv", F.explode(top).alias("s")
+    ).select(
+        "vec_id",
+        "qv",
+        F.col("s.c").alias("cluster_id"),
+        F.col("s.d").alias("sq_dist_q"),
+    )
+
+
 def _update(assigned: DataFrame, dim: int) -> dict[int, list[float]]:
     """New centroids: per-cluster element-wise integer sums (exact,
     order-free) divided once. One k-group shuffle + a k-row collect."""

@@ -8,11 +8,12 @@ twice: the PRODUCTION plan under the operator's name (benched) and
 a *_verify twin that recomputes the exact truth set and reports
 recall@k with a floored contract verdict (oracle-checked, excluded
 from bench timing). The hyperplane family (embedding_neardup AND
-ann_cosine_topk) uses data-derived anchor planes instead of RNG, so
-both production plans carry FULL value-hash oracles (complete
-DuckDB pipeline replays) on top of their recall twins; only
-ivf_cosine_topk (float centroid k-means) remains rows-only. Recall
-assertions also run in tests/test_llm_similarity.py.
+ann_cosine_topk) uses data-derived anchor planes instead of RNG,
+and the IVF path trains its coarse quantizer with the fixed-point
+k-means (operators/kmeans.py), so ALL production plans carry FULL
+value-hash oracles (complete DuckDB pipeline replays) on top of
+their recall twins. Recall assertions also run in
+tests/test_llm_similarity.py.
 """
 
 from __future__ import annotations
@@ -128,21 +129,79 @@ def _recall_oracle(floor: float) -> str:
     )
 
 
-@query("ivf_cosine_topk")
+_IVF_CELLS, _IVF_PROBE, _IVF_ITERS = 16, 4, 2
+
+# fold helpers over an already-double list column (the quantized
+# vectors read as doubles — operators/ivf.py scoring contract)
+_DVDOT = """list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
+        (x, y) -> x + y)"""
+_DVNORM = """sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform({a}, v -> v * v)), (x, y) -> x + y))"""
+
+
+def _ivf_replay_sql() -> str:
+    """Full replay of ivf_topk: fixed-point k-means training
+    (queries/clustering.py CTE chain, same params), rn=1 corpus
+    cells, rn<=n_probe query probes, quantized-double cosine
+    rescore, per-query rank."""
+    from gerrydb_etl_spark.queries.clustering import _kmeans_ctes
+
+    dot = _DVDOT.format(a="x.dv", b="y.dv")
+    nx = _DVNORM.format(a="x.dv")
+    ny = _DVNORM.format(a="y.dv")
+    return f"""
+    {_kmeans_ctes(_IVF_CELLS, _IVF_ITERS)},
+    dvs AS (
+        SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv
+        FROM q
+    ),
+    cells AS (
+        SELECT vec_id AS neighbor_id, cluster_id AS cell
+        FROM a{_IVF_ITERS} WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cluster_id AS cell
+        FROM a{_IVF_ITERS}
+        WHERE vec_id < {N_QUERIES} AND rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               {dot} / ({nx} * {ny}) AS cosine
+        FROM probes p
+        JOIN cells c USING (cell)
+        JOIN dvs x ON x.vec_id = p.query_id
+        JOIN dvs y ON y.vec_id = c.neighbor_id
+        WHERE p.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id
+                  ) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("ivf_cosine_topk", oracle=_ivf_replay_sql())
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN top-5 (16 cells, 4 probes, deterministic mini
-    k-means) — the PRODUCTION plan alone: each query scores only
-    ~n_probe/n_cells of the corpus. No exact baseline rides in this
-    query (that's ivf_verify), so its bench timing demonstrates the
-    sublinear path the docstring advertises. The neighbor set is
-    approximate and the cosine values candidate-set-dependent, so
-    this query takes the driver's rows-only check; the oracle-checked
-    recall contract lives in ivf_verify."""
+    """IVF-Flat ANN top-5 (16 cells, 4 probes, fixed-point mini
+    k-means) — the PRODUCTION plan: each query scores only
+    ~n_probe/n_cells of the corpus. The coarse quantizer is the
+    fixed-point k-means (operators/kmeans.py), so training, cell
+    assignment, probe ranking, and the quantized-double cosine
+    rescore all replay in DuckDB and this query carries a FULL
+    value-hash oracle; the recall-vs-exact contract additionally
+    lives in ivf_verify."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4, iters=2)
+    return ivf_topk(
+        emb, queries, k=TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        iters=_IVF_ITERS,
+    )
 
 
 @query("ivf_verify", oracle=_recall_oracle(0.8))
