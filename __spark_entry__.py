@@ -66,6 +66,14 @@ _EXPOSURE_PRIORITY = [
     "local_supplier_volume",
     "session_id_assignment",
     "group_median_discrete",
+    # code touched late in round 6 session 2: the oracle promotions
+    # (portable simhash hashes, anchor-plane ANN, fixed-point IVF) —
+    # changed plans must sit inside the sample window with their
+    # recall twins
+    "simhash_near_dup",
+    "simhash_verify",
+    "ann_cosine_topk",
+    "ann_verify",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",
