@@ -463,3 +463,94 @@ def run_click_view_attribution(
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def idempotent_batch_sink(batches_root: str):
+    """foreachBatch function writing each micro-batch to an
+    epoch-id-keyed parquet dir with a commit marker; a replayed
+    epoch (same id — what a post-write/pre-checkpoint crash causes)
+    is a no-op, which is what upgrades Spark's at-least-once batch
+    delivery to an exactly-once sink."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(batches_root, f"b_{batch_id:06d}")
+        marker = bdir + ".committed"
+        if os.path.exists(marker):  # replayed epoch -> no-op
+            return
+        batch_df.write.mode("overwrite").parquet(bdir)
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
+
+    return sink
+
+
+def run_stream_to_versioned_store(
+    spark: SparkSession,
+    sf_dir: str,
+    table_root: str,
+    max_files_per_trigger: int | None = 1,
+) -> dict:
+    """Exactly-once streaming ingest into the versioned store:
+    foreachBatch + batch-id idempotence + write-audit-publish.
+
+    Each micro-batch lands in a staging dir keyed by its EPOCH id
+    with a commit marker written after the parquet write; Spark
+    replays a failed batch under the SAME epoch id, so the marker
+    check makes the sink idempotent (the standard foreachBatch
+    exactly-once recipe — Spark only guarantees at-least-once
+    delivery to the batch function, the sink supplies the dedup).
+    When the AvailableNow run drains, the union of committed batches
+    is audited (row-count reconciliation against the source) and
+    published as ONE atomic version via store/wap.py — readers never
+    observe a half-ingested stream.
+
+    Returns {"version", "rows", "batches"} for the published load.
+    Scale: per-batch work is an append-only parquet write of that
+    batch's rows; the final union read is metadata-only listing; the
+    publish is an O(1) pointer swap regardless of history size.
+    """
+    from gerrydb_etl_spark.store.wap import VersionedTable
+
+    stage = _stage_events_dir(sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="events_store_ckpt_")
+    batches_root = tempfile.mkdtemp(prefix="events_store_batches_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = read_events_stream(
+            spark, sf_dir, stage, max_files_per_trigger=max_files_per_trigger
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+
+        q = (
+            src.writeStream.foreachBatch(idempotent_batch_sink(batches_root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        committed = sorted(
+            os.path.join(batches_root, m[: -len(".committed")])
+            for m in os.listdir(batches_root)
+            if m.endswith(".committed")
+        )
+        ingested = spark.read.parquet(*committed)
+        n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+        def audit_counts(df: DataFrame) -> None:
+            assert df.count() == n_src, "streamed rows != source rows"
+
+        table = VersionedTable(spark, table_root)
+        version = table.write(
+            ingested, audits=[audit_counts], notes="streaming ingest"
+        )
+        return {
+            "version": version,
+            "rows": table.read().count(),
+            "batches": len(committed),
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(batches_root, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
