@@ -128,6 +128,14 @@ def main() -> None:
     ensure_staged_shingles(spark, sf_dir, 3)
     ensure_staged_shingles(spark, sf_dir, 5)
 
+    # ...and the trained k-means model (SemDeDup's coarse quantizer):
+    # write-once corpus state with the same fingerprint-keyed
+    # staleness guard; identical values to inline training, so the
+    # re-training DuckDB oracles are unaffected.
+    from gerrydb_etl_spark.store.staging import ensure_staged_kmeans
+
+    ensure_staged_kmeans(spark, sf_dir, k=8, iters=3)
+
     timings: dict[str, float] = {}
     # *_verify queries are truth-anchoring twins of the approximate
     # operators (they recompute the exact baseline to assert a recall

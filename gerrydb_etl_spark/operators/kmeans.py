@@ -164,9 +164,12 @@ def kmeans_train(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_qv: bool = False,
 ) -> DataFrame:
     """`iters` Lloyd assignment passes (so iters-1 centroid updates),
-    returning the final (vec_id, cluster_id, sq_dist_q) assignment.
+    returning the final (vec_id, cluster_id, sq_dist_q) assignment
+    (plus the quantized vector when ``keep_qv`` — the shape the
+    staged-model fixture persists for downstream consumers).
 
     Empty clusters simply drop out of the update (their id stops
     being a candidate), mirroring the SQL replay exactly."""
@@ -177,7 +180,10 @@ def kmeans_train(
         for _ in range(iters - 1):
             centroids = _update(assigned, dim)
             assigned = assign(quant, centroids)
-        return assigned.select("vec_id", "cluster_id", "sq_dist_q")
+        cols = ["vec_id", "cluster_id", "sq_dist_q"]
+        if keep_qv:
+            cols.append("qv")
+        return assigned.select(*cols)
     finally:
         quant.unpersist()
 
@@ -189,22 +195,32 @@ def semantic_dedup(
     tau: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup: drop every vector that has an EARLIER (lower-id)
     same-cell neighbor with cosine >= tau; return the survivors
     (vec_id, cluster_id). Cosine is folded over the quantized
     doubles so the whole pipeline replays bitwise in SQL.
 
+    ``assigned``: optionally a precomputed (vec_id, cluster_id, qv)
+    assignment — e.g. the session-staged trained model from
+    store/staging.py — in which case Lloyd training is skipped
+    entirely; values are identical either way (fixed-point training
+    has no RNG and no float-order dependence), so the SQL replay
+    oracle that re-trains from scratch still hash-matches.
+
     The pairwise join is cell-local (shuffle key = cluster_id), so
     candidate volume is sum(n_c^2) over cells — the SemDeDup cost
     model — not corpus^2."""
-    quant = quantize(emb, vec_col=vec_col, id_col=id_col).persist()
+    quant = None
     try:
-        centroids, dim = init_centroids(quant, k)
-        assigned = assign(quant, centroids)
-        for _ in range(iters - 1):
-            centroids = _update(assigned, dim)
+        if assigned is None:
+            quant = quantize(emb, vec_col=vec_col, id_col=id_col).persist()
+            centroids, dim = init_centroids(quant, k)
             assigned = assign(quant, centroids)
+            for _ in range(iters - 1):
+                centroids = _update(assigned, dim)
+                assigned = assign(quant, centroids)
         # norms are folded ONCE PER ROW here; recomputing them
         # inside the pair filter would triple the per-pair fold
         # work (same fix as the vector-family rescore path)
@@ -255,4 +271,5 @@ def semantic_dedup(
             .join(dropped, "vec_id", "left_anti")
         )
     finally:
-        quant.unpersist()
+        if quant is not None:
+            quant.unpersist()

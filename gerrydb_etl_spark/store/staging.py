@@ -66,3 +66,45 @@ def ensure_staged_shingles(
 def staged_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """The staged shingle rows as a DataFrame (staging on first use)."""
     return spark.table(ensure_staged_shingles(spark, sf_dir, n))
+
+
+def staged_kmeans_name(sf_dir: str, k: int, iters: int) -> str:
+    tag = _source_fingerprint(sf_dir, tables=("embeddings",))
+    return f"st_kmeans_k{k}_i{iters}_{tag}"
+
+
+def ensure_staged_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> str:
+    """Stage the fixed-point k-means assignment (vec_id, cluster_id,
+    qv) once per session + source fingerprint + hyperparameters;
+    returns the managed table name. The trained model is
+    write-once-reuse-many corpus state exactly like the shingle
+    inverted index: SemDeDup (and any other consumer of the trained
+    quantizer) reads the staged assignment instead of re-running
+    Lloyd training per query. The staged values are identical to an
+    inline training run (fixed-point arithmetic — no RNG, no float
+    order), so DuckDB replay oracles that re-train from scratch
+    still hash-match."""
+    from gerrydb_etl_spark.operators.kmeans import kmeans_train
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    name = staged_kmeans_name(sf_dir, k, iters)
+    if spark.catalog.tableExists(name):
+        return name
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    kmeans_train(
+        load_table(spark, sf_dir, "embeddings"), k=k, iters=iters,
+        keep_qv=True,
+    ).write.mode("overwrite").format("parquet").saveAsTable(name)
+    return name
+
+
+def staged_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """The staged k-means assignment as a DataFrame (staging on
+    first use)."""
+    return spark.table(ensure_staged_kmeans(spark, sf_dir, k, iters))
