@@ -154,6 +154,7 @@ def embedding_neardup(
     bits: int = 4,
     tables: int = 8,
     max_bucket_size: int | None = None,
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector-space tier
     of the dedup family (exact hash / Jaccard / MinHash / SimHash /
@@ -193,15 +194,21 @@ def embedding_neardup(
     floor."""
     from gerrydb_etl_spark.operators.dedup import bucket_pairs
 
-    sig_udf = _signature_udf(
-        anchor_planes(corpus, bits, tables, id_col, vec_col)
-    )
     docs = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
-    bucketed = (
-        fan_out(docs)
-        .select("doc", sig_udf(F.col("vec")).alias("sigs"))
-        .select("doc", F.posexplode("sigs").alias("tbl", "sig"))
-    )
+    if bucketed is None:
+        # ``bucketed``: optionally the precomputed (doc, tbl, sig)
+        # rows — e.g. the session-staged signature index from
+        # store/staging.py; values identical to inline computation
+        # (data-derived planes, one matmul), so the replay oracle is
+        # unaffected.
+        sig_udf = _signature_udf(
+            anchor_planes(corpus, bits, tables, id_col, vec_col)
+        )
+        bucketed = (
+            fan_out(docs)
+            .select("doc", sig_udf(F.col("vec")).alias("sigs"))
+            .select("doc", F.posexplode("sigs").alias("tbl", "sig"))
+        )
     cand = (
         bucket_pairs(bucketed, ["tbl", "sig"], F.struct("doc"), max_bucket_size)
         .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))

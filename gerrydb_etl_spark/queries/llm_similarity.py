@@ -407,9 +407,12 @@ def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     float hazard is a signature sign bit whose plane dot sits within
     ~1 ulp of zero (BLAS matmul vs sequential fold) — probability ~0
     on real-valued embeddings."""
+    from gerrydb_etl_spark.store.staging import staged_lsh_sigs
+
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup(
-        emb, threshold=NEARDUP_COS, max_bucket_size=1000
+        emb, threshold=NEARDUP_COS, max_bucket_size=1000,
+        bucketed=staged_lsh_sigs(spark, sf_dir, bits=4, tables=8),
     ).select("d1", "d2")
 
 

@@ -108,3 +108,52 @@ def staged_kmeans(
     """The staged k-means assignment as a DataFrame (staging on
     first use)."""
     return spark.table(ensure_staged_kmeans(spark, sf_dir, k, iters))
+
+
+def staged_lsh_sigs_name(sf_dir: str, bits: int, tables: int) -> str:
+    tag = _source_fingerprint(sf_dir, tables=("embeddings",))
+    return f"st_lshsigs_b{bits}_t{tables}_{tag}"
+
+
+def ensure_staged_lsh_sigs(
+    spark: SparkSession, sf_dir: str, bits: int = 4, tables: int = 8
+) -> str:
+    """Stage the hyperplane-LSH signature index (doc, tbl, sig) once
+    per session + source fingerprint + shape: anchor planes are
+    data-derived (deterministic given the corpus), so the staged
+    rows are identical to inline computation and the neardup
+    pipeline-replay oracle is unaffected."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.similarity import (
+        _signature_udf,
+        anchor_planes,
+    )
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    name = staged_lsh_sigs_name(sf_dir, bits, tables)
+    if spark.catalog.tableExists(name):
+        return name
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig_udf = _signature_udf(anchor_planes(emb, bits, tables))
+    (
+        fan_out(emb.select(F.col("vec_id").alias("doc"), "embedding"))
+        .select("doc", sig_udf(F.col("embedding")).alias("sigs"))
+        .select("doc", F.posexplode("sigs").alias("tbl", "sig"))
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return name
+
+
+def staged_lsh_sigs(
+    spark: SparkSession, sf_dir: str, bits: int = 4, tables: int = 8
+) -> DataFrame:
+    """The staged signature index as a DataFrame (staging on first
+    use)."""
+    return spark.table(ensure_staged_lsh_sigs(spark, sf_dir, bits, tables))
