@@ -116,3 +116,35 @@ def test_empty_cluster_drops_out(spark):
     cids = {r["cluster_id"] for r in out.select("cluster_id").distinct().collect()}
     assert cids <= set(range(10))
     assert out.count() == 20
+
+
+def test_staged_kmeans_matches_inline_training(spark):
+    """The session-staged trained model must be value-identical to
+    inline training (fixed-point arithmetic, no RNG) — the property
+    that lets SemDeDup consume the fixture while its oracle
+    re-trains from scratch."""
+    from gerrydb_etl_spark.operators.kmeans import kmeans_train
+    from gerrydb_etl_spark.sources import load_table
+    from gerrydb_etl_spark.store.staging import staged_kmeans
+    from tests.conftest import SF_SMOKE
+
+    staged = {
+        (r["vec_id"], r["cluster_id"])
+        for r in staged_kmeans(spark, SF_SMOKE, k=8, iters=3).collect()
+    }
+    inline = {
+        (r["vec_id"], r["cluster_id"])
+        for r in kmeans_train(
+            load_table(spark, SF_SMOKE, "embeddings"), k=8, iters=3
+        ).collect()
+    }
+    assert staged == inline
+
+
+def test_staged_kmeans_catalog_hit_is_stable(spark):
+    from gerrydb_etl_spark.store.staging import ensure_staged_kmeans
+    from tests.conftest import SF_SMOKE
+
+    a = ensure_staged_kmeans(spark, SF_SMOKE, k=8, iters=3)
+    b = ensure_staged_kmeans(spark, SF_SMOKE, k=8, iters=3)
+    assert a == b and spark.catalog.tableExists(a)

@@ -185,3 +185,34 @@ def test_ivf_broadcast_guard_switches_to_shuffle_join(spark):
     got = {(r.query_id, r.neighbor_id, r.rank) for r in wide.collect()}
     want = {(r.query_id, r.neighbor_id, r.rank) for r in narrow.collect()}
     assert got == want
+
+
+def test_staged_lsh_sigs_match_inline_signatures(spark):
+    """The staged signature index must equal inline computation
+    (data-derived anchor planes are deterministic given the
+    corpus)."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.similarity import (
+        _signature_udf,
+        anchor_planes,
+    )
+    from gerrydb_etl_spark.store.staging import staged_lsh_sigs
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sig_udf = _signature_udf(anchor_planes(emb, 4, 8))
+    inline = {
+        (r["doc"], r["tbl"], r["sig"])
+        for r in (
+            fan_out(emb.select(F.col("vec_id").alias("doc"), "embedding"))
+            .select("doc", sig_udf(F.col("embedding")).alias("sigs"))
+            .select("doc", F.posexplode("sigs").alias("tbl", "sig"))
+        ).collect()
+    }
+    staged = {
+        (r["doc"], r["tbl"], r["sig"])
+        for r in staged_lsh_sigs(spark, SF_SMOKE, bits=4, tables=8).collect()
+    }
+    assert staged == inline
