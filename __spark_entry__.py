@@ -74,6 +74,7 @@ _EXPOSURE_PRIORITY = [
     "simhash_verify",
     "ann_cosine_topk",
     "ann_verify",
+    "events_stream_store_ingest",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -375,3 +375,46 @@ def funnel_conversion_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("first_purchase").alias("purchase_us"),
         )
     )
+
+
+@query(
+    "events_stream_store_ingest",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           TRUE AS published
+    FROM events
+    """,
+)
+def events_stream_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into the versioned store
+    (streaming/stream.py run_stream_to_versioned_store): foreachBatch
+    with an epoch-id-idempotent sink, row-count audit, one atomic
+    WAP publish. The query streams the events table into a temp
+    store, reads the PUBLISHED version back, and reports (rows,
+    distinct event ids, published) — matching the batch oracle
+    proves no event was lost or double-ingested across micro-batches
+    and that the publish went through."""
+    import shutil
+    import tempfile
+
+    from gerrydb_etl_spark.store.wap import VersionedTable
+    from gerrydb_etl_spark.streaming.stream import (
+        run_stream_to_versioned_store,
+    )
+
+    root = tempfile.mkdtemp(prefix="events_store_ingest_")
+    try:
+        out = run_stream_to_versioned_store(spark, sf_dir, root)
+        table = VersionedTable(spark, root)
+        published = table.read()
+        row = published.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        ).withColumn("published", F.lit(out["version"] is not None))
+        # the temp store is deleted after this query returns; the
+        # result row is already computed from the published version
+        row = row.localCheckpoint(eager=True)
+        return row
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
