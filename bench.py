@@ -133,12 +133,14 @@ def main() -> None:
     # staleness guard; identical values to inline training, so the
     # re-training DuckDB oracles are unaffected.
     from gerrydb_etl_spark.store.staging import (
+        ensure_staged_ivf,
         ensure_staged_kmeans,
         ensure_staged_lsh_sigs,
     )
 
     ensure_staged_kmeans(spark, sf_dir, k=8, iters=3)
     ensure_staged_lsh_sigs(spark, sf_dir, bits=4, tables=8)
+    ensure_staged_ivf(spark, sf_dir, n_cells=16, iters=2)
 
     timings: dict[str, float] = {}
     # *_verify queries are truth-anchoring twins of the approximate

@@ -86,12 +86,19 @@ def ivf_topk(
     n_probe: int = 4,
     iters: int = 2,
     broadcast_query_limit: int = 1024,
+    model: tuple[DataFrame, dict[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: score each query only against corpus
     rows whose cell is among the query's n_probe nearest cells
     (candidates ~ n_probe/n_cells of the corpus). Cosine is computed
     over the quantized vectors read as doubles (sequential folds), so
     the whole output replays in SQL.
+
+    ``model``: optionally a precomputed (assignment, centroids) pair
+    — e.g. store/staging.py's session-staged IVF model — skipping
+    Lloyd training entirely; fixed-point training is RNG- and
+    float-order-free, so staged values equal inline training and the
+    re-training replay oracle is unaffected.
 
     Join strategy: the query side is broadcast ONLY while it is
     provably small — at most ``broadcast_query_limit`` query vectors
@@ -102,11 +109,17 @@ def ivf_topk(
     correct co-partitioned plan at that shape. Pass a larger limit
     explicitly when a bigger broadcast side is intended and the
     executor memory budget is known."""
-    quant = quantize(
-        fan_out(corpus.select(id_col, vec_col)), vec_col=vec_col, id_col=id_col
-    ).persist()
+    quant = None
     try:
-        centroids, assigned = _train(quant, n_cells, iters)
+        if model is not None:
+            assigned, centroids = model
+        else:
+            quant = quantize(
+                fan_out(corpus.select(id_col, vec_col)),
+                vec_col=vec_col,
+                id_col=id_col,
+            ).persist()
+            centroids, assigned = _train(quant, n_cells, iters)
 
         def dv(col: str):
             return F.transform(col, lambda x: x.cast("double"))
@@ -156,4 +169,5 @@ def ivf_topk(
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
     finally:
-        quant.unpersist()
+        if quant is not None:
+            quant.unpersist()

@@ -195,12 +195,14 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash oracle; the recall-vs-exact contract additionally
     lives in ivf_verify."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
+    from gerrydb_etl_spark.store.staging import staged_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return ivf_topk(
         emb, queries, k=TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
         iters=_IVF_ITERS,
+        model=staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS),
     )
 
 

@@ -157,3 +157,61 @@ def staged_lsh_sigs(
     """The staged signature index as a DataFrame (staging on first
     use)."""
     return spark.table(ensure_staged_lsh_sigs(spark, sf_dir, bits, tables))
+
+
+def staged_ivf_name(sf_dir: str, n_cells: int, iters: int) -> str:
+    tag = _source_fingerprint(sf_dir, tables=("embeddings",))
+    return f"st_ivf_c{n_cells}_i{iters}_{tag}"
+
+
+def ensure_staged_ivf(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, iters: int = 2
+) -> tuple[str, str]:
+    """Stage the IVF model: the final corpus assignment
+    (vec_id, cluster_id, qv) AND the centroids the final assignment
+    was computed against (cluster_id, cv) — probe ranking must use
+    those SAME centroids, and they are not derivable from the final
+    assignment alone. Returns (assignment_table, centroid_table).
+    Fixed-point training — staged values identical to inline, so the
+    re-training replay oracle is unaffected."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train
+    from gerrydb_etl_spark.operators.kmeans import quantize
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    name = staged_ivf_name(sf_dir, n_cells, iters)
+    cname = name + "_centroids"
+    if spark.catalog.tableExists(name) and spark.catalog.tableExists(cname):
+        return name, cname
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (name, cname):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    quant = quantize(load_table(spark, sf_dir, "embeddings")).persist()
+    try:
+        centroids, assigned = _train(quant, n_cells, iters)
+        assigned.select("vec_id", "cluster_id", "qv").write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(name)
+        spark.createDataFrame(
+            [Row(cluster_id=c, cv=[float(x) for x in v])
+             for c, v in sorted(centroids.items())]
+        ).write.mode("overwrite").format("parquet").saveAsTable(cname)
+    finally:
+        quant.unpersist()
+    return name, cname
+
+
+def staged_ivf(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, iters: int = 2
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """(assignment DataFrame, centroids dict) from the staged IVF
+    model (staging on first use)."""
+    name, cname = ensure_staged_ivf(spark, sf_dir, n_cells, iters)
+    cents = {
+        r["cluster_id"]: list(r["cv"])
+        for r in spark.table(cname).collect()
+    }
+    return spark.table(name), cents

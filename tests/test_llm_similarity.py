@@ -216,3 +216,29 @@ def test_staged_lsh_sigs_match_inline_signatures(spark):
         for r in staged_lsh_sigs(spark, SF_SMOKE, bits=4, tables=8).collect()
     }
     assert staged == inline
+
+
+def test_staged_ivf_matches_inline_training(spark):
+    """The staged IVF model (assignment + centroids) must reproduce
+    the inline result exactly — fixed-point training has no RNG or
+    float-order dependence."""
+    from gerrydb_etl_spark.operators.ivf import ivf_topk
+    from gerrydb_etl_spark.store.staging import staged_ivf
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(
+            emb, queries, k=3, n_cells=16, n_probe=4, iters=2
+        ).collect()
+    }
+    staged = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(
+            emb, queries, k=3, n_cells=16, n_probe=4, iters=2,
+            model=staged_ivf(spark, SF_SMOKE, 16, 2),
+        ).collect()
+    }
+    assert staged == inline
