@@ -75,6 +75,8 @@ _EXPOSURE_PRIORITY = [
     "ann_cosine_topk",
     "ann_verify",
     "events_stream_store_ingest",
+    "gopher_quality_rules",
+    "incremental_exact_dedup",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -174,3 +174,150 @@ def group_median_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "source", F.col("n_chars").alias("median_n_chars"), "n_docs"
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, table A1), adapted to the
+# synthetic corpus's scale: word-count band, mean-word-length band,
+# minimum stopword hits, duplicate-word-fraction ceiling. All checks
+# are integer/rational arithmetic so the verdicts replay exactly.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_X10 = 30    # mean word length >= 3.0 (x10 fixed point)
+GOPHER_MAX_MWL_X10 = 100   # mean word length <= 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_DUP_PCT = 60    # duplicate-word fraction <= 0.60
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               list_reduce(list_prepend(0::BIGINT,
+                   list_transform(w, x -> length(x)::BIGINT)),
+                   (a, b) -> a + b) AS total_chars,
+               len(list_distinct(w)) AS n_distinct,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it','that','for'], x)))
+                   AS stop_hits
+        FROM t
+    )
+    SELECT doc_id,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AS word_count_ok,
+           total_chars * 10 >= {GOPHER_MIN_MWL_X10} * n_words
+               AND total_chars * 10 <= {GOPHER_MAX_MWL_X10} * n_words
+               AS mean_word_len_ok,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS stopwords_ok,
+           (n_words - n_distinct) * 100 <= {GOPHER_MAX_DUP_PCT} * n_words
+               AS dup_words_ok,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AND total_chars * 10 >= {GOPHER_MIN_MWL_X10} * n_words
+               AND total_chars * 10 <= {GOPHER_MAX_MWL_X10} * n_words
+               AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+               AND (n_words - n_distinct) * 100 <= {GOPHER_MAX_DUP_PCT} * n_words
+               AS keep
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021 A1, the
+    filter stack MassiveText/RefinedWeb derive from): word-count
+    band, mean-word-length band, minimum stopword hits, and a
+    duplicate-word ceiling, each surfaced as a per-rule flag plus
+    the conjunction. Every comparison is cross-multiplied into
+    integers (total_chars*10 >= 30*n_words instead of mean >= 3.0)
+    so no division-order float can diverge between engines. Narrow
+    map over the scan — zero shuffles."""
+    from gerrydb_etl_spark.functions.text import STOPWORDS, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokenize("text")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    m = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("total_chars"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(w, lambda x: F.array_contains(stop_lit, x))
+        ).cast("long").alias("stop_hits"),
+    )
+    word_count_ok = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    mwl_ok = (
+        (F.col("total_chars") * 10 >= GOPHER_MIN_MWL_X10 * F.col("n_words"))
+        & (F.col("total_chars") * 10 <= GOPHER_MAX_MWL_X10 * F.col("n_words"))
+    )
+    stop_ok = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    dup_ok = (
+        (F.col("n_words") - F.col("n_distinct")) * 100
+        <= GOPHER_MAX_DUP_PCT * F.col("n_words")
+    )
+    return m.select(
+        "doc_id",
+        word_count_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        stop_ok.alias("stopwords_ok"),
+        dup_ok.alias("dup_words_ok"),
+        (word_count_ok & mwl_ok & stop_ok & dup_ok).alias("keep"),
+    )
+
+
+INCR_SPLIT_FRAC = 2  # doc_id % 2: evens are the existing corpus
+
+
+@query(
+    "incremental_exact_dedup",
+    oracle="""
+    WITH existing AS (
+        SELECT DISTINCT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS content_key
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    incoming AS (
+        SELECT doc_id,
+               sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS content_key
+        FROM documents WHERE doc_id % 2 = 1 OR doc_id % 10 = 0
+    )
+    SELECT i.doc_id, i.content_key,
+           e.content_key IS NOT NULL AS already_known
+    FROM incoming i LEFT JOIN existing e USING (content_key)
+    """,
+)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape exact dedup actually
+    runs in: an INCOMING batch (odd doc_ids plus every 10th even doc — a
+    re-crawl containing some already-ingested pages) is checked
+    against the EXISTING corpus content-key index (even doc_ids),
+    not against itself. One distinct-key build + one key join; at 100 TB
+    the existing index is a bucketed/persisted table
+    (store/bucketing.py) and the incoming batch joins against it
+    without rebuilding anything — this query demonstrates the plan
+    shape on a same-table split."""
+    from gerrydb_etl_spark.operators.dedup import content_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(content_key(F.col("text")).alias("content_key"))
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    # the incoming batch is the odd docs plus every 10th even doc —
+    # a re-crawl batch containing some already-ingested pages, so
+    # both verdicts of already_known are exercised
+    incoming = docs.where(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    ).select("doc_id", content_key(F.col("text")).alias("content_key"))
+    return incoming.join(existing, "content_key", "left").select(
+        "doc_id",
+        "content_key",
+        F.col("_known").isNotNull().alias("already_known"),
+    )
