@@ -21,14 +21,26 @@ from pyspark import SparkContext
 from pyspark.sql import DataFrame
 
 
+def _strip_scheme(path: str) -> str:
+    return path.split(":", 1)[1] if ":" in path.split("/", 1)[0] else path
+
+
 def ensure_checkpoint_dir(sc: SparkContext, checkpoint_dir: str) -> None:
     """Set the context checkpoint dir only when unset or pointing at
     a different directory. ``getCheckpointDir`` reports the resolved
-    ``<scheme>:<dir>/<uuid>`` subdir, so compare on the parent."""
+    ``<scheme>:<dir>/<uuid>`` subdir, so compare the PARENT path
+    exactly (scheme stripped, both sides absolute-normalized) — a
+    suffix match would wrongly treat ``/data/jobs/ckpt`` as already
+    satisfying a request for ``/jobs/ckpt``."""
     cur = sc.getCheckpointDir()
-    want = checkpoint_dir.rstrip("/")
-    if cur is None or not posixpath.dirname(cur.rstrip("/")).endswith(want):
-        sc.setCheckpointDir(checkpoint_dir)
+    want = posixpath.normpath(_strip_scheme(checkpoint_dir.rstrip("/")))
+    if cur is not None:
+        have = posixpath.normpath(
+            posixpath.dirname(_strip_scheme(cur.rstrip("/")))
+        )
+        if have == want:
+            return
+    sc.setCheckpointDir(checkpoint_dir)
 
 
 def checkpoint_once(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:

@@ -83,8 +83,13 @@ def estimate(
         "n",
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
     ).withColumn("b", bucket(F.col("d"), F.col("token"), width))
+    # LEFT join + zero-fill: a probe token that was never inserted
+    # hashes to buckets with no sketch row; an inner join would drop
+    # those depth rows (min over fewer than `depth` buckets —
+    # over-estimating) or lose the token entirely when all its
+    # buckets are empty, where the correct count-min answer is 0.
     return (
-        probes.join(F.broadcast(sketch), ["d", "b"])
+        probes.join(F.broadcast(sketch), ["d", "b"], "left")
         .groupBy("token", "n")
-        .agg(F.min("c").alias("est"))
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
     )

@@ -81,24 +81,32 @@ def assign(quant: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
     generated code is one fold loop instead of k unrolled folds
     (k x dim unrolled literals made Janino compilation, not the
     data, the dominant cost)."""
-    cids = sorted(centroids)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in centroids[cid]]) for cid in cids]
-    )
-    cid_lit = F.array(*[F.lit(cid) for cid in cids])
-    cells = F.transform(
-        cent_lit,
-        lambda cv, i: F.struct(
-            _sqdist(F.col("qv"), cv).alias("d"),
-            F.element_at(cid_lit, i + 1).alias("c"),
-        ),
-    )
-    best = F.array_min(cells)
+    best = F.array_min(_cells(centroids))
     return quant.select(
         "vec_id",
         "qv",
         best.getField("c").alias("cluster_id"),
         best.getField("d").alias("sq_dist_q"),
+    )
+
+
+def _cells(centroids: dict[int, list[float]]) -> Column:
+    """array<struct<d,c>> of (squared distance to qv, cluster id) —
+    the ONE literal-centroid expression both ``assign`` (argmin) and
+    ``assign_topn`` (sorted top-n) are built from, so the tie-break
+    and literal encoding cannot drift between the cell assignment
+    and the IVF probe ranking."""
+    cids = sorted(centroids)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in centroids[cid]]) for cid in cids]
+    )
+    cid_lit = F.array(*[F.lit(cid) for cid in cids])
+    return F.transform(
+        cent_lit,
+        lambda cv, i: F.struct(
+            _sqdist(F.col("qv"), cv).alias("d"),
+            F.element_at(cid_lit, i + 1).alias("c"),
+        ),
     )
 
 
@@ -111,19 +119,7 @@ def assign_topn(
     array_sort on struct(d, c) gives exactly the
     ROW_NUMBER() OVER (ORDER BY d, cluster_id) <= n ordering the SQL
     replay uses."""
-    cids = sorted(centroids)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in centroids[cid]]) for cid in cids]
-    )
-    cid_lit = F.array(*[F.lit(cid) for cid in cids])
-    cells = F.transform(
-        cent_lit,
-        lambda cv, i: F.struct(
-            _sqdist(F.col("qv"), cv).alias("d"),
-            F.element_at(cid_lit, i + 1).alias("c"),
-        ),
-    )
-    top = F.slice(F.array_sort(cells), 1, n)
+    top = F.slice(F.array_sort(_cells(centroids)), 1, n)
     return quant.select(
         "vec_id", "qv", F.explode(top).alias("s")
     ).select(
@@ -212,64 +208,60 @@ def semantic_dedup(
     The pairwise join is cell-local (shuffle key = cluster_id), so
     candidate volume is sum(n_c^2) over cells — the SemDeDup cost
     model — not corpus^2."""
-    quant = None
-    try:
-        if assigned is None:
-            quant = quantize(emb, vec_col=vec_col, id_col=id_col).persist()
-            centroids, dim = init_centroids(quant, k)
-            assigned = assign(quant, centroids)
-            for _ in range(iters - 1):
-                centroids = _update(assigned, dim)
-                assigned = assign(quant, centroids)
-        # norms are folded ONCE PER ROW here; recomputing them
-        # inside the pair filter would triple the per-pair fold
-        # work (same fix as the vector-family rescore path)
-        dv = F.transform("qv", lambda x: x.cast("double"))
-        qd = assigned.select(
-            "vec_id",
-            "cluster_id",
-            dv.alias("dv"),
-            F.sqrt(fold_sum(F.transform(dv, lambda x: x * x))).alias("nrm"),
+    if assigned is None:
+        # one Lloyd implementation: the training loop lives in
+        # kmeans_train only (the staged fixture persists the
+        # same keep_qv output this consumes)
+        assigned = kmeans_train(
+            emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+            keep_qv=True,
         )
-        # three plan branches consume the assignment (a side, b side,
-        # survivor base); localCheckpoint materializes it once to
-        # executor storage and truncates the literal-centroid lineage
-        # so the caller's action doesn't re-run scan+quantize+assign
-        # per branch. Storage is one (id, cell, vector, norm) row per
-        # corpus row — the same footprint the pair shuffle moves
-        # anyway — and the blocks free with the DataFrame.
-        qd = qd.localCheckpoint(eager=True)
-        # the join key is cluster_id — only k distinct values, so
-        # an unsalted shuffle caps parallelism at k tasks. Salt
-        # the b side by row hash and replicate the a side over
-        # the salts: k x salts tasks, each holding an a-cluster
-        # against 1/salts of its b rows (operators/skew.py
-        # replicated-join pattern, deterministic salt).
-        salts = 16
-        a = qd.select(
-            "cluster_id",
-            F.col("vec_id").alias("a_id"),
-            F.col("dv").alias("a_dv"),
-            F.col("nrm").alias("a_nrm"),
-        ).withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
-        b = qd.select(
-            "cluster_id",
-            F.col("vec_id").alias("b_id"),
-            F.col("dv").alias("b_dv"),
-            F.col("nrm").alias("b_nrm"),
-        ).withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
-        dot_ab = fold_sum(F.zip_with(F.col("a_dv"), F.col("b_dv"), lambda x, y: x * y))
-        dropped = (
-            a.join(b, ["cluster_id", "__salt"])
-            .filter(F.col("a_id") < F.col("b_id"))
-            .filter(dot_ab / (F.col("a_nrm") * F.col("b_nrm")) >= F.lit(tau))
-            .select(F.col("b_id").alias("vec_id"))
-            .distinct()
-        )
-        return (
-            qd.select("vec_id", "cluster_id")
-            .join(dropped, "vec_id", "left_anti")
-        )
-    finally:
-        if quant is not None:
-            quant.unpersist()
+    # norms are folded ONCE PER ROW here; recomputing them
+    # inside the pair filter would triple the per-pair fold
+    # work (same fix as the vector-family rescore path)
+    dv = F.transform("qv", lambda x: x.cast("double"))
+    qd = assigned.select(
+        "vec_id",
+        "cluster_id",
+        dv.alias("dv"),
+        F.sqrt(fold_sum(F.transform(dv, lambda x: x * x))).alias("nrm"),
+    )
+    # three plan branches consume the assignment (a side, b side,
+    # survivor base); localCheckpoint materializes it once to
+    # executor storage and truncates the literal-centroid lineage
+    # so the caller's action doesn't re-run scan+quantize+assign
+    # per branch. Storage is one (id, cell, vector, norm) row per
+    # corpus row — the same footprint the pair shuffle moves
+    # anyway — and the blocks free with the DataFrame.
+    qd = qd.localCheckpoint(eager=True)
+    # the join key is cluster_id — only k distinct values, so
+    # an unsalted shuffle caps parallelism at k tasks. Salt
+    # the b side by row hash and replicate the a side over
+    # the salts: k x salts tasks, each holding an a-cluster
+    # against 1/salts of its b rows (operators/skew.py
+    # replicated-join pattern, deterministic salt).
+    salts = 16
+    a = qd.select(
+        "cluster_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("dv").alias("a_dv"),
+        F.col("nrm").alias("a_nrm"),
+    ).withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    b = qd.select(
+        "cluster_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("dv").alias("b_dv"),
+        F.col("nrm").alias("b_nrm"),
+    ).withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
+    dot_ab = fold_sum(F.zip_with(F.col("a_dv"), F.col("b_dv"), lambda x, y: x * y))
+    dropped = (
+        a.join(b, ["cluster_id", "__salt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(dot_ab / (F.col("a_nrm") * F.col("b_nrm")) >= F.lit(tau))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        qd.select("vec_id", "cluster_id")
+        .join(dropped, "vec_id", "left_anti")
+    )

@@ -62,6 +62,10 @@ def pagerank_fixed_point(
     # upstream edge derivation (often a join + distinct) would be
     # recomputed O(iterations) times.
     edges = edges.persist()
+    # nodes is consulted every round (re-score join) plus the count —
+    # persist it alongside edges so a derived node set (e.g. a union
+    # of dimension scans) isn't recomputed per round
+    nodes = nodes.persist()
     n = nodes.count()
     base = (15 * (scale // n)) // 100
     deg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -98,6 +102,7 @@ def pagerank_fixed_point(
     # localCheckpoint pattern as operators/kmeans.py semantic dedup).
     scores = scores.localCheckpoint(eager=True)
     edges.unpersist()
+    nodes.unpersist()
     deg.unpersist()
     if prev is not None:
         prev.unpersist()

@@ -355,7 +355,6 @@ def lsh_ann_topk(
     bits: int = 4,
     tables: int = 8,
     seed: int = 42,
-    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 

@@ -238,7 +238,7 @@ def ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = cosine_topk(emb, queries, k=TOP_K)
-    approx = lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
+    approx = lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42)
     return _ann_recall_report(exact, approx, floor=0.5)
 
 
@@ -392,7 +392,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42, dim=64)
+    return lsh_ann_topk(emb, queries, k=TOP_K, bits=4, tables=8, seed=42)
 
 
 @query("embedding_neardup", oracle=_NEARDUP_REPLAY_SQL)

@@ -337,10 +337,14 @@ def _simhash_oracle(max_hamming: int = 3, cap: int = 1000) -> str:
     from gerrydb_etl_spark.operators.dedup import HASH_MASK
 
     def fold(base: int) -> str:
+        # CASE-guard the empty token: Spark's F.aggregate folds an
+        # empty code array to its init (0), but DuckDB's list_reduce
+        # RAISES on an empty list, so '' must short-circuit to 0
         return (
-            "list_reduce(list_transform(range(length(t)),"
+            "CASE WHEN length(t) = 0 THEN 0 ELSE"
+            " list_reduce(list_transform(range(length(t)),"
             " i -> ascii(t[i+1])::BIGINT),"
-            f" (a,c) -> (a*{base}+c) & {HASH_MASK})"
+            f" (a,c) -> (a*{base}+c) & {HASH_MASK}) END"
         )
 
     bitsums = ",\n               ".join(

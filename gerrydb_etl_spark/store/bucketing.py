@@ -78,10 +78,11 @@ def bucketed_fact_names(sf_dir: str) -> tuple[str, str]:
     sizes) so two sf_dirs never collide in one warehouse AND
     regenerated data at the same path never hits a stale staged
     copy."""
-    return (
-        f"bq_orders_{_source_fingerprint(sf_dir)}",
-        f"bq_lineitem_{_source_fingerprint(sf_dir)}",
-    )
+    # one fingerprint walk serves both names: stat-ing every part
+    # file twice doubled the staging-probe I/O and a mid-call mtime
+    # change could have tagged the pair inconsistently
+    tag = _source_fingerprint(sf_dir)
+    return (f"bq_orders_{tag}", f"bq_lineitem_{tag}")
 
 
 def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

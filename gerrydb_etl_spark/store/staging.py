@@ -32,6 +32,22 @@ from pyspark.sql import DataFrame, SparkSession
 from gerrydb_etl_spark.store.bucketing import _source_fingerprint
 
 
+def _ensure_staged(spark: SparkSession, name: str, build) -> str:
+    """The one staging scaffold every fixture shares: catalog hit is
+    a no-op lookup; otherwise drop any stale table AND its leftover
+    warehouse directory, then run ``build()`` (a thunk returning the
+    DataFrame to persist) into a managed parquet table. Holding the
+    staleness/cleanup contract in one place keeps the four fixtures
+    from drifting."""
+    if spark.catalog.tableExists(name):
+        return name
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    build().write.mode("overwrite").format("parquet").saveAsTable(name)
+    return name
+
+
 def staged_shingle_name(sf_dir: str, n: int) -> str:
     tag = _source_fingerprint(sf_dir, tables=("documents",))
     return f"st_shingles{n}_{tag}"
@@ -47,20 +63,17 @@ def ensure_staged_shingles(
     from gerrydb_etl_spark.operators.dedup import shingle_rows
     from gerrydb_etl_spark.sources.registry import load_table
 
-    name = staged_shingle_name(sf_dir, n)
-    if spark.catalog.tableExists(name):
-        return name
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-    shingle_rows(
-        load_table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        n,
-        with_size=True,
-    ).write.mode("overwrite").format("parquet").saveAsTable(name)
-    return name
+    return _ensure_staged(
+        spark,
+        staged_shingle_name(sf_dir, n),
+        lambda: shingle_rows(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            n,
+            with_size=True,
+        ),
+    )
 
 
 def staged_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -89,17 +102,14 @@ def ensure_staged_kmeans(
     from gerrydb_etl_spark.operators.kmeans import kmeans_train
     from gerrydb_etl_spark.sources.registry import load_table
 
-    name = staged_kmeans_name(sf_dir, k, iters)
-    if spark.catalog.tableExists(name):
-        return name
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-    kmeans_train(
-        load_table(spark, sf_dir, "embeddings"), k=k, iters=iters,
-        keep_qv=True,
-    ).write.mode("overwrite").format("parquet").saveAsTable(name)
-    return name
+    return _ensure_staged(
+        spark,
+        staged_kmeans_name(sf_dir, k, iters),
+        lambda: kmeans_train(
+            load_table(spark, sf_dir, "embeddings"), k=k, iters=iters,
+            keep_qv=True,
+        ),
+    )
 
 
 def staged_kmeans(
@@ -132,23 +142,16 @@ def ensure_staged_lsh_sigs(
     )
     from gerrydb_etl_spark.sources.registry import load_table
 
-    name = staged_lsh_sigs_name(sf_dir, bits, tables)
-    if spark.catalog.tableExists(name):
-        return name
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-    emb = load_table(spark, sf_dir, "embeddings")
-    sig_udf = _signature_udf(anchor_planes(emb, bits, tables))
-    (
-        fan_out(emb.select(F.col("vec_id").alias("doc"), "embedding"))
-        .select("doc", sig_udf(F.col("embedding")).alias("sigs"))
-        .select("doc", F.posexplode("sigs").alias("tbl", "sig"))
-        .write.mode("overwrite")
-        .format("parquet")
-        .saveAsTable(name)
-    )
-    return name
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        sig_udf = _signature_udf(anchor_planes(emb, bits, tables))
+        return (
+            fan_out(emb.select(F.col("vec_id").alias("doc"), "embedding"))
+            .select("doc", sig_udf(F.col("embedding")).alias("sigs"))
+            .select("doc", F.posexplode("sigs").alias("tbl", "sig"))
+        )
+
+    return _ensure_staged(spark, staged_lsh_sigs_name(sf_dir, bits, tables), build)
 
 
 def staged_lsh_sigs(
@@ -185,20 +188,25 @@ def ensure_staged_ivf(
     cname = name + "_centroids"
     if spark.catalog.tableExists(name) and spark.catalog.tableExists(cname):
         return name, cname
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # partial staleness (one table of the pair missing) must rebuild
+    # BOTH — drop the survivor so _ensure_staged's catalog fast-path
+    # cannot keep a stale half of an inconsistent model pair
     for t in (name, cname):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     quant = quantize(load_table(spark, sf_dir, "embeddings")).persist()
     try:
         centroids, assigned = _train(quant, n_cells, iters)
-        assigned.select("vec_id", "cluster_id", "qv").write.mode(
-            "overwrite"
-        ).format("parquet").saveAsTable(name)
-        spark.createDataFrame(
-            [Row(cluster_id=c, cv=[float(x) for x in v])
-             for c, v in sorted(centroids.items())]
-        ).write.mode("overwrite").format("parquet").saveAsTable(cname)
+        _ensure_staged(
+            spark, name,
+            lambda: assigned.select("vec_id", "cluster_id", "qv"),
+        )
+        _ensure_staged(
+            spark, cname,
+            lambda: spark.createDataFrame(
+                [Row(cluster_id=c, cv=[float(x) for x in v])
+                 for c, v in sorted(centroids.items())]
+            ),
+        )
     finally:
         quant.unpersist()
     return name, cname

@@ -102,6 +102,8 @@ EDGE_QUERIES = [
     "group_median_discrete",    # 1-doc strata
     "passage_dedup",            # twin docs fully boilerplate; empty text
     "doc_fingerprint",          # empty-token fold
+    "simhash_near_dup",         # empty-token hash guard (fold init 0)
+    "gopher_quality_rules",     # zero-word doc in every rational check
 ]
 
 

@@ -43,7 +43,7 @@ def test_ann_recall_vs_exact(spark):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in lsh_ann_topk(emb, queries, k=5, bits=4, tables=8, seed=42, dim=64).collect()
+        for r in lsh_ann_topk(emb, queries, k=5, bits=4, tables=8, seed=42).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"ANN recall {recall:.2f} below alarm threshold"
@@ -242,3 +242,32 @@ def test_staged_ivf_matches_inline_training(spark):
         ).collect()
     }
     assert staged == inline
+
+
+def test_anchor_plane_corpus_contract_holds_on_driver_data(spark):
+    """The full-replay oracles for embedding_neardup / ann_cosine_topk
+    replay the anchor-difference path unconditionally, while
+    anchor_planes silently falls back to seeded RNG on corpora too
+    small/duplicated to anchor (< tables*bits surviving pairs from a
+    2*tables*bits*over_provision prefix). This pins that the SMALLEST
+    driver corpus satisfies the anchor contract with real margin, so
+    the fallback — and the oracle mismatch it would cause — cannot
+    trigger on any driver scale factor."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.similarity import (
+        ANCHOR_OVER_PROVISION,
+        anchor_planes,
+        hyperplanes,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    need = 2 * 8 * 4 * ANCHOR_OVER_PROVISION
+    assert emb.count() >= need, (
+        "smallest driver corpus no longer covers the anchor prefix — "
+        "the replay oracles would silently diverge from the RNG fallback"
+    )
+    planes = anchor_planes(emb, bits=4, tables=8)
+    rng = hyperplanes(64, bits=4, tables=8, seed=42)
+    assert not np.allclose(planes, rng), "fallback unexpectedly triggered"
