@@ -77,6 +77,7 @@ _EXPOSURE_PRIORITY = [
     "events_stream_store_ingest",
     "gopher_quality_rules",
     "incremental_exact_dedup",
+    "epoch_shuffle_order",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

@@ -326,3 +326,64 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.length(redacted).alias("redacted_len"),
     )
+
+
+# multiplicative integer mixer for epoch shuffling: Knuth's 2654435761
+# (closest prime-ish multiplier to 2^32/phi), PER-EPOCH odd multiplier
+# (base + 2*step*epoch stays odd, so each epoch's map is a bijection
+# mod 2^31 and a genuinely different permutation — a constant ADDITIVE
+# epoch offset would shift every key equally and leave the sort order
+# unchanged), then a 31-bit mask. Products stay < 2^63 while
+# doc_id < ~3.4e9 (documented bound — shard first beyond that).
+EPOCH_MIX_MULT = 2654435761
+EPOCH_MIX_STEP = 40503
+EPOCH_MASK = (1 << 31) - 1
+N_EPOCHS = 3
+
+
+@query(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH mixed AS (
+        SELECT e.epoch, d.doc_id,
+               (((d.doc_id + 1)
+                 * ({EPOCH_MIX_MULT} + 2 * {EPOCH_MIX_STEP} * e.epoch))
+                 & {EPOCH_MASK}) AS mix
+        FROM documents d,
+             (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch) e
+    )
+    SELECT epoch, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch ORDER BY mix, doc_id
+           ) - 1 AS BIGINT) AS position
+    FROM mixed
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: every document gets a
+    position in each of 3 epochs by ranking a multiplicative integer
+    mix of (doc_id, epoch) — the reproducible-data-loader shuffle
+    (same permutation on every rerun/engine, different permutation
+    per epoch, no RNG state to checkpoint). Pure integer arithmetic
+    → full value-hash oracle. Scale: the rank is a per-epoch window;
+    at 100 TB you run one epoch at a time (partition the window's
+    input by epoch — it already is) or use the dense-ID two-phase
+    assigner (operators/ids.py) over the mix ordering instead of a
+    single window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    mixed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        (
+            ((F.col("doc_id") + 1)
+             * (EPOCH_MIX_MULT + 2 * EPOCH_MIX_STEP * F.col("epoch")))
+            .bitwiseAND(F.lit(EPOCH_MASK))
+        ).alias("mix"),
+    )
+    w = Window.partitionBy("epoch").orderBy("mix", "doc_id")
+    return mixed.select(
+        "epoch",
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
