@@ -370,9 +370,14 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     input by epoch — it already is) or use the dense-ID two-phase
     assigner (operators/ids.py) over the mix ordering instead of a
     single window."""
+    # epochs ride as a literal array explode — a crossJoin against a
+    # 3-row epoch table would compile to the nested-loop join the
+    # plan gate bans
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    epochs = spark.range(N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
-    mixed = docs.crossJoin(F.broadcast(epochs)).select(
+    mixed = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(N_EPOCHS)])).alias("epoch"),
+    ).select(
         "epoch",
         "doc_id",
         (
