@@ -78,6 +78,7 @@ _EXPOSURE_PRIORITY = [
     "gopher_quality_rules",
     "incremental_exact_dedup",
     "epoch_shuffle_order",
+    "winnow_near_dup",
     # stalest external signal: last sampled in rounds 1-2
     "filters_membership",
     "string_keys",

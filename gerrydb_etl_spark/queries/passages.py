@@ -7,6 +7,7 @@ uses (no engine-specific hash functions anywhere)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.functions.text import FP_BASE, FP_MOD
 from gerrydb_etl_spark.operators.dedup import containment_pairs
@@ -161,4 +162,85 @@ def containment_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         docs, "doc_id", "text", n=3, threshold=CONTAINMENT_TAU,
         max_shingle_df=1000, shingles=staged_shingles(spark, sf_dir, 3),
+    )
+
+
+# near-dup matching uses LONGER k-grams than the fingerprint demo:
+# on this small-vocabulary corpus 3-gram fingerprints collide across
+# unrelated documents (48k candidate pairs at sf0.1), while 5-grams
+# keep the winnowing guarantee for >= w+k-1 = 8-token shared runs at
+# a usable candidate density. The tighter posting cap bounds the
+# bucket-squared pair volume of any still-hot fingerprint.
+WINNOW_ND_K = 5
+WINNOW_MIN_SHARED = 2
+WINNOW_FP_CAP = 200
+
+
+@query(
+    "winnow_near_dup",
+    oracle=f"""
+    WITH kh AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, len(codes) - {WINNOW_ND_K} + 1),
+                   i -> list_reduce(
+                       codes[i + 1 : i + {WINNOW_ND_K}],
+                       (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}
+                   ) % {FP_MOD}
+               ) AS kh
+        FROM (SELECT doc_id, {_CODES} AS codes FROM documents)
+        WHERE len(codes) >= {WINNOW_ND_K + WINNOW_W - 1}
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id AS doc,
+               kh[CAST(pos AS INT) + 1] AS fp
+        FROM (
+            SELECT doc_id, kh,
+                   unnest(list_distinct(list_transform(
+                       range(0, len(kh) - {WINNOW_W} + 1),
+                       j -> j + ({WINNOW_W} - list_position(
+                           list_reverse(kh[j + 1 : j + {WINNOW_W}]),
+                           list_min(kh[j + 1 : j + {WINNOW_W}])
+                       ))
+                   ))) AS pos
+            FROM kh
+        )
+    ),
+    keyed AS (
+        SELECT doc, fp FROM sel
+        WHERE fp IN (SELECT fp FROM sel
+                     GROUP BY fp HAVING COUNT(*) <= {WINNOW_FP_CAP})
+    )
+    SELECT a.doc AS d1, b.doc AS d2,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-based near-dup candidates: document pairs sharing
+    >= 2 DISTINCT selected fingerprints — MOSS's matching step on
+    top of winnow_fingerprints. The winnowing guarantee (>= 1
+    shared fingerprint per w+k-1-token shared run) makes this a
+    plagiarism-sensitive candidate generator that exact-shingle
+    Jaccard complements. Same inverted-index shape as the other
+    dedup tiers: pairs come only from shared (capped) fingerprint
+    postings, never all-pairs."""
+    from gerrydb_etl_spark.operators.dedup import _drop_hot_keys, bucket_pairs
+    from gerrydb_etl_spark.operators.passages import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = (
+        winnow_fingerprints(docs, k=WINNOW_ND_K, w=WINNOW_W)
+        .select(F.col("doc_id").alias("doc"), F.col("fingerprint").alias("fp"))
+        .distinct()
+    )
+    keyed = _drop_hot_keys(sel, ["fp"], WINNOW_FP_CAP)
+    pairs = bucket_pairs(keyed, ["fp"], F.struct("doc"), max_bucket_size=None)
+    return (
+        pairs.select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
     )
