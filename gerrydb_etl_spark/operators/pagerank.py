@@ -66,44 +66,56 @@ def pagerank_fixed_point(
     # persist it alongside edges so a derived node set (e.g. a union
     # of dimension scans) isn't recomputed per round
     nodes = nodes.persist()
-    n = nodes.count()
-    base = (15 * (scale // n)) // 100
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("outdeg")
-    ).persist()
-    scores = nodes.select("node", F.lit(scale // n).cast("long").alias("score"))
-    prev = None
-    for _ in range(iterations):
-        # persist before the dangling-mass aggregate so the round's
-        # scores are computed once, not once per downstream action
-        scores = scores.persist()
-        dang = (
-            scores.join(deg, "node", "left_anti")
-            .agg(F.coalesce(F.sum("score"), F.lit(0)))
-            .first()[0]
+    # try/finally so a mid-iteration failure (bad edge schema, OOM in
+    # one round's action) can't leak the cached edge/degree/score
+    # blocks into the rest of the session — same exit-path hygiene as
+    # kmeans_train / ivf_topk. Every persisted frame goes on `pinned`
+    # the moment it is pinned (unpersist on an already-released frame
+    # is a no-op, so the loop's eager releases stay as-is).
+    pinned: list[DataFrame] = [edges, nodes]
+    try:
+        n = nodes.count()
+        base = (15 * (scale // n)) // 100
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("outdeg")
+        ).persist()
+        pinned.append(deg)
+        scores = nodes.select(
+            "node", F.lit(scale // n).cast("long").alias("score")
         )
-        insum = (
-            edges.join(scores.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
-            .selectExpr("dst AS node", "score div outdeg AS contrib")
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("insum"))
-        )
-        if prev is not None:
-            prev.unpersist()
-        prev = scores
-        scores = nodes.join(insum, "node", "left").selectExpr(
-            "node",
-            f"{base} + (85 * (COALESCE(insum, 0) + {dang // n})) div 100"
-            " AS score",
-        )
-    # Materialize the final round once and sever lineage so every
-    # cached input can be released before returning (same
-    # localCheckpoint pattern as operators/kmeans.py semantic dedup).
-    scores = scores.localCheckpoint(eager=True)
-    edges.unpersist()
-    nodes.unpersist()
-    deg.unpersist()
-    if prev is not None:
-        prev.unpersist()
-    return scores
+        prev = None
+        for _ in range(iterations):
+            # persist before the dangling-mass aggregate so the
+            # round's scores are computed once, not once per
+            # downstream action
+            scores = scores.persist()
+            pinned.append(scores)
+            dang = (
+                scores.join(deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("score"), F.lit(0)))
+                .first()[0]
+            )
+            insum = (
+                edges.join(scores.withColumnRenamed("node", "src"), "src")
+                .join(deg.withColumnRenamed("node", "src"), "src")
+                .selectExpr("dst AS node", "score div outdeg AS contrib")
+                .groupBy("node")
+                .agg(F.sum("contrib").alias("insum"))
+            )
+            if prev is not None:
+                prev.unpersist()
+            prev = scores
+            scores = nodes.join(insum, "node", "left").selectExpr(
+                "node",
+                f"{base} + (85 * (COALESCE(insum, 0) + {dang // n})) div 100"
+                " AS score",
+            )
+        # Materialize the final round once and sever lineage so every
+        # cached input can be released before returning (same
+        # localCheckpoint pattern as operators/kmeans.py semantic
+        # dedup). The checkpointed frame is NOT on `pinned` — its
+        # blocks must outlive this call.
+        return scores.localCheckpoint(eager=True)
+    finally:
+        for df in pinned:
+            df.unpersist()

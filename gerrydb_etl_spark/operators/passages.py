@@ -53,15 +53,23 @@ def kgram_hashes(codes: Column, k: int) -> Column:
     passing the codes expression inline would re-evaluate it once
     per sequence element, turning O(n·k) into O(n²)): base-131
     polynomial fold of the k codes mod FP_MOD per start position
-    0..n-k. Pure array-domain expression — no explode, no shuffle."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(codes) - k),
-        lambda i: F.aggregate(
-            F.slice(codes, i + 1, k),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+    0..n-k. Pure array-domain expression — no explode, no shuffle.
+
+    Inputs shorter than k yield an EMPTY array: Spark's
+    ``sequence(0, n-k)`` counts DOWN when n < k and would otherwise
+    hash garbage from negative slice indices, so the guard lives
+    here, not at call sites."""
+    return F.when(
+        F.size(codes) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(codes) - k),
+            lambda i: F.aggregate(
+                F.slice(codes, i + 1, k),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def winnow_select(khashes: Column, w: int) -> Column:
@@ -72,15 +80,22 @@ def winnow_select(khashes: Column, w: int) -> Column:
 
     Rightmost arg-min of slice s = w - position_of_min_in(reverse(s))
     (array_position is 1-based first-occurrence, so on the reversed
-    slice it finds the rightmost original occurrence)."""
+    slice it finds the rightmost original occurrence).
+
+    Inputs with fewer than w hashes (no complete window) yield an
+    EMPTY array — same down-counting ``sequence`` hazard as
+    kgram_hashes, guarded here so new callers can't misuse it."""
 
     def pick(j: Column) -> Column:
         window = F.slice(khashes, j + 1, w)
         return j + (w - F.array_position(F.reverse(window), F.array_min(window)))
 
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(0), F.size(khashes) - w), pick)
-    )
+    return F.when(
+        F.size(khashes) >= w,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size(khashes) - w), pick)
+        ),
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def winnow_fingerprints(
@@ -101,9 +116,10 @@ def winnow_fingerprints(
     whole selection happens inside array expressions), then one
     explode. Zero shuffles — verified by tests/test_passages.py.
     """
-    # Guard BEFORE building k-gram hashes: Spark's sequence(0, n-k)
-    # silently produces a DESCENDING sequence when n < k, so short
-    # documents must never reach the hash expression. Token codes
+    # Filtering short documents up front keeps the dropped-docs
+    # contract explicit and the downstream arrays non-empty (the
+    # helpers themselves also guard the n < k / n < w sequence
+    # hazard and return empty arrays for short inputs). Token codes
     # are materialized as a column in their own projection so the
     # k-gram transform references them O(1) per position instead of
     # re-running tokenize per position.

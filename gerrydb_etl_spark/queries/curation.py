@@ -333,8 +333,10 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (base + 2*step*epoch stays odd, so each epoch's map is a bijection
 # mod 2^31 and a genuinely different permutation — a constant ADDITIVE
 # epoch offset would shift every key equally and leave the sort order
-# unchanged), then a 31-bit mask. Products stay < 2^63 while
-# doc_id < ~3.4e9 (documented bound — shard first beyond that).
+# unchanged), then a 31-bit mask. doc_id is masked into the 31-bit
+# domain BEFORE the multiply (in both engines), so the product is
+# bounded by 2^31 * ~2.66e9 < 2^63 for ANY int64 doc_id — no silent
+# Spark wraparound / DuckDB overflow divergence past 3.4e9.
 EPOCH_MIX_MULT = 2654435761
 EPOCH_MIX_STEP = 40503
 EPOCH_MASK = (1 << 31) - 1
@@ -346,7 +348,7 @@ N_EPOCHS = 3
     oracle=f"""
     WITH mixed AS (
         SELECT e.epoch, d.doc_id,
-               (((d.doc_id + 1)
+               ((((d.doc_id & {EPOCH_MASK}) + 1)
                  * ({EPOCH_MIX_MULT} + 2 * {EPOCH_MIX_STEP} * e.epoch))
                  & {EPOCH_MASK}) AS mix
         FROM documents d,
@@ -365,15 +367,25 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix of (doc_id, epoch) — the reproducible-data-loader shuffle
     (same permutation on every rerun/engine, different permutation
     per epoch, no RNG state to checkpoint). Pure integer arithmetic
-    → full value-hash oracle. Scale: the rank is a per-epoch window;
-    at 100 TB you run one epoch at a time (partition the window's
-    input by epoch — it already is) or use the dense-ID two-phase
-    assigner (operators/ids.py) over the mix ordering instead of a
-    single window."""
+    → full value-hash oracle.
+
+    Scale: the ranking runs through the two-phase dense-ID assigner
+    (operators/ids.py) range-partitioned on (epoch, mix, doc_id) —
+    every shuffle partition sorts a narrow key range in parallel and
+    a prefix-sum of per-partition counts turns local positions into
+    global ones. A ``Window.partitionBy("epoch")`` spelling would
+    funnel the whole corpus through N_EPOCHS reducers (3 tasks for
+    100 TB); tests/test_plan_shapes.py pins the window-free plan.
+    Each epoch occupies a contiguous [epoch*n_docs, (epoch+1)*n_docs)
+    slice of the global order, so per-epoch position is a subtraction,
+    not a second shuffle."""
+    from gerrydb_etl_spark.operators.ids import assign_dense_ids
+
     # epochs ride as a literal array explode — a crossJoin against a
     # 3-row epoch table would compile to the nested-loop join the
     # plan gate bans
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()
     mixed = docs.select(
         F.col("doc_id"),
         F.explode(F.array(*[F.lit(i) for i in range(N_EPOCHS)])).alias("epoch"),
@@ -381,14 +393,16 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch",
         "doc_id",
         (
-            ((F.col("doc_id") + 1)
+            ((F.col("doc_id").bitwiseAND(F.lit(EPOCH_MASK)) + 1)
              * (EPOCH_MIX_MULT + 2 * EPOCH_MIX_STEP * F.col("epoch")))
             .bitwiseAND(F.lit(EPOCH_MASK))
         ).alias("mix"),
     )
-    w = Window.partitionBy("epoch").orderBy("mix", "doc_id")
-    return mixed.select(
+    ordered = assign_dense_ids(mixed, ["epoch", "mix", "doc_id"], id_col="_gid")
+    return ordered.select(
         "epoch",
         "doc_id",
-        (F.row_number().over(w) - 1).cast("long").alias("position"),
+        (F.col("_gid") - F.col("epoch").cast("long") * F.lit(n_docs))
+        .cast("long")
+        .alias("position"),
     )

@@ -534,6 +534,15 @@ def run_stream_to_versioned_store(
             for m in os.listdir(batches_root)
             if m.endswith(".committed")
         )
+        if not committed:
+            # zero micro-batches (empty source stream): a bare
+            # spark.read.parquet(*[]) raises a confusing missing-path
+            # error; fail with the actual condition instead of
+            # publishing a phantom version.
+            raise ValueError(
+                "no micro-batches were committed — the source stream "
+                f"produced no data under {stage!r}; nothing to publish"
+            )
         ingested = spark.read.parquet(*committed)
         n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
 

@@ -119,6 +119,30 @@ def test_winnow_short_docs_dropped(spark):
     assert {r["doc_id"] for r in df.collect()} == {2}
 
 
+def test_helpers_guard_short_inputs(spark):
+    """kgram_hashes / winnow_select enforce the n < k / n < w guard
+    internally (Spark's sequence(0, n-k) counts DOWN for n < k and
+    would hash garbage from negative slice indices): short inputs
+    yield empty arrays even when the caller forgets to pre-filter."""
+    from gerrydb_etl_spark.operators.passages import (
+        _token_codes,
+        winnow_select,
+    )
+
+    df = (
+        _docs(spark, [(1, "a b"), (2, ""), (3, "a b c d")])
+        .select("doc_id", _token_codes(F.split("text", " ")).alias("codes"))
+        .select("doc_id", kgram_hashes(F.col("codes"), 3).alias("kh"))
+        .select("doc_id", "kh", winnow_select(F.col("kh"), 4).alias("sel"))
+        .orderBy("doc_id")
+    )
+    rows = df.collect()
+    assert rows[0]["kh"] == [] and rows[0]["sel"] == []  # 2 toks < k
+    assert rows[1]["kh"] == [] and rows[1]["sel"] == []
+    # 4 tokens -> 2 k-gram hashes, still < w=4 -> selection empty
+    assert len(rows[2]["kh"]) == 2 and rows[2]["sel"] == []
+
+
 def test_winnow_plan_has_no_exchange(spark):
     from gerrydb_etl_spark.queries import REGISTRY
     from tests.conftest import SF_SMOKE

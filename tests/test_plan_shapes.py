@@ -140,3 +140,19 @@ def test_winnow_selection_is_shuffle_free(spark):
     domain — no Exchange may appear before the output explode."""
     plan = _executed_plan(spark, "winnow_fingerprints")
     assert "Exchange" not in plan, plan
+
+
+def test_epoch_shuffle_has_no_per_epoch_window(spark):
+    """epoch_shuffle_order ranks through the two-phase dense-ID
+    assigner: every shuffle partition sorts a narrow (epoch, mix)
+    key range in parallel. The plan must contain NO window operator
+    (a Window.partitionBy("epoch") spelling funnels the corpus
+    through N_EPOCHS=3 reducers) and no single-partition exchange
+    (a global-sort row_number would funnel it through one)."""
+    plan = _executed_plan(spark, "epoch_shuffle_order")
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    # the ranking work is assign_dense_ids' offset-adding Arrow pass
+    # over the checkpointed range-sorted layout (the range shuffle
+    # itself sits behind the checkpoint's lineage truncation)
+    assert "MapInPandas" in plan, plan
