@@ -123,10 +123,18 @@ def main() -> None:
     # reuse-many corpus indexes, staged with the session one-time
     # costs so the benched queries measure the dedup plans they
     # exist to demonstrate, not repeated regex shingling.
-    from gerrydb_etl_spark.store.staging import ensure_staged_shingles
+    from gerrydb_etl_spark.store.staging import (
+        ensure_staged_shingles,
+        ensure_staged_token_codes,
+        ensure_staged_token_hashes,
+    )
 
     ensure_staged_shingles(spark, sf_dir, 3)
     ensure_staged_shingles(spark, sf_dir, 5)
+    # the portable token-hash family (simhash) and token-code arrays
+    # (winnowing k=3 / k=5) — same write-once-reuse-many economics
+    ensure_staged_token_hashes(spark, sf_dir)
+    ensure_staged_token_codes(spark, sf_dir)
 
     # ...and the trained k-means model (SemDeDup's coarse quantizer):
     # write-once corpus state with the same fingerprint-keyed

@@ -105,6 +105,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 3,
     w: int = 4,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowing fingerprints per document: (doc_id, pos, fingerprint)
     rows, one per selected k-gram. Documents shorter than k + w - 1
@@ -115,6 +116,11 @@ def winnow_fingerprints(
     Plan shape: a single narrow projection chain over the scan (the
     whole selection happens inside array expressions), then one
     explode. Zero shuffles — verified by tests/test_passages.py.
+
+    ``codes`` (optional): pre-computed (id_col, codes) token-code
+    rows — pass store/staging.py's staged fixture so the k=3 and
+    k=5 winnowing consumers share one tokenize pass; values are
+    identical to the inline spelling by construction.
     """
     # Filtering short documents up front keeps the dropped-docs
     # contract explicit and the downstream arrays non-empty (the
@@ -123,9 +129,11 @@ def winnow_fingerprints(
     # are materialized as a column in their own projection so the
     # k-gram transform references them O(1) per position instead of
     # re-running tokenize per position.
-    codes = docs.select(
-        F.col(id_col), _token_codes(tokenize(text_col)).alias("codes")
-    ).where(F.size("codes") >= k + w - 1)
+    if codes is None:
+        codes = docs.select(
+            F.col(id_col), _token_codes(tokenize(text_col)).alias("codes")
+        )
+    codes = codes.where(F.size("codes") >= k + w - 1)
     picked = codes.select(
         F.col(id_col),
         kgram_hashes(F.col("codes"), k).alias("kh"),

@@ -14,7 +14,7 @@ from gerrydb_etl_spark.operators.dedup import containment_pairs
 from gerrydb_etl_spark.operators.passages import passage_dedup, winnow_fingerprints
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
-from gerrydb_etl_spark.store.staging import staged_shingles
+from gerrydb_etl_spark.store.staging import staged_shingles, staged_token_codes
 
 BLOCK_TOKENS = 10
 MIN_DOCS = 2
@@ -108,9 +108,13 @@ def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust-winnowing fingerprints (k=3-gram rolling hash, window
     w=4, rightmost-min tie-break) per document — the MOSS document-
     fingerprint scheme, computed entirely in the array domain with
-    zero shuffles before the output explode."""
+    zero shuffles before the output explode. Reads the session-staged
+    token-code arrays shared with winnow_near_dup (k=5)."""
     docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    return winnow_fingerprints(
+        docs, k=WINNOW_K, w=WINNOW_W,
+        codes=staged_token_codes(spark, sf_dir),
+    )
 
 
 CONTAINMENT_TAU = 0.9
@@ -232,7 +236,10 @@ def winnow_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sel = (
-        winnow_fingerprints(docs, k=WINNOW_ND_K, w=WINNOW_W)
+        winnow_fingerprints(
+            docs, k=WINNOW_ND_K, w=WINNOW_W,
+            codes=staged_token_codes(spark, sf_dir),
+        )
         .select(F.col("doc_id").alias("doc"), F.col("fingerprint").alias("fp"))
         .distinct()
     )

@@ -81,6 +81,78 @@ def staged_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return spark.table(ensure_staged_shingles(spark, sf_dir, n))
 
 
+def staged_token_hash_name(sf_dir: str) -> str:
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    return f"st_tokhash_{tag}"
+
+
+def ensure_staged_token_hashes(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the per-token-INSTANCE portable polynomial hashes
+    (doc, h) once per session + source fingerprint. SimHash's
+    dominant cost is the char-level fold inside portable_token_hash
+    (two 31-bit polynomial accumulations per token); staging the
+    folded hashes turns every downstream fingerprint pass into a
+    scan of two long columns. Values are identical to the inline
+    spelling by construction (the staging writer IS the simhash
+    token stage), so the full pipeline-replay DuckDB oracle is
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.functions.text import tokenize
+    from gerrydb_etl_spark.operators.dedup import portable_token_hash
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            fan_out(docs.select("doc_id", "text"))
+            .select(
+                F.col("doc_id").alias("doc"),
+                F.explode(tokenize(F.col("text"))).alias("t"),
+            )
+            .select("doc", portable_token_hash(F.col("t")).alias("h"))
+        )
+
+    return _ensure_staged(spark, staged_token_hash_name(sf_dir), build)
+
+
+def staged_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged (doc, h) token-hash rows (staging on first use)."""
+    return spark.table(ensure_staged_token_hashes(spark, sf_dir))
+
+
+def staged_token_codes_name(sf_dir: str) -> str:
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    return f"st_tokcodes_{tag}"
+
+
+def ensure_staged_token_codes(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the per-document token-code array (doc_id, codes) —
+    the shared input of the winnowing family (fingerprints at k=3,
+    near-dup matching at k=5 both fold the SAME codes). One
+    tokenize+transform pass instead of one per consumer; values
+    identical to inline, oracles unchanged."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.functions.text import tokenize
+    from gerrydb_etl_spark.operators.passages import _token_codes
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            F.col("doc_id"), _token_codes(tokenize("text")).alias("codes")
+        )
+
+    return _ensure_staged(spark, staged_token_codes_name(sf_dir), build)
+
+
+def staged_token_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged (doc_id, codes) rows (staging on first use)."""
+    return spark.table(ensure_staged_token_codes(spark, sf_dir))
+
+
 def staged_kmeans_name(sf_dir: str, k: int, iters: int) -> str:
     tag = _source_fingerprint(sf_dir, tables=("embeddings",))
     return f"st_kmeans_k{k}_i{iters}_{tag}"
