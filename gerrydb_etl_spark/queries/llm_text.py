@@ -563,6 +563,80 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "media_strict_decode",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               ascii(substr(rpad(text, 256, ' '), i, 1)) // 16 AS bin
+        FROM (
+            SELECT doc_id, text, unnest(generate_series(1, 256)) AS i
+            FROM documents
+        )
+    ),
+    counts AS (
+        SELECT doc_id, bin, COUNT(*) AS n FROM chars GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, octet_length(encode(d.text)) AS total, b.bin
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+    )
+    SELECT g.doc_id AS media_id,
+           CAST(g.total AS BIGINT) AS n_bytes,
+           string_agg(
+               CAST(CAST(FLOOR(
+                   COALESCE(c.n, 0) / 256.0 * 1000000 + 0.5
+               ) AS BIGINT) AS VARCHAR),
+               ',' ORDER BY g.bin) AS feature,
+           CAST(CEIL(g.total / 64.0) AS INTEGER) AS n_frames
+    FROM grid g
+    LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+    GROUP BY g.doc_id, g.total
+    """,
+)
+def media_strict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT-mode media decode on real image bytes: each document's
+    first 256 chars (space-padded) become a REAL 16x16 ASCII-PGM (P2)
+    payload, decoded through the built-in pure-Python PGM codec in
+    the strict mapInPandas kernel (operators/multimodal.py
+    _strict_decode) — no deterministic-fake fallback anywhere in the
+    path. The decoded pixel array IS the char codes, so the DuckDB
+    oracle reproduces the luminance histogram from the text directly
+    and the whole decode pipeline gets a full value-hash gate.
+    Same micro-unit feature quantization + comma-join as
+    media_decode_features (no array columns in query outputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.rpad(F.col("text"), 256, " ")
+    payload = F.concat(
+        F.lit("P2\n16 16\n255\n"),
+        F.array_join(
+            F.transform(
+                F.split(padded, ""),
+                lambda c: F.ascii(c).cast("string"),
+            ),
+            " ",
+        ),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.cast("binary").alias("payload"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    feats = decode_media(media, frame_bytes=64, strict=True)
+    micro = F.transform(
+        "feature",
+        lambda v: F.floor(v * F.lit(1000000.0) + F.lit(0.5)).cast("string"),
+    )
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.concat_ws(",", micro).alias("feature"),
+        "n_frames",
+    )
+
+
 # BPE-ish pre-tokenization pattern: runs of letters, runs of digits,
 # or a single other non-space character — the shape GPT-style BPE
 # pre-tokenizers split on before merges (simplified to ASCII, which
