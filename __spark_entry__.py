@@ -28,82 +28,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # round 6, positions 1-3: the only three queries never driver-
-    # sampled in rounds 1-5 (VERDICT r5 item 1) — unconditionally
-    # first until each has a green CORRECTNESS row
-    "pii_redaction",
-    "doc_chunking",
-    "token_count_bpe",
-    # code touched in round 6 (anchor-plane id contract + hash
-    # oracle, IVF broadcast guard, PIL decode default, reliable-
-    # checkpoint fix, bucketed-table fingerprint, staged signatures)
-    "embedding_neardup",
-    "embedding_neardup_verify",
-    "ivf_cosine_topk",
-    "ivf_verify",
-    "media_decode_features",
-    "dense_id_assignment",
-    "bucketed_colocated_join",
-    "corpus_curation_filter",
-    # new in round 6 (lexical retrieval scoring; fixed-point k-means
-    # + SemDeDup clustering)
-    "tfidf_top_terms",
-    "bm25_scoring",
-    "kmeans_train_assign",
-    "semantic_dedup_survivors",
-    "events_stream_join_attribution",
-    "cms_heavy_hitters",
-    "funnel_conversion_stages",
-    "passage_dedup",
-    "winnow_fingerprints",
-    "fuzzy_blocked_match",
-    "timeline_gap_fill",
-    "pagerank_fixed_point",
-    "robust_length_filter",
-    "shingle_novelty",
-    "containment_dedup",
-    "event_rate_anomaly",
-    "local_supplier_volume",
-    "session_id_assignment",
-    "group_median_discrete",
-    # code touched late in round 6 session 2: the oracle promotions
-    # (portable simhash hashes, anchor-plane ANN, fixed-point IVF) —
-    # changed plans must sit inside the sample window with their
-    # recall twins
+    # round 7, position 1: the one new query this round (strict-mode
+    # media decode through the built-in PGM codec) — never sampled
+    "media_strict_decode",
+    # code touched in round 7: epoch shuffle re-registered on the
+    # two-phase dense-ID assigner + 31-bit mixer mask; simhash and
+    # the winnowing family moved to the staged token-hash/token-code
+    # fixtures; strict-decode kernel routing changed under the media
+    # queries; pagerank persist hygiene; stream-store empty-batch
+    # guard; winnow/kgram helper guards (passages module)
+    "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
-    "ann_cosine_topk",
-    "ann_verify",
-    "events_stream_store_ingest",
-    "gopher_quality_rules",
-    "incremental_exact_dedup",
-    "epoch_shuffle_order",
+    "winnow_fingerprints",
     "winnow_near_dup",
-    # stalest external signal: last sampled in rounds 1-2
-    "filters_membership",
-    "string_keys",
-    "topk_expensive_items",
-    "topk_orders_per_customer",
-    "rank_dense_ntile",
-    "running_revenue_per_customer",
-    "order_gap_days",
-    "current_version_per_order",
-    # last sampled in round 3 — oldest-first refill of the window
-    "pricing_summary",
-    "events_stream_tumbling",
-    "events_tumbling_hourly",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_json_props",
-    "asof_join_clicks_views",
-    "range_join_ship_window",
-    "neardup_clusters",
+    "passage_dedup",
+    "containment_dedup",
+    "pagerank_fixed_point",
+    "events_stream_store_ingest",
+    "media_decode_features",
+    "media_frame_sample",
+    # VERDICT r6 item 2: round-6 staging/rescore work changed code
+    # under these, but their last driver rows are r4-r5 — refresh
+    "minhash_near_dup",
+    "minhash_verify",
     "ngram_jaccard_dedup",
+    "neardup_clusters",
+    "benchmark_decontam",
+    # stalest external signal: last sampled in round 3 — oldest-
+    # first refill of the remaining window slots
     "dedup_exact_text",
     "embedding_cosine_topk",
     "embedding_quantize",
     "media_byte_stats",
-    "media_frame_sample",
     "text_stats",
     "lang_id_heuristic",
     "doc_fingerprint",
@@ -133,7 +90,12 @@ _EXPOSURE_PRIORITY = [
     "intersect_nation_keys",
     "except_order_keys",
     "pivot_status_by_flag",
-    # everything below was green in round 5 with unchanged code;
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_json_props",
+    "asof_join_clicks_views",
+    "range_join_ship_window",
+    # everything below was green in rounds 5-6 with unchanged code;
     # deferred past the ~50-query sample window this round
 ]
 

@@ -10,28 +10,32 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# The three queries never driver-sampled through round 5 (VERDICT r5
-# item 1) must occupy positions 1-3 until each has a green row.
-NEVER_SAMPLED_R5 = ["pii_redaction", "doc_chunking", "token_count_bpe"]
+# The queries never driver-sampled before round 7 (the round-7
+# addition) must open the window until each has a green row.
+NEVER_SAMPLED = ["media_strict_decode"]
 
-# Queries whose implementation was touched in (or is new in) round 6
-# — they need a fresh driver row and must stay inside the window.
-TOUCHED_R6 = [
-    "tfidf_top_terms",
-    "bm25_scoring",
-    "kmeans_train_assign",
-    "semantic_dedup_survivors",
-    "events_stream_join_attribution",
-    "cms_heavy_hitters",
-    "funnel_conversion_stages",
-    "embedding_neardup",
-    "embedding_neardup_verify",
-    "ivf_cosine_topk",
-    "ivf_verify",
+# Queries whose implementation was touched in (or is new in) round 7,
+# plus the four VERDICT r6 item-2 refreshes (code changed under them
+# in round 6 while they sat outside the sample window) — they need a
+# fresh driver row and must stay inside the window.
+TOUCHED = [
+    "media_strict_decode",
+    "epoch_shuffle_order",
+    "simhash_near_dup",
+    "simhash_verify",
+    "winnow_fingerprints",
+    "winnow_near_dup",
+    "passage_dedup",
+    "containment_dedup",
+    "pagerank_fixed_point",
+    "events_stream_store_ingest",
     "media_decode_features",
-    "dense_id_assignment",
-    "bucketed_colocated_join",
-    "corpus_curation_filter",
+    "media_frame_sample",
+    "minhash_near_dup",
+    "minhash_verify",
+    "ngram_jaccard_dedup",
+    "neardup_clusters",
+    "benchmark_decontam",
 ]
 
 
@@ -42,13 +46,13 @@ def test_priority_names_all_registered():
     assert len(qs) >= 100
 
 
-def test_never_sampled_trio_opens_the_window():
-    assert list(entry.queries())[:3] == NEVER_SAMPLED_R5
+def test_never_sampled_queries_open_the_window():
+    assert list(entry.queries())[: len(NEVER_SAMPLED)] == NEVER_SAMPLED
 
 
 def test_touched_queries_inside_the_window():
     window = list(entry.queries())[:50]
-    missing = [n for n in TOUCHED_R6 if n not in window]
+    missing = [n for n in TOUCHED if n not in window]
     assert not missing, f"code-touched queries fell out of window: {missing}"
 
 
