@@ -1,0 +1,75 @@
+"""Build replicated scale-test corpora under /root/repo/.scale/x{R}/.
+
+Replication contract (documented in PERF.md):
+- documents: R replicas; replica r renames the vocabulary by suffixing
+  every whitespace token with '-r' (a bijection on tokens), so each
+  replica's near-dup pair structure is EXACTLY the sf0.1 structure and
+  replicas share zero tokens -> totals scale linearly by design.
+- embeddings: R replicas; replica r rotates the 64-dim vector by 6*r
+  positions (norm-preserving; rotated copies decorrelate like unrelated
+  vectors), vec_id += r * 10_000.
+- orders/lineitem/customer/supplier/part/nation/region: R disjoint id-space
+  replicas for the graph/join heads (keys shifted per replica).
+"""
+import duckdb, os, sys, shutil
+
+SRC = "/root/testdata/sf0.1"
+R = int(sys.argv[1])
+OUT = f"/root/repo/.scale/x{R}"
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+con.execute("SET threads TO 16")
+
+def write(table, sql):
+    dest = f"{OUT}/{table}.parquet"
+    if os.path.exists(dest):
+        return
+    con.execute(f"COPY ({sql}) TO '{dest}' (FORMAT PARQUET)")
+    print(table, "->", dest)
+
+reps = f"(SELECT unnest(generate_series(0, {R-1})) AS r)"
+
+write("documents", f"""
+  SELECT d.doc_id + e.r * 10000 AS doc_id,
+         CASE WHEN e.r = 0 THEN d.text
+              ELSE regexp_replace(d.text, '(\\S+)', '\\1-' || e.r, 'g') END AS text,
+         d.lang, d.source, length(CASE WHEN e.r = 0 THEN d.text
+              ELSE regexp_replace(d.text, '(\\S+)', '\\1-' || e.r, 'g') END)::BIGINT AS n_chars
+  FROM read_parquet('{SRC}/documents.parquet') d, {reps} e
+""")
+write("embeddings", f"""
+  SELECT v.vec_id + e.r * 10000 AS vec_id,
+         CASE WHEN e.r = 0 THEN v.embedding
+              ELSE list_concat(v.embedding[6*e.r+1:], v.embedding[:6*e.r]) END AS embedding,
+         v.label
+  FROM read_parquet('{SRC}/embeddings.parquet') v, {reps} e
+""")
+write("orders", f"""
+  SELECT o_orderkey + e.r * 1000000000 AS o_orderkey,
+         o_custkey + e.r * 10000000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{SRC}/orders.parquet') o, {reps} e
+""")
+write("lineitem", f"""
+  SELECT l_orderkey + e.r * 1000000000 AS l_orderkey,
+         l_partkey + e.r * 10000000 AS l_partkey,
+         l_suppkey + e.r * 1000000 AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{SRC}/lineitem.parquet') l, {reps} e
+""")
+write("customer", f"""
+  SELECT c_custkey + e.r * 10000000 AS c_custkey,
+         c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM read_parquet('{SRC}/customer.parquet') c, {reps} e
+""")
+write("supplier", f"""
+  SELECT s_suppkey + e.r * 1000000 AS s_suppkey,
+         s_name, s_nationkey, s_acctbal
+  FROM read_parquet('{SRC}/supplier.parquet') s, {reps} e
+""")
+for t in ["part", "nation", "region", "events"]:
+    dest = f"{OUT}/{t}.parquet"
+    if not os.path.exists(dest):
+        shutil.copy(f"{SRC}/{t}.parquet", dest)
+print("done", OUT)
