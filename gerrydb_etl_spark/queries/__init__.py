@@ -15,6 +15,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_pipeline,
     llm_similarity,
     llm_text,
+    lm_quality,
     passages,
     relational,
     resolution,

@@ -1,0 +1,234 @@
+"""Language-model-flavored corpus quality scoring: bigram-LM
+surprisal (the CCNet/Wenzek-et-al perplexity-filter shape) and
+DSIR-style hashed-feature importance weighting (Xie et al. 2023) —
+the two standard "score every document against a reference
+distribution" passes a training-data pipeline runs between dedup and
+sampling. The reference has no text surface; this extends the
+SURVEY.md §2.12 north-star set alongside queries/curation.py.
+
+Engine-portability contract (same as queries/retrieval.py): no
+transcendental functions. Log-probability scoring is replaced by
+integer-exact surrogates that are monotone in the same direction —
+per-bigram INVERSE smoothed conditional probability (capped, in 1e-5
+units) instead of -log p, and per-feature smoothed count RATIOS (in
+1e-6 units) instead of log-likelihood ratios. All arithmetic is
+BIGINT products and floor divisions that Spark (`div`) and DuckDB
+(`//`) evaluate identically on nonnegative operands, so both queries
+carry full value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.functions.text import tokenize
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+# surprisal scale: 1e5 keeps the worst-case product
+# SCALE * (c1 + V) inside int64 out to ~9e13 corpus bigrams (~100 TB
+# of text); the per-bigram cap bounds the per-document SUM far below
+# overflow for any document length (1e4-token doc * cap = 1e16).
+SURPRISAL_SCALE = 100_000
+SURPRISAL_CAP = 10**12
+
+# DSIR: cheap deterministic token-feature hash (length*256 + first
+# char — the same portable code family as operators/passages.py)
+# folded into FEATURE_BUCKETS hashed buckets. Real DSIR uses wider
+# hashed n-gram features; the bucketing/ratio/score plumbing is
+# identical and the hash is swappable.
+FEATURE_BUCKETS = 1024
+RATIO_SCALE = 1_000_000
+# the held-out "target" set reuses the benchmark residue class from
+# queries/curation.py (the corpus ships no separate benchmark table)
+BENCH_MOD = 97
+
+
+@query(
+    "bigram_surprisal_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    scored AS (
+        SELECT bg.doc_id,
+               LEAST({SURPRISAL_CAP},
+                     ({SURPRISAL_SCALE} * (c1.c1 + v.v)) // (c2.c2 + 1)
+               ) AS smicro
+        FROM bg
+        JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        JOIN c1 ON bg.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(smicro) AS BIGINT) AS total_surprisal_e5,
+           CAST(SUM(smicro) // COUNT(*) AS BIGINT) AS avg_surprisal_e5
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM surprisal per document — the
+    perplexity-style quality filter (CCNet trains a 5-gram KenLM on
+    reference text and filters by per-doc perplexity; this is the
+    same shape with the corpus itself as the LM and an integer-exact
+    inverse-probability surrogate for -log p).
+
+    Per bigram (w1, w2): smicro = min(CAP, SCALE * (c1(w1) + V) div
+    (c2(w1, w2) + 1)) — the inverse add-1-smoothed conditional
+    probability in 1e-5 units (c1 = prefix occurrences, V = corpus
+    vocabulary size). Per document: bigram count, total, and
+    floor-average surprisal; high average = improbable token
+    transitions = candidate for removal. Documents with < 2 tokens
+    carry no bigram and are dropped (explicit contract, mirrored by
+    the oracle). The CAP both bounds the int64 sum for any document
+    length and tames the rare-continuation-of-frequent-word spike.
+
+    Plan shape: one token explode → two map-side-combined aggregations
+    over vocabulary-bounded keys (bigram counts, prefix counts) → the
+    corpus bigram stream joins its counts on the bigram/prefix keys
+    (co-shuffled hash joins at 100 TB; AQE broadcasts while small) →
+    one per-doc aggregation. V is a bounded O(1) driver scalar folded
+    in as a literal (a 1-row scalar join would plan as the
+    BroadcastNestedLoopJoin the plan gate forbids).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
+    vocab = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    # guard BEFORE sequence(): n < 2 would count the sequence down
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.element_at("t", (i + 1).cast("int")).alias("w1"),
+            F.element_at("t", (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(SURPRISAL_CAP).cast("long"),
+                F.expr(
+                    f"({SURPRISAL_SCALE} * (c1 + {vocab})) div (c2 + 1)"
+                ),
+            ).alias("smicro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("smicro").cast("long").alias("total_surprisal_e5"),
+        F.expr("sum(smicro) div count(*)").cast("long").alias("avg_surprisal_e5"),
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               (length(tok)::BIGINT * 256 + ascii(tok)::BIGINT)
+                   % {FEATURE_BUCKETS} AS f
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    raw AS (SELECT f, COUNT(*) AS rcnt FROM tok GROUP BY f),
+    tgt AS (SELECT f, COUNT(*) AS tcnt FROM tok
+            WHERE doc_id % {BENCH_MOD} = 0 GROUP BY f),
+    ratios AS (
+        SELECT raw.f,
+               ({RATIO_SCALE} * (COALESCE(tgt.tcnt, 0) + 1)) // (raw.rcnt + 1)
+                   AS ratio_e6
+        FROM raw LEFT JOIN tgt ON raw.f = tgt.f
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(ratios.ratio_e6) AS BIGINT) AS total_ratio_e6,
+           CAST(SUM(ratios.ratio_e6) // COUNT(*) AS BIGINT)
+               AS avg_importance_e6
+    FROM tok JOIN ratios ON tok.f = ratios.f
+    GROUP BY tok.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting: score every raw document by
+    how much its hashed token-feature distribution resembles a target
+    (benchmark) distribution, for importance resampling of training
+    data (Xie et al. 2023 use hashed n-gram log-likelihood ratios;
+    this keeps the hashed-feature/ratio/per-doc-score plumbing with
+    an integer-exact smoothed count ratio — the global
+    raw_total/target_total normalizer is constant across features, so
+    ranking is unaffected, the same ranking-equivalence argument as
+    the rational TF-IDF in queries/retrieval.py).
+
+    Per feature bucket f: ratio_e6 = SCALE * (tcnt(f) + 1) div
+    (rcnt(f) + 1) — the add-1-smoothed target/raw occurrence ratio in
+    1e-6 units (target ⊆ raw ⇒ ratio ≤ SCALE; products stay far
+    inside int64 at any corpus size because tcnt is eval-suite-
+    bounded). Per document: floor-average ratio over its token
+    occurrences — high = benchmark-like (sample up), low = far from
+    target. The target set is the benchmark residue class
+    (doc_id % {BENCH_MOD} = 0), matching benchmark_decontam.
+
+    Plan shape: one token explode → narrow hash-to-bucket map → one
+    map-side-combined count per bucket for raw and target (both
+    FEATURE_BUCKETS-bounded — tiny), ratio table joined back to the
+    token stream on the bucket key (broadcast: ≤ {FEATURE_BUCKETS}
+    rows) → one per-doc aggregation. Nothing collects to the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokenize(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        (
+            (F.length("tok").cast("long") * 256 + F.ascii("tok").cast("long"))
+            % FEATURE_BUCKETS
+        ).alias("f"),
+    )
+    raw = tok.groupBy("f").agg(F.count("*").alias("rcnt"))
+    tgt = (
+        tok.where(F.col("doc_id") % BENCH_MOD == 0)
+        .groupBy("f")
+        .agg(F.count("*").alias("tcnt"))
+    )
+    ratios = raw.join(tgt, "f", "left").select(
+        "f",
+        F.expr(
+            f"({RATIO_SCALE} * (COALESCE(tcnt, 0) + 1)) div (rcnt + 1)"
+        ).alias("ratio_e6"),
+    )
+    return (
+        tok.join(F.broadcast(ratios), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("ratio_e6").cast("long").alias("total_ratio_e6"),
+            F.expr("sum(ratio_e6) div count(*)")
+            .cast("long")
+            .alias("avg_importance_e6"),
+        )
+    )

@@ -206,3 +206,149 @@ def bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(pivoted, "doc_id", "left").select(
         "doc_id", "dl", bm25.alias("bm25")
     )
+
+
+# hybrid retrieval fusion: candidate depth per ranking, RRF's
+# standard k=60 damping constant, fused result size, and the 1e9
+# integer scale that makes 1/(60+rank) exact in both engines
+HYBRID_K = 100
+RRF_C = 60
+FUSE_K = 20
+RRF_SCALE = 1_000_000_000
+
+# portable cosine against the stored query vector, in the exact fold
+# order the Spark helpers use (operators/similarity.py dot/norm)
+_COS_SQL = """
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(c.embedding, q.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                       (x, y) -> x + y))
+                  * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                       (x, y) -> x + y)))
+"""
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH lrank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        FROM ({_bm25_oracle()}) b
+        QUALIFY lex_rank <= {HYBRID_K}
+    ),
+    vec AS (
+        SELECT c.vec_id AS doc_id, {_COS_SQL} AS cos
+        FROM embeddings c CROSS JOIN
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE c.vec_id != 0
+    ),
+    vrank AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+        FROM vec
+        QUALIFY vec_rank <= {HYBRID_K}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               COALESCE(l.lex_rank, 0) AS lex_rank,
+               COALESCE(v.vec_rank, 0) AS vec_rank,
+               (CASE WHEN l.lex_rank IS NULL THEN 0
+                     ELSE {RRF_SCALE} // ({RRF_C} + l.lex_rank) END
+                + CASE WHEN v.vec_rank IS NULL THEN 0
+                       ELSE {RRF_SCALE} // ({RRF_C} + v.vec_rank) END)
+                   AS rrf_e9
+        FROM lrank l FULL OUTER JOIN vrank v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id)
+                      AS fused_rank
+        FROM fused
+    ) WHERE fused_rank <= {FUSE_K}
+    """
+
+
+@query("rrf_hybrid_retrieval", oracle=_rrf_oracle())
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009): the top-{HYBRID_K} BM25 candidates and the
+    top-{HYBRID_K} exact-cosine candidates (query vector = the stored
+    embedding of vec_id 0 — data-derived, like the ANN anchor planes)
+    fuse by RRF score = Σ 1/(60 + rank), computed as exact integer
+    {RRF_SCALE} div (60 + rank) units so the fused ranking carries a
+    full value-hash oracle. Absent-from-one-list candidates
+    contribute 0 from that list (standard RRF over the union).
+
+    Plan shape: each candidate list is a distributed top-k — Spark
+    compiles orderBy().limit(k) to TakeOrderedAndProject (per-
+    partition heaps + driver merge, NO global single-reducer sort);
+    the rank-assignment windows and the fusion join then run over
+    ≤ 2·{HYBRID_K} rows, driver-bounded by construction. The cosine
+    is the same JVM-side fold the exact-cosine baseline uses; the
+    query vector is a bounded 1-row model collect folded in as an
+    array literal (a scalar cross join would plan as the banned
+    BroadcastNestedLoopJoin)."""
+    from gerrydb_etl_spark.operators.similarity import cosine
+
+    lex = (
+        bm25_scoring(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(HYBRID_K)
+    )
+    lrank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    vec = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), qlit).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(HYBRID_K)
+    )
+    vrank = vec.select(
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("cos"), F.asc("doc_id")))
+        .alias("vec_rank"),
+    )
+    contrib = (
+        F.when(
+            F.col("lex_rank").isNotNull(),
+            F.expr(f"{RRF_SCALE} div ({RRF_C} + lex_rank)"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("vec_rank").isNotNull(),
+            F.expr(f"{RRF_SCALE} div ({RRF_C} + vec_rank)"),
+        ).otherwise(F.lit(0))
+    )
+    fused = lrank.join(vrank, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        contrib.cast("long").alias("rrf_e9"),
+    )
+    return (
+        fused.select(
+            "*",
+            F.row_number()
+            .over(W.partitionBy().orderBy(F.desc("rrf_e9"), F.asc("doc_id")))
+            .cast("long")
+            .alias("fused_rank"),
+        )
+        .where(F.col("fused_rank") <= FUSE_K)
+    )

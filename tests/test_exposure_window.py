@@ -12,7 +12,12 @@ import __spark_entry__ as entry
 
 # The queries never driver-sampled before round 7 (the round-7
 # addition) must open the window until each has a green row.
-NEVER_SAMPLED = ["media_strict_decode"]
+NEVER_SAMPLED = [
+    "media_strict_decode",
+    "bigram_surprisal_filter",
+    "dsir_importance_weights",
+    "rrf_hybrid_retrieval",
+]
 
 # Queries whose implementation was touched in (or is new in) round 7,
 # plus the four VERDICT r6 item-2 refreshes (code changed under them
@@ -20,6 +25,9 @@ NEVER_SAMPLED = ["media_strict_decode"]
 # fresh driver row and must stay inside the window.
 TOUCHED = [
     "media_strict_decode",
+    "bigram_surprisal_filter",
+    "dsir_importance_weights",
+    "rrf_hybrid_retrieval",
     "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
