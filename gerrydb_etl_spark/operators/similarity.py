@@ -265,8 +265,19 @@ def anchor_planes(
     """Data-derived LSH hyperplanes, shape (tables, bits, dim).
 
     Candidate plane j is the elementwise DIFFERENCE of the (2j)-th
-    and (2j+1)-th corpus vectors in ``id_col`` ORDER (row position,
-    not id value — sparse, offset, or string id spaces all work).
+    and (2j+1)-th corpus vectors in HASH-MIXED ``id_col`` order for
+    integral ids (Knuth multiplicative mix, 31-bit masked, id
+    tiebreak — row position in that order, so sparse and offset id
+    spaces work; non-integral ids fall back to plain id order).
+    The mix matters at scale: an id-ordered prefix
+    samples anchors from ONE corner of the corpus (parquet is
+    routinely sorted by source/time/cluster), and planes derived
+    from an unrepresentative corner project the rest of the corpus
+    degenerately — measured in the x10 replica experiment (PERF.md
+    round 7: id-ordered anchors gave a 100x bucket-pair blowup on
+    rotated replicas). The mixed order is a deterministic pseudo-
+    random sample of the whole corpus, replayed exactly in the
+    DuckDB oracles.
     Candidates whose difference norm is below ``eps`` times the sum
     of the two anchor norms are discarded: in a near-duplicate corpus
     an anchor pair may itself be a near/exact duplicate, and a
@@ -302,9 +313,23 @@ def anchor_planes(
     same bounded-collect class as IVF centroids.
     """
     n = tables * bits
+    # 31-bit Knuth multiplicative mix (id masked BEFORE the multiply
+    # so the product stays in int64 for any id — same overflow
+    # discipline as the epoch-shuffle mixer), id tiebreak for masked
+    # collisions; orderBy+limit compiles to TakeOrdered (no full sort)
+    # integral ids get the mixed order; other id types (strings,
+    # decimals) fall back to plain id order — no bitwise domain to
+    # mix in, and the registered vector queries all use BIGINT ids
+    if isinstance(corpus.schema[id_col].dataType, T.IntegralType):
+        order = [
+            F.expr("((i & 2147483647) * 2654435761) & 2147483647"),
+            F.col("i"),
+        ]
+    else:
+        order = [F.col("i")]
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
+        .orderBy(*order)
         .limit(2 * n * over_provision)
         .collect()
     )

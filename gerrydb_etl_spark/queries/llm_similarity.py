@@ -281,7 +281,8 @@ def _norm_sql(a: str) -> str:
 
 
 # Full replay of the embedding_neardup pipeline in DuckDB: anchor
-# prefix (row position by vec_id order) → consecutive-pair difference
+# prefix (row position in hash-mixed vec_id order — a deterministic
+# pseudo-random corpus sample, see anchor_planes) → consecutive-pair difference
 # planes with the degenerate-pair eps filter → per-table packed sign
 # signatures → bucket-capped within-bucket candidate pairs → exact
 # cosine rescore. Mirrors anchor_planes / _signature_udf /
@@ -299,7 +300,12 @@ _NEARDUP_CAP = 1000
 # tables=8, over_provision=4, eps=1e-6).
 _PLANES_SIGS_CTE = f"""
     WITH ordered AS (
-        SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+        SELECT embedding,
+               ROW_NUMBER() OVER (
+                   ORDER BY ((vec_id & 2147483647) * 2654435761)
+                            & 2147483647,
+                            vec_id
+               ) - 1 AS rn
         FROM embeddings
         QUALIFY rn < {2 * _NEARDUP_TABLES * _NEARDUP_BITS * _NEARDUP_OVER}
     ),

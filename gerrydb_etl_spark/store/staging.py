@@ -192,9 +192,16 @@ def staged_kmeans(
     return spark.table(ensure_staged_kmeans(spark, sf_dir, k, iters))
 
 
+# bump when the anchor-plane derivation changes (v2: hash-mixed
+# anchor sampling) — the source fingerprint alone cannot see a code
+# change, and a stale staged signature index would silently disagree
+# with the oracle's replay of the new derivation
+_PLANES_DERIVATION = "v2"
+
+
 def staged_lsh_sigs_name(sf_dir: str, bits: int, tables: int) -> str:
     tag = _source_fingerprint(sf_dir, tables=("embeddings",))
-    return f"st_lshsigs_b{bits}_t{tables}_{tag}"
+    return f"st_lshsigs{_PLANES_DERIVATION}_b{bits}_t{tables}_{tag}"
 
 
 def ensure_staged_lsh_sigs(
