@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from gerrydb_etl_spark.functions.text import (
     STOPWORDS,
@@ -671,4 +672,92 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokenize(F.col("text"))).alias("n_ws_tokens"),
         F.size(pieces).alias("n_bpe_pieces"),
         F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
+
+
+BPE_TOP_MERGES = 20
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 2
+        GROUP BY word
+    ),
+    pairs AS (
+        SELECT substr(word, i, 1) AS left_sym,
+               substr(word, i + 1, 1) AS right_sym,
+               freq
+        FROM (SELECT word, freq,
+                     unnest(generate_series(1, length(word) - 1)) AS i
+              FROM words)
+    ),
+    counted AS (
+        SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY left_sym, right_sym
+    )
+    SELECT left_sym, right_sym, pair_count,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY pair_count DESC, left_sym, right_sym
+                  ) AS rank
+        FROM counted
+    ) WHERE rank <= {BPE_TOP_MERGES}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training iteration (Sennrich et al. 2016): count
+    adjacent symbol pairs across the corpus weighted by word
+    frequency and rank the merge candidates — the top pair is the
+    merge a byte-pair encoder would learn first. Symbols start as
+    single characters (the standard initial state); iterating with
+    the chosen merge applied is the same plan re-run over the merged
+    symbol table.
+
+    Plan shape: the word-frequency table first (map-side-combined,
+    vocabulary-bounded — the corpus explodes ONCE into words, and
+    every downstream step runs on the vocabulary, not the corpus:
+    the standard trick that makes BPE training tractable at 100 TB),
+    then a per-word character-pair explode weighted by freq, one
+    map-side-combined (left, right) sum (≤ alphabet² groups), and a
+    top-k over that tiny aggregate. The final rank window runs over
+    ≤ alphabet² rows — driver-bounded by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # adjacent character pairs per vocabulary word (the length >= 2
+    # filter above keeps sequence() counting up)
+    pairs = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.col("word").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+            F.col("word").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+            "freq",
+        )
+    )
+    counted = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").cast("long").alias("pair_count")
+    )
+    w = W.partitionBy().orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    return (
+        counted.select(
+            "*", F.row_number().over(w).cast("long").alias("rank")
+        )
+        .where(F.col("rank") <= BPE_TOP_MERGES)
     )

@@ -17,6 +17,7 @@ NEVER_SAMPLED = [
     "bigram_surprisal_filter",
     "dsir_importance_weights",
     "rrf_hybrid_retrieval",
+    "bpe_merge_candidates",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 7,
@@ -28,6 +29,7 @@ TOUCHED = [
     "bigram_surprisal_filter",
     "dsir_importance_weights",
     "rrf_hybrid_retrieval",
+    "bpe_merge_candidates",
     "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
