@@ -20,6 +20,15 @@ column renames, e.g. pl_localities.py:139-144):
   (doc_id, gram) then (doc_id,) — the grouping key always carries
   doc_id, so hot words never concentrate on one reducer and shuffle
   volume is #distinct (doc, gram) pairs, not #gram occurrences.
+
+- ``cdc_chunks``: CONTENT-DEFINED chunking (the LBFS/rsync/restic
+  family): chunk boundaries fall where a rolling k-gram hash hits a
+  residue class, so an insertion near the start of a document moves
+  only the chunks it touches — fixed-stride chunk identities all
+  shift, content-defined ones are stable, which is what makes
+  chunk-level dedup across recrawls work. Entirely array-domain
+  (codes → k-gram hashes → cut positions → span explode), zero
+  shuffles before the output explode, like winnowing.
 """
 
 from __future__ import annotations
@@ -134,4 +143,86 @@ def repetition_stats(
             (dup_frac <= F.lit(max_dup_word_frac))
             & (top_frac <= F.lit(max_top_bigram_frac))
         ).alias("keep"),
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking over whitespace tokens.
+
+    A cut falls BEFORE token position p (1-based over the k-gram
+    array, i.e. the k-gram starting at token p) whenever the rolling
+    k-gram hash at p is ≡ 0 (mod ``boundary_mod``) — expected chunk
+    length ≈ boundary_mod tokens. Chunks are the spans between
+    consecutive cuts ([0, n) when no cut fires, e.g. short docs);
+    every chunk carries the base-131 polynomial fingerprint of its
+    token codes, the dedup-able chunk identity. Insertions move only
+    the chunks they touch (boundaries are contentic, not positional)
+    — the property fixed-stride ``chunk_documents`` lacks.
+
+    Returns (id, chunk_idx, start_tok, n_toks, chunk_fp). Entirely
+    array-domain until one posexplode — zero shuffles (plan-pinned in
+    tests/test_docprep.py). The k-gram/short-input hazards are
+    guarded here and inside the shared helpers (operators/passages).
+    """
+    from gerrydb_etl_spark.functions.text import FP_BASE, FP_MOD, tokenize
+    from gerrydb_etl_spark.operators.passages import _token_codes, kgram_hashes
+
+    base = docs.select(
+        F.col(id_col), _token_codes(tokenize(text_col)).alias("codes")
+    ).select(
+        id_col,
+        "codes",
+        F.size("codes").alias("n"),
+        kgram_hashes(F.col("codes"), k).alias("kh"),
+    )
+    # cut positions: 1..len(kh)-1 where kh[p] % mod == 0 (sequence
+    # guarded against the n<2 down-count hazard)
+    cuts = F.when(
+        F.size("kh") >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.size("kh") - 1),
+            lambda p: F.element_at("kh", (p + 1).cast("int"))
+            % boundary_mod
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.withColumn("cuts", cuts).select(
+        id_col,
+        "codes",
+        F.concat(F.array(F.lit(0)), F.col("cuts")).alias("starts"),
+        F.concat(F.col("cuts"), F.array(F.col("n"))).alias("ends"),
+    ).withColumn(
+        "span",
+        F.zip_with(
+            "starts",
+            "ends",
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+    )
+    exploded = spans.select(
+        id_col,
+        "codes",
+        F.posexplode("span").alias("chunk_idx", "se"),
+    )
+    fp = F.aggregate(
+        F.slice(
+            "codes",
+            (F.col("se.s") + 1).cast("int"),
+            (F.col("se.e") - F.col("se.s")).cast("int"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("se.s").cast("long").alias("start_tok"),
+        (F.col("se.e") - F.col("se.s")).cast("long").alias("n_toks"),
+        fp.alias("chunk_fp"),
     )

@@ -91,3 +91,76 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the verdict column is exercised in both directions."""
     docs = load_table(spark, sf_dir, "documents")
     return repetition_stats(docs)
+
+
+CDC_K = 3
+CDC_MOD = 16
+
+# per-token integer code, identical to operators/passages._token_codes
+_CDC_CODES = (
+    "list_transform(string_split(text, ' '), "
+    "t -> length(t)::BIGINT * 256 + ascii(t)::BIGINT)"
+)
+
+
+@query(
+    "cdc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_CDC_CODES} AS codes FROM documents
+    ),
+    k AS (
+        SELECT doc_id, codes, len(codes) AS n,
+               CASE WHEN len(codes) >= {CDC_K} THEN
+                   list_transform(
+                       range(0, len(codes) - {CDC_K} + 1),
+                       i -> list_reduce(
+                           codes[i + 1 : i + {CDC_K}],
+                           (acc, c) -> (acc * 131 + c) % 1000000007
+                       ) % 1000000007)
+               ELSE [] END AS kh
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, codes, n,
+               CASE WHEN len(kh) >= 2 THEN
+                   list_filter(range(1, len(kh)),
+                               p -> kh[p + 1] % {CDC_MOD} = 0)
+               ELSE [] END AS cuts
+        FROM k
+    ),
+    spans AS (
+        SELECT doc_id, codes,
+               list_prepend(0, cuts) AS starts,
+               list_append(cuts, n) AS ends
+        FROM c
+    ),
+    chunks AS (
+        SELECT doc_id, i - 1 AS chunk_idx, starts[i] AS s, ends[i] AS e,
+               codes
+        FROM (SELECT doc_id, codes, starts, ends,
+                     unnest(generate_series(1, len(starts))) AS i
+              FROM spans)
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(e - s AS BIGINT) AS n_toks,
+           CAST(list_reduce(codes[s + 1 : e],
+                            (acc, c) -> (acc * 131 + c) % 1000000007)
+                % 1000000007 AS BIGINT) AS chunk_fp
+    FROM chunks
+    """,
+)
+def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync/restic family): cuts
+    where the rolling {CDC_K}-gram token hash ≡ 0 mod {CDC_MOD}
+    (expected ~{CDC_MOD}-token chunks), each chunk fingerprinted for
+    cross-recrawl chunk-level dedup. Boundaries are content-derived,
+    so an insertion shifts only the chunks it touches — the
+    stability property fixed-stride doc_chunking lacks. Array-domain
+    plan, zero shuffles before the output explode."""
+    from gerrydb_etl_spark.operators.docprep import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(docs, k=CDC_K, boundary_mod=CDC_MOD)

@@ -70,3 +70,65 @@ def test_repetition_pathological_doc_rejected(spark):
     assert rows[1]["keep"] is False
     assert rows[2]["dup_word_frac"] == 0.0
     assert rows[2]["keep"] is True
+
+
+def _cdc(spark, rows, **kw):
+    from gerrydb_etl_spark.operators.docprep import cdc_chunks
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return cdc_chunks(df, **kw)
+
+
+def test_cdc_covers_every_token_exactly_once(spark):
+    text = " ".join(
+        chr(97 + (i * 7) % 23) + f"{i % 29}" for i in range(200)
+    )
+    rows = sorted(
+        _cdc(spark, [(1, text)]).collect(), key=lambda r: r.chunk_idx
+    )
+    assert rows[0].start_tok == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.start_tok == a.start_tok + a.n_toks  # contiguous
+    assert rows[-1].start_tok + rows[-1].n_toks == 200
+    assert len(rows) > 1  # boundaries actually fire on this input
+
+
+def test_cdc_short_doc_is_single_chunk(spark):
+    rows = _cdc(spark, [(1, "a b"), (2, "only")]).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        assert len(chunks) == 1
+        assert chunks[0].start_tok == 0
+
+
+def test_cdc_insertion_moves_only_touched_chunks(spark):
+    """The content-defined property: inserting tokens near the START
+    of a document leaves the chunk fingerprints of the untouched tail
+    intact (fixed-stride chunking would shift every identity)."""
+    base_words = [
+        chr(97 + (i * 11) % 19) + f"{i % 31}" for i in range(300)
+    ]
+    original = " ".join(base_words)
+    edited = " ".join(["zz1 zz2 zz3"] + base_words)
+    fps = lambda rows: [r.chunk_fp for r in sorted(rows, key=lambda r: r.chunk_idx)]
+    a = fps(_cdc(spark, [(1, original)]).collect())
+    b = fps(_cdc(spark, [(1, edited)]).collect())
+    # the tail chunks re-align: a long common fingerprint suffix
+    common_tail = 0
+    while (common_tail < min(len(a), len(b))
+           and a[-1 - common_tail] == b[-1 - common_tail]):
+        common_tail += 1
+    assert common_tail >= len(a) - 3, (
+        f"insertion disturbed {len(a) - common_tail} of {len(a)} chunks"
+    )
+
+
+def test_cdc_plan_has_no_exchange(spark):
+    from gerrydb_etl_spark.queries import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    df = REGISTRY["cdc_chunking"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

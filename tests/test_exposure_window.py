@@ -18,6 +18,7 @@ NEVER_SAMPLED = [
     "dsir_importance_weights",
     "rrf_hybrid_retrieval",
     "bpe_merge_candidates",
+    "cdc_chunking",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 7,
@@ -30,6 +31,7 @@ TOUCHED = [
     "dsir_importance_weights",
     "rrf_hybrid_retrieval",
     "bpe_merge_candidates",
+    "cdc_chunking",
     "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
