@@ -98,3 +98,33 @@ def test_dense_ids_match_sorted_enumerate(spark, keys, parts):
     }
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+# --- content-defined chunking properties -----------------------------------
+
+_words = st.lists(
+    st.text(alphabet="abcdefgh123", min_size=1, max_size=6),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_words)
+def test_cdc_chunks_partition_the_token_stream(spark, words):
+    """For ANY document, CDC chunks are a partition of the token
+    array: contiguous, non-overlapping, covering [0, n)."""
+    from gerrydb_etl_spark.operators.docprep import cdc_chunks
+
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(cdc_chunks(df).collect(), key=lambda r: r.chunk_idx)
+    assert rows, "every non-empty doc yields at least one chunk"
+    assert rows[0].start_tok == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b.start_tok == a.start_tok + a.n_toks
+    assert rows[-1].start_tok + rows[-1].n_toks == len(words)
+    assert all(r.n_toks >= 1 for r in rows)
