@@ -152,6 +152,7 @@ def cdc_chunks(
     text_col: str = "text",
     k: int = 3,
     boundary_mod: int = 16,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Content-defined chunking over whitespace tokens.
 
@@ -169,13 +170,20 @@ def cdc_chunks(
     array-domain until one posexplode — zero shuffles (plan-pinned in
     tests/test_docprep.py). The k-gram/short-input hazards are
     guarded here and inside the shared helpers (operators/passages).
+
+    ``codes`` (optional): pre-computed (id_col, codes) token-code
+    rows — pass store/staging.py's staged fixture to share the
+    tokenize pass with the winnowing family; values identical to the
+    inline spelling by construction.
     """
     from gerrydb_etl_spark.functions.text import FP_BASE, FP_MOD, tokenize
     from gerrydb_etl_spark.operators.passages import _token_codes, kgram_hashes
 
-    base = docs.select(
-        F.col(id_col), _token_codes(tokenize(text_col)).alias("codes")
-    ).select(
+    if codes is None:
+        codes = docs.select(
+            F.col(id_col), _token_codes(tokenize(text_col)).alias("codes")
+        )
+    base = codes.select(
         id_col,
         "codes",
         F.size("codes").alias("n"),

@@ -159,8 +159,14 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-recrawl chunk-level dedup. Boundaries are content-derived,
     so an insertion shifts only the chunks it touches — the
     stability property fixed-stride doc_chunking lacks. Array-domain
-    plan, zero shuffles before the output explode."""
+    plan, zero shuffles before the output explode; reads the
+    session-staged token-code arrays shared with the winnowing
+    family."""
     from gerrydb_etl_spark.operators.docprep import cdc_chunks
+    from gerrydb_etl_spark.store.staging import staged_token_codes
 
     docs = load_table(spark, sf_dir, "documents")
-    return cdc_chunks(docs, k=CDC_K, boundary_mod=CDC_MOD)
+    return cdc_chunks(
+        docs, k=CDC_K, boundary_mod=CDC_MOD,
+        codes=staged_token_codes(spark, sf_dir),
+    )
