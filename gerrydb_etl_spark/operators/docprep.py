@@ -213,10 +213,19 @@ def cdc_chunks(
             lambda s, e: F.struct(s.alias("s"), e.alias("e")),
         ),
     )
+    # posexplode_OUTER, deliberately: a plain posexplode makes the
+    # Generate prepend an implicit `size(span) > 0` Filter, and
+    # filter pushdown drags that predicate below the three
+    # materializing Projects — inlining the whole kh→cuts→span
+    # expression chain into one predicate tree where the k-gram
+    # transform is re-evaluated per lambda element: O(n²) per doc
+    # (measured 20.5 s at sf0.1; 1.3 s with outer). `span` is never
+    # empty (starts always holds position 0), so outer emits no null
+    # rows and the results are identical.
     exploded = spans.select(
         id_col,
         "codes",
-        F.posexplode("span").alias("chunk_idx", "se"),
+        F.posexplode_outer("span").alias("chunk_idx", "se"),
     )
     fp = F.aggregate(
         F.slice(
