@@ -132,3 +132,13 @@ def test_cdc_plan_has_no_exchange(spark):
     df = REGISTRY["cdc_chunking"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+    # pin the posexplode_outer fix: a plain posexplode prepends a
+    # size(span) > 0 filter whose pushdown inlines the whole
+    # kh→cuts→span chain into one predicate, re-evaluating the
+    # k-gram transform per lambda element — O(n²) per doc (20.5 s →
+    # 0.54 s at sf0.1, PERF.md round 7). No Filter in this plan may
+    # carry a higher-order fold.
+    for line in plan.splitlines():
+        s = line.strip()
+        if "Filter" in s.split("(", 1)[0] or s.startswith("Filter"):
+            assert "aggregate(" not in s and "transform(sequence" not in s, s
