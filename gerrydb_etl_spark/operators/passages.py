@@ -225,3 +225,93 @@ def passage_dedup(
         "n_blocks",
         (F.col("n_blocks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("blocks_removed"),
     )
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Exact duplicate-substring removal spans (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    find every ``min_len``-token run whose hash occurs MORE than once
+    corpus-wide (across documents or repeated within one), KEEP the
+    first occurrence (minimum (doc, pos)), and emit the merged token
+    spans each document should delete. Position-granular — the
+    arbitrary-offset duplicates that block-aligned ``passage_dedup``
+    cannot see. (The reference implementation uses suffix arrays; a
+    distributed engine gets the same contract from the rolling-hash
+    inverted index, modulo ~n²/2·FP_MOD hash-collision probability —
+    negligible below billions of grams and the standard trade.)
+
+    Returns (id, span_idx, start_tok, n_toks) — one row per merged
+    removal span.
+
+    Scale shape: one posexplode of per-doc k-gram hashes → the
+    keep-first representative per hash via a MAP-SIDE-COMBINED
+    ``min(struct(doc, pos))`` aggregation (NO per-hash window: a
+    boilerplate gram with millions of occurrences would funnel one
+    reducer; the min-struct combiner never builds the posting list)
+    → co-shuffled join back on the hash key (AQE handles hot-gram
+    skew) → per-DOCUMENT gaps-and-islands interval merge (windows
+    shard-keyed by doc, never global).
+    """
+    from pyspark.sql.window import Window as W
+
+    if codes is None:
+        codes = docs.select(
+            F.col(id_col), _token_codes(tokenize(text_col)).alias("codes")
+        )
+    kh = codes.select(id_col, kgram_hashes(F.col("codes"), min_len).alias("kh"))
+    occ = kh.select(id_col, F.posexplode_outer("kh").alias("pos", "h")).where(
+        F.col("h").isNotNull()
+    )
+    firsts = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "keep"
+        ),
+        F.count("*").alias("n_occ"),
+    )
+    dups = (
+        occ.join(firsts, "h")
+        .where(
+            (F.col("n_occ") >= 2)
+            & (
+                (F.col(id_col) != F.col("keep.d"))
+                | (F.col("pos") != F.col("keep.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + min_len).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = dups.select(
+        id_col,
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = marked.select(
+        id_col,
+        "pos",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("isl"),
+    )
+    return (
+        islands.groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").alias("start"),
+            F.max(F.col("pos") + min_len).alias("end"),
+        )
+        .select(
+            id_col,
+            (F.col("isl") - 1).cast("long").alias("span_idx"),
+            F.col("start").cast("long").alias("start_tok"),
+            (F.col("end") - F.col("start")).cast("long").alias("n_toks"),
+        )
+    )

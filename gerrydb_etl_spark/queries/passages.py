@@ -11,7 +11,11 @@ from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.functions.text import FP_BASE, FP_MOD
 from gerrydb_etl_spark.operators.dedup import containment_pairs
-from gerrydb_etl_spark.operators.passages import passage_dedup, winnow_fingerprints
+from gerrydb_etl_spark.operators.passages import (
+    duplicate_substring_spans,
+    passage_dedup,
+    winnow_fingerprints,
+)
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
 from gerrydb_etl_spark.store.staging import staged_shingles, staged_token_codes
@@ -250,4 +254,80 @@ def winnow_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count("*").cast("long").alias("shared_fps"))
         .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+SUBSTR_L = 5
+
+
+@query(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_CODES} AS codes FROM documents
+    ),
+    kh AS (
+        SELECT doc_id,
+               CASE WHEN len(codes) >= {SUBSTR_L} THEN
+                   list_transform(
+                       range(0, len(codes) - {SUBSTR_L} + 1),
+                       i -> list_reduce(
+                           codes[i + 1 : i + {SUBSTR_L}],
+                           (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}
+                       ) % {FP_MOD})
+               ELSE [] END AS kh
+        FROM t
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos, kh[i + 1] AS h
+        FROM (SELECT doc_id, kh,
+                     unnest(generate_series(0, len(kh) - 1)) AS i
+              FROM kh)
+    ),
+    ranked AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM occ
+    ),
+    dups AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos + {SUBSTR_L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR pos > MAX(pos + {SUBSTR_L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) THEN 1 ELSE 0 END AS is_new
+        FROM dups
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               SUM(is_new) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS isl
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(isl - 1 AS BIGINT) AS span_idx,
+           CAST(MIN(pos) AS BIGINT) AS start_tok,
+           CAST(MAX(pos + {SUBSTR_L}) - MIN(pos) AS BIGINT) AS n_toks
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def substring_dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring removal spans (Lee et al. 2022):
+    every 5-token run whose hash repeats corpus-wide is removed
+    except its first occurrence (minimum (doc, pos)); overlapping
+    removals merge into per-document spans. Position-granular — the
+    arbitrary-offset duplicates block-aligned passage_dedup cannot
+    see. Keep-first is a map-side-combined min-struct per hash (no
+    per-hash window — a million-occurrence boilerplate gram would
+    funnel one reducer); interval merge is a doc-sharded
+    gaps-and-islands window. Reads the session-staged token codes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_substring_spans(
+        docs, min_len=SUBSTR_L, codes=staged_token_codes(spark, sf_dir)
     )

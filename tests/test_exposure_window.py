@@ -19,6 +19,7 @@ NEVER_SAMPLED = [
     "rrf_hybrid_retrieval",
     "bpe_merge_candidates",
     "cdc_chunking",
+    "substring_dedup_spans",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 7,
@@ -32,6 +33,7 @@ TOUCHED = [
     "rrf_hybrid_retrieval",
     "bpe_merge_candidates",
     "cdc_chunking",
+    "substring_dedup_spans",
     "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
