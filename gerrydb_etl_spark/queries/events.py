@@ -418,3 +418,45 @@ def events_stream_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return row
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "docs_stream_dedup_ingest",
+    oracle="""
+    SELECT doc_id, content_sha FROM (
+        SELECT doc_id, sha256(text) AS content_sha,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sha256(text) ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def docs_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming document ingest with cross-batch exact dedup into
+    the versioned store (streaming/stream.py run_docs_dedup_ingest):
+    four deterministic doc_id-range micro-batches; each batch keeps
+    its first copy per content hash and anti-joins every previously
+    COMMITTED batch (cross-batch dedup state lives in the idempotent
+    epoch-keyed sink, surviving driver restarts); one audited atomic
+    WAP publish. Because batches ascend in doc_id, the sequential
+    keep-first fold collapses to keep-min-doc_id per hash — which is
+    exactly what the oracle states, so the whole streaming pipeline
+    (batching, state carry, sink idempotence, publish) is value-hash
+    gated per surviving row."""
+    import shutil
+    import tempfile
+
+    from gerrydb_etl_spark.store.wap import VersionedTable
+    from gerrydb_etl_spark.streaming.stream import run_docs_dedup_ingest
+
+    root = tempfile.mkdtemp(prefix="docs_dedup_store_")
+    try:
+        run_docs_dedup_ingest(spark, sf_dir, root)
+        table = VersionedTable(spark, root)
+        out = table.read().select("doc_id", "content_sha")
+        # the temp store is deleted after this query returns; pin the
+        # result rows first
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -563,3 +563,154 @@ def run_stream_to_versioned_store(
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(batches_root, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stage_docs_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Stage the documents table as ``n_batches`` single-file
+    parquets holding ascending doc_id ranges, with ascending mtimes
+    AND ascending path names — the file stream source orders pending
+    files by (modification time, path), so maxFilesPerTrigger=1
+    delivers deterministic micro-batches in doc_id order. Caller owns
+    cleanup of the returned directory."""
+    import glob as _glob
+    import time
+
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    width = (hi + n_batches) // n_batches
+    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    t0 = time.time() - 3600
+    for i in range(n_batches):
+        lo, up = i * width, (i + 1) * width if i < n_batches - 1 else hi + 1
+        tmp = tempfile.mkdtemp(prefix="docs_batch_")
+        (
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, f"b{i:03d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (t0 + i, t0 + i))
+    return stage
+
+
+def run_docs_dedup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    table_root: str,
+    n_batches: int = 4,
+) -> dict:
+    """Streaming document ingest with CROSS-BATCH exact dedup into
+    the versioned store — the production "recrawl arrives, keep only
+    new content" pipeline as one streaming query:
+
+    * the documents table streams in ``n_batches`` deterministic
+      micro-batches (ascending doc_id ranges);
+    * each batch keeps its first occurrence per content hash
+      (batch-local window, per-sha groups are tiny), then anti-joins
+      the hashes of every PREVIOUSLY COMMITTED batch — the
+      cross-batch dedup state lives in the idempotent epoch-keyed
+      staging sink itself, not in memory, so a crashed-and-replayed
+      epoch is a no-op and state survives driver restarts;
+    * when the AvailableNow run drains, the union of committed
+      survivors is audited (every content hash unique) and published
+      as ONE atomic version (store/wap.py) — readers never see a
+      half-deduped corpus.
+
+    Because batches ascend in doc_id, keep-first-across-batches
+    equals keep-min-doc_id globally — the sequential streaming fold
+    collapses to an order-free rule a SQL oracle can state directly.
+
+    Scale: per-batch work is one bounded window + one anti-join
+    against committed-survivor hashes (at 100 TB the committed side
+    is a bucketed hash index, the same shape as
+    operators/dedup.py incremental dedup); the publish is an O(1)
+    pointer swap.
+    """
+    import glob as _glob
+
+    from gerrydb_etl_spark.store.wap import VersionedTable
+    from pyspark.sql.window import Window as W
+
+    stage = _stage_docs_batches(spark, sf_dir, n_batches)
+    ckpt = tempfile.mkdtemp(prefix="docs_dedup_ckpt_")
+    batches_root = tempfile.mkdtemp(prefix="docs_dedup_batches_")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (
+            spark.readStream.schema(TABLE_SCHEMAS["documents"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        keyed = src.select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            bdir = os.path.join(batches_root, f"b_{batch_id:06d}")
+            marker = bdir + ".committed"
+            if os.path.exists(marker):  # replayed epoch -> no-op
+                return
+            sp = batch_df.sparkSession
+            w = W.partitionBy("content_sha").orderBy("doc_id")
+            first = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            committed = sorted(
+                os.path.join(batches_root, m[: -len(".committed")])
+                for m in os.listdir(batches_root)
+                if m.endswith(".committed")
+            )
+            if committed:
+                prior = sp.read.parquet(*committed).select("content_sha")
+                first = first.join(prior, "content_sha", "left_anti")
+            first.write.mode("overwrite").parquet(bdir)
+            with open(marker, "w") as f:
+                f.write(str(batch_id))
+
+        q = (
+            keyed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        committed = sorted(
+            os.path.join(batches_root, m[: -len(".committed")])
+            for m in os.listdir(batches_root)
+            if m.endswith(".committed")
+        )
+        if not committed:
+            raise ValueError(
+                "no micro-batches were committed — the documents stream "
+                f"produced no data under {stage!r}; nothing to publish"
+            )
+        survivors = spark.read.parquet(*committed)
+
+        def audit_unique(df: DataFrame) -> None:
+            n, d = df.agg(
+                F.count("*"), F.countDistinct("content_sha")
+            ).first()
+            assert n == d, f"duplicate content published: {n} rows, {d} hashes"
+
+        table = VersionedTable(spark, table_root)
+        version = table.write(
+            survivors, audits=[audit_unique], notes="streaming dedup ingest"
+        )
+        return {"version": version, "batches": len(committed)}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(batches_root, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)

@@ -20,6 +20,7 @@ NEVER_SAMPLED = [
     "bpe_merge_candidates",
     "cdc_chunking",
     "substring_dedup_spans",
+    "docs_stream_dedup_ingest",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 7,
@@ -34,6 +35,7 @@ TOUCHED = [
     "bpe_merge_candidates",
     "cdc_chunking",
     "substring_dedup_spans",
+    "docs_stream_dedup_ingest",
     "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
