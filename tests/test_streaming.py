@@ -250,3 +250,26 @@ def test_stream_store_sink_is_idempotent_on_replayed_epoch(spark, tmp_path):
     sink(spark.range(0, 99).toDF("event_id"), 0)  # replay: ignored
     again = spark.read.parquet(os.path.join(batches_root, "b_000000")).count()
     assert first == again == 10
+
+
+def test_docs_dedup_ingest_is_deterministic_and_unique(spark, tmp_path):
+    """Two independent streaming runs publish identical survivor
+    sets (deterministic batching + keep-first), and no content hash
+    appears twice in a published version (the audit contract)."""
+    from gerrydb_etl_spark.store.wap import VersionedTable
+    from gerrydb_etl_spark.streaming.stream import run_docs_dedup_ingest
+    from tests.conftest import SF_SMOKE
+
+    results = []
+    for sub in ("a", "b"):
+        root = str(tmp_path / sub)
+        out = run_docs_dedup_ingest(spark, SF_SMOKE, root, n_batches=3)
+        assert out["batches"] == 3
+        rows = {
+            (r.doc_id, r.content_sha)
+            for r in VersionedTable(spark, root).read().collect()
+        }
+        results.append(rows)
+    assert results[0] == results[1]
+    shas = [s for _, s in results[0]]
+    assert len(shas) == len(set(shas))
