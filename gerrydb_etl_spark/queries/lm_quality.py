@@ -40,9 +40,10 @@ SURPRISAL_CAP = 10**12
 # identical and the hash is swappable.
 FEATURE_BUCKETS = 1024
 RATIO_SCALE = 1_000_000
-# the held-out "target" set reuses the benchmark residue class from
-# queries/curation.py (the corpus ships no separate benchmark table)
-BENCH_MOD = 97
+# the held-out "target" set IS the benchmark residue class
+# benchmark_decontam uses (the corpus ships no separate benchmark
+# table) — imported so the two queries can never drift apart
+from gerrydb_etl_spark.queries.curation import BENCH_MOD  # noqa: E402
 
 
 @query(
