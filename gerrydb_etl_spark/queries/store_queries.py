@@ -256,3 +256,62 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("o_orderkey").cast("long").alias("min_key"),
     )
+
+
+IVM_CUTOFF = "1996-01-01"
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for algebraic aggregates: a
+    materialized revenue-per-customer view is maintained by MERGING
+    per-load partial aggregates — the historical partial (orders
+    before the cutoff) merges with the delta load's partial (orders
+    on/after it) via a second groupBy over the PARTIALS, never by
+    re-scanning history. The oracle is the full recompute over all
+    orders, so the hash gate proves merge-of-partials ==
+    recompute-from-scratch exactly (counts are integers; money sums
+    ride DECIMAL partials — order-independent and exact — and cast
+    to double only at the read edge).
+
+    This is the same mergeable-partials discipline as the HLL/CMS
+    sketch rollups, applied to plain algebraic aggs — the pattern
+    behind every incremental ETL rollup: at 100 TB a delta load
+    touches O(delta + affected groups) rows, not the full history.
+    Derived non-algebraic values (averages) are computed at read
+    time from the maintained sum/count pair, never stored.
+    """
+    from gerrydb_etl_spark.functions.numeric import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("rev_dec"),
+        )
+
+    base = partial(orders.where(F.col("o_orderdate") < IVM_CUTOFF))
+    delta = partial(orders.where(F.col("o_orderdate") >= IVM_CUTOFF))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

@@ -21,6 +21,7 @@ NEVER_SAMPLED = [
     "cdc_chunking",
     "substring_dedup_spans",
     "docs_stream_dedup_ingest",
+    "incremental_agg_maintenance",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 7,
@@ -36,6 +37,7 @@ TOUCHED = [
     "cdc_chunking",
     "substring_dedup_spans",
     "docs_stream_dedup_ingest",
+    "incremental_agg_maintenance",
     "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
