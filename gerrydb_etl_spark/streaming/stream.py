@@ -606,6 +606,7 @@ def run_docs_dedup_ingest(
     sf_dir: str,
     table_root: str,
     n_batches: int = 4,
+    work_dir: str | None = None,
 ) -> dict:
     """Streaming document ingest with CROSS-BATCH exact dedup into
     the versioned store — the production "recrawl arrives, keep only
@@ -639,9 +640,31 @@ def run_docs_dedup_ingest(
     from gerrydb_etl_spark.store.wap import VersionedTable
     from pyspark.sql.window import Window as W
 
-    stage = _stage_docs_batches(spark, sf_dir, n_batches)
-    ckpt = tempfile.mkdtemp(prefix="docs_dedup_ckpt_")
-    batches_root = tempfile.mkdtemp(prefix="docs_dedup_batches_")
+    # ``work_dir`` makes the ingest RESTARTABLE: the checkpoint, the
+    # committed-batch staging, and the source staging live in a
+    # caller-owned directory that survives this call — a re-run with
+    # the same work_dir resumes from the stream checkpoint (already-
+    # processed files are not redelivered) and replayed epochs hit
+    # the commit markers, so restarting after any crash reprocesses
+    # nothing and publishes the identical survivor set. Without it,
+    # everything lives in temp dirs removed on exit (the
+    # self-contained query mode).
+    if work_dir is not None:
+        os.makedirs(work_dir, exist_ok=True)
+        ckpt = os.path.join(work_dir, "ckpt")
+        batches_root = os.path.join(work_dir, "batches")
+        os.makedirs(batches_root, exist_ok=True)
+        stage = os.path.join(work_dir, "stage")
+        if not os.path.isdir(stage) or not os.listdir(stage):
+            staged = _stage_docs_batches(spark, sf_dir, n_batches)
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.move(staged, stage)
+        owns_dirs = False
+    else:
+        stage = _stage_docs_batches(spark, sf_dir, n_batches)
+        ckpt = tempfile.mkdtemp(prefix="docs_dedup_ckpt_")
+        batches_root = tempfile.mkdtemp(prefix="docs_dedup_batches_")
+        owns_dirs = True
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -711,6 +734,7 @@ def run_docs_dedup_ingest(
         return {"version": version, "batches": len(committed)}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-        shutil.rmtree(ckpt, ignore_errors=True)
-        shutil.rmtree(batches_root, ignore_errors=True)
-        shutil.rmtree(stage, ignore_errors=True)
+        if owns_dirs:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            shutil.rmtree(batches_root, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)

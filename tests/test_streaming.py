@@ -273,3 +273,44 @@ def test_docs_dedup_ingest_is_deterministic_and_unique(spark, tmp_path):
     assert results[0] == results[1]
     shas = [s for _, s in results[0]]
     assert len(shas) == len(set(shas))
+
+
+def test_docs_dedup_ingest_restart_reprocesses_nothing(spark, tmp_path):
+    """Exactly-once across restarts: a second run with the SAME
+    caller-owned work_dir resumes from the stream checkpoint — the
+    already-processed source files are not redelivered, the commit
+    markers make any replayed epoch a no-op, and the re-publish
+    contains the identical survivor set with every content hash
+    still unique."""
+    import os
+
+    from gerrydb_etl_spark.store.wap import VersionedTable
+    from gerrydb_etl_spark.streaming.stream import run_docs_dedup_ingest
+    from tests.conftest import SF_SMOKE
+
+    root = str(tmp_path / "store")
+    work = str(tmp_path / "work")
+    out1 = run_docs_dedup_ingest(spark, SF_SMOKE, root, n_batches=3, work_dir=work)
+    rows1 = {
+        (r.doc_id, r.content_sha)
+        for r in VersionedTable(spark, root).read().collect()
+    }
+    markers1 = sorted(
+        m for m in os.listdir(os.path.join(work, "batches"))
+        if m.endswith(".committed")
+    )
+    # restart: same work_dir -> checkpoint + markers carry the state
+    out2 = run_docs_dedup_ingest(spark, SF_SMOKE, root, n_batches=3, work_dir=work)
+    markers2 = sorted(
+        m for m in os.listdir(os.path.join(work, "batches"))
+        if m.endswith(".committed")
+    )
+    assert markers2 == markers1, "restart must not create new epochs"
+    assert out2["batches"] == out1["batches"] == 3
+    rows2 = {
+        (r.doc_id, r.content_sha)
+        for r in VersionedTable(spark, root).read().collect()
+    }
+    assert rows2 == rows1
+    shas = [s for _, s in rows2]
+    assert len(shas) == len(set(shas))
