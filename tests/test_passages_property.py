@@ -121,3 +121,70 @@ def test_winnow_every_window_covered(spark, docs):
             continue
         for j in range(p - w + 1):
             assert sel[i] & set(range(j, j + w)), (i, j)
+
+
+# --- duplicate-substring spans vs a pure-Python reference ------------------
+
+def _py_dup_spans(docs, L=5):
+    """Reference: hash every L-gram (exact tuple, no hash collisions
+    at test scale), keep first occurrence per gram by (doc, pos),
+    merge the other occurrences' [pos, pos+L) intervals per doc."""
+    occ = {}
+    for doc_id, words in docs:
+        for p in range(len(words) - L + 1):
+            occ.setdefault(tuple(words[p : p + L]), []).append((doc_id, p))
+    removals = {}
+    for positions in occ.values():
+        for doc_id, p in sorted(positions)[1:]:
+            removals.setdefault(doc_id, []).append(p)
+    spans = {}
+    for doc_id, ps in removals.items():
+        merged = []
+        for p in sorted(ps):
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + L)
+            else:
+                merged.append([p, p + L])
+        spans[doc_id] = [(i, s, e - s) for i, (s, e) in enumerate(merged)]
+    return {
+        (d, i, s, n) for d, sp in spans.items() for (i, s, n) in sp
+    }
+
+
+_dup_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "f1", "g2"]),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_dup_corpus)
+def test_duplicate_substring_spans_match_reference(spark, word_lists):
+    """For ANY corpus (tiny vocab -> dense collisions between and
+    within docs), the Spark spans equal the keep-first/merge
+    reference. The 7-word vocabulary maps to 7 distinct token codes;
+    with <=300 grams per example the polynomial-hash collision
+    probability is ~1e-5 per run, so hash identity and exact-tuple
+    identity coincide in practice."""
+    from gerrydb_etl_spark.operators.passages import duplicate_substring_spans
+
+    docs = [(i, words) for i, words in enumerate(word_lists)]
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_idx, r.start_tok, r.n_toks)
+        for r in duplicate_substring_spans(df, min_len=5).collect()
+    }
+    # the Spark tokenizer turns '' into [''] (one empty token); mirror
+    ref_docs = [(i, w if w else [""]) for i, w in docs]
+    assert got == _py_dup_spans(ref_docs, L=5)
