@@ -28,13 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # round 7, positions 1-9: the nine new queries this round
+    # round 7, positions 1-10: the ten new queries this round
     # (strict-mode media decode through the built-in PGM codec;
     # bigram-LM surprisal; DSIR importance weighting; RRF hybrid
     # retrieval fusion; BPE merge-pair counting; content-defined
     # chunking; Lee-et-al duplicate-substring spans; streaming
-    # dedup ingest; incremental aggregate maintenance) — never
-    # sampled
+    # dedup ingest; incremental aggregate maintenance; cluster
+    # survivor selection) — never sampled
     "media_strict_decode",
     "bigram_surprisal_filter",
     "dsir_importance_weights",
@@ -44,6 +44,7 @@ _EXPOSURE_PRIORITY = [
     "substring_dedup_spans",
     "docs_stream_dedup_ingest",
     "incremental_agg_maintenance",
+    "cluster_survivor_selection",
     # code touched in round 7: epoch shuffle re-registered on the
     # two-phase dense-ID assigner + 31-bit mixer mask; simhash and
     # the winnowing family moved to the staged token-hash/token-code

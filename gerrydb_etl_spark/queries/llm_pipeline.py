@@ -164,3 +164,95 @@ def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_tokens") >= 20) & (F.col("quality") >= 0.3))
     )
+
+
+@query(
+    "cluster_survivor_selection",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        cand AS (
+            SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2 FROM cand
+        JOIN sizes s1 ON s1.doc = d1 JOIN sizes s2 ON s2.doc = d2
+        WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.8
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (SELECT node AS doc, MIN(r) AS cluster_rep FROM reach GROUP BY node),
+    members AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+    )
+    SELECT doc_id, cluster_rep, n_tokens,
+           (ROW_NUMBER() OVER (
+                PARTITION BY cluster_rep
+                ORDER BY n_tokens DESC, doc_id
+            ) = 1) AS is_survivor
+    FROM members
+    """,
+)
+def cluster_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION layer above near-dup clustering: within
+    each Jaccard>=0.8 connected component keep exactly one member —
+    the longest document (most complete copy), doc_id as tiebreak —
+    and mark every other member for removal; documents outside any
+    pair are their own singleton cluster and survive. This is the
+    keep-best policy production dedup applies after clustering
+    (keep-longest here; any deterministic score column slots into
+    the same window).
+
+    Plan shape: near-dup pairs ride the staged shingle index,
+    clustering is the O(log d) pointer-jumping closure, and the
+    survivor choice is ONE window shard-keyed by cluster_rep (never
+    global). Full hash oracle: recursive-CTE closure + the same
+    keep-longest window replayed in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8,
+        shingles=staged_shingles(spark, sf_dir, 3),
+    )
+    comp = connected_components(pairs)
+    members = (
+        docs.select(
+            "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        .join(comp.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_rep", "doc_id").alias("cluster_rep"),
+            "n_tokens",
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("cluster_rep").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return members.select(
+        "doc_id",
+        "cluster_rep",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )

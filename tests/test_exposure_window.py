@@ -22,6 +22,7 @@ NEVER_SAMPLED = [
     "substring_dedup_spans",
     "docs_stream_dedup_ingest",
     "incremental_agg_maintenance",
+    "cluster_survivor_selection",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 7,
@@ -38,6 +39,7 @@ TOUCHED = [
     "substring_dedup_spans",
     "docs_stream_dedup_ingest",
     "incremental_agg_maintenance",
+    "cluster_survivor_selection",
     "epoch_shuffle_order",
     "simhash_near_dup",
     "simhash_verify",
