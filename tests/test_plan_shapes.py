@@ -142,6 +142,26 @@ def test_winnow_selection_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_rrf_candidate_topk_is_distributed(spark):
+    """rrf_hybrid_retrieval's candidate lists come from
+    orderBy().limit(k) — Spark must compile them to
+    TakeOrderedAndProject (per-partition heaps + driver merge), and
+    the only rank windows may run AFTER the limit (over ≤ 2k rows).
+    A global Sort before a window would be the single-reducer
+    anti-pattern."""
+    plan = _executed_plan(spark, "rrf_hybrid_retrieval")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dsir_ratio_join_broadcasts_the_ratio_table(spark):
+    """dsir_importance_weights joins the corpus token stream to the
+    1024-row feature-ratio table — that side must broadcast; a
+    shuffle of the full token stream on the bucket key would be the
+    wrong plan at any scale."""
+    plan = _executed_plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_epoch_shuffle_has_no_per_epoch_window(spark):
     """epoch_shuffle_order ranks through the two-phase dense-ID
     assigner: every shuffle partition sorts a narrow (epoch, mix)
