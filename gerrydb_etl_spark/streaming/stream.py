@@ -580,12 +580,18 @@ def _stage_docs_batches(
     from gerrydb_etl_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    hi = docs.agg(F.max("doc_id")).first()[0]
-    width = (hi + n_batches) // n_batches
+    lo0, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if hi is None:
+        raise ValueError(
+            "documents table is empty — no micro-batches to stage "
+            f"from {sf_dir!r}"
+        )
+    width = max(1, (hi - lo0 + n_batches) // n_batches)
     stage = tempfile.mkdtemp(prefix="docs_stream_")
     t0 = time.time() - 3600
     for i in range(n_batches):
-        lo, up = i * width, (i + 1) * width if i < n_batches - 1 else hi + 1
+        lo = lo0 + i * width
+        up = lo0 + (i + 1) * width if i < n_batches - 1 else hi + 1
         tmp = tempfile.mkdtemp(prefix="docs_batch_")
         (
             docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
@@ -599,6 +605,140 @@ def _stage_docs_batches(
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dest, (t0 + i, t0 + i))
     return stage
+
+
+# Loose per-epoch index files are folded into one bucketed compact
+# generation once this many accumulate; per-batch index reads then
+# touch O(COMPACT_EVERY + buckets) files forever, not O(B) batch dirs.
+_INDEX_COMPACT_EVERY = 4
+_INDEX_BUCKETS = 4
+
+
+def _index_files(index_root: str, exclude_epoch: int | None = None) -> list[str]:
+    """Parquet files making up the dedup index: compact-generation
+    files plus loose per-epoch contributions. ``exclude_epoch`` drops
+    the given epoch's own loose file — a crashed attempt may have
+    written it before the commit marker, and the replay must not
+    anti-join the batch against its own hashes."""
+    if not os.path.isdir(index_root):
+        return []
+    skip = None if exclude_epoch is None else f"e_{exclude_epoch:06d}.parquet"
+    return sorted(
+        os.path.join(index_root, f)
+        for f in os.listdir(index_root)
+        if f.endswith(".parquet") and f != skip
+    )
+
+
+def _write_single_parquet(df: DataFrame, dest: str) -> None:
+    """Write df as exactly one parquet file at ``dest`` (atomic
+    os.replace), so a replayed epoch overwrites rather than
+    duplicates its index contribution."""
+    import glob as _glob
+
+    tmp = tempfile.mkdtemp(prefix="idx_part_")
+    try:
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        parts = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if parts:  # an all-duplicates batch contributes no hashes
+            os.replace(parts[0], dest)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _compact_index(spark: SparkSession, index_root: str, epoch: int) -> None:
+    """Fold the PRIOR epochs' index files into one bucketed compact
+    generation (``c_{epoch}_{bucket}.parquet``, hash-distributed on
+    content_sha) and drop the loose files. Runs BEFORE epoch
+    ``epoch`` writes its own contribution (and always excludes that
+    epoch's loose file), so a compact generation never contains the
+    current batch's hashes — a replay may therefore safely read it
+    without anti-joining the batch against itself. Deterministic
+    epoch-keyed names make a crashed-and-replayed compaction
+    overwrite itself; a crash between writing the new generation and
+    unlinking the old files leaves duplicate hashes in the index,
+    which is harmless — the index is only ever the build side of an
+    anti-join."""
+    import glob as _glob
+
+    old = _index_files(index_root, exclude_epoch=epoch)
+    if not old:
+        return
+    merged = (
+        spark.read.parquet(*old)
+        .distinct()
+        .repartition(_INDEX_BUCKETS, "content_sha")
+    )
+    tmp = tempfile.mkdtemp(prefix="idx_compact_")
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        for k, part in enumerate(
+            sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+        ):
+            os.replace(
+                part, os.path.join(index_root, f"c_{epoch:06d}_{k:03d}.parquet")
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # a crashed-then-replayed compaction re-reads its own c_{epoch}
+    # files (they may hold hashes whose loose sources were already
+    # unlinked) and rewrites them in place — don't unlink those
+    keep = f"c_{epoch:06d}_"
+    for f in old:
+        if os.path.basename(f).startswith(keep):
+            continue
+        try:
+            os.unlink(f)
+        except FileNotFoundError:
+            pass
+
+
+def docs_dedup_sink(batches_root: str, index_root: str):
+    """foreachBatch function for the streaming dedup ingest: keep the
+    batch's first row per content_sha, anti-join the compacted index
+    (the ONLY cross-batch state read — never the committed batch
+    directories), write survivors to the epoch-keyed batch dir, then
+    append the survivors' hashes to the index and write the commit
+    marker. Every step is replay-idempotent (deterministic paths +
+    marker-first check)."""
+    from pyspark.sql.window import Window as W
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(batches_root, f"b_{batch_id:06d}")
+        marker = bdir + ".committed"
+        if os.path.exists(marker):  # replayed epoch -> no-op
+            return
+        sp = batch_df.sparkSession
+        w = W.partitionBy("content_sha").orderBy("doc_id")
+        first = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # cross-batch state = ONE index table read; a crashed
+        # attempt's own loose file is excluded so the replay
+        # never anti-joins the batch against itself
+        prior_files = _index_files(index_root, exclude_epoch=batch_id)
+        if prior_files:
+            prior = sp.read.parquet(*prior_files).select("content_sha")
+            first = first.join(prior, "content_sha", "left_anti")
+        first = first.localCheckpoint(eager=True)
+        first.write.mode("overwrite").parquet(bdir)
+        # compact BEFORE appending this epoch's hashes: compact
+        # generations then only ever hold prior epochs' state
+        loose = [
+            f for f in prior_files if os.path.basename(f).startswith("e_")
+        ]
+        if len(loose) >= _INDEX_COMPACT_EVERY:
+            _compact_index(sp, index_root, batch_id)
+        _write_single_parquet(
+            first.select("content_sha"),
+            os.path.join(index_root, f"e_{batch_id:06d}.parquet"),
+        )
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
+
+    return sink
 
 
 def run_docs_dedup_ingest(
@@ -616,10 +756,14 @@ def run_docs_dedup_ingest(
       micro-batches (ascending doc_id ranges);
     * each batch keeps its first occurrence per content hash
       (batch-local window, per-sha groups are tiny), then anti-joins
-      the hashes of every PREVIOUSLY COMMITTED batch — the
-      cross-batch dedup state lives in the idempotent epoch-keyed
-      staging sink itself, not in memory, so a crashed-and-replayed
-      epoch is a no-op and state survives driver restarts;
+      ONE compacted content_sha index table maintained alongside the
+      commit markers — each epoch appends its survivors' hashes as a
+      deterministically-named index file before writing its marker,
+      and every _INDEX_COMPACT_EVERY epochs the loose files fold into
+      a bucketed compact generation. Per-batch dedup I/O is therefore
+      O(index), never O(B) committed-batch directories, and the state
+      lives on disk, so a crashed-and-replayed epoch is a no-op and
+      state survives driver restarts;
     * when the AvailableNow run drains, the union of committed
       survivors is audited (every content hash unique) and published
       as ONE atomic version (store/wap.py) — readers never see a
@@ -630,15 +774,12 @@ def run_docs_dedup_ingest(
     collapses to an order-free rule a SQL oracle can state directly.
 
     Scale: per-batch work is one bounded window + one anti-join
-    against committed-survivor hashes (at 100 TB the committed side
-    is a bucketed hash index, the same shape as
-    operators/dedup.py incremental dedup); the publish is an O(1)
+    against the bucketed hash index (the incremental_exact_dedup
+    shape from queries/corpus_stats.py, kept compacted so read cost
+    stays flat over the stream's life); the publish is an O(1)
     pointer swap.
     """
-    import glob as _glob
-
     from gerrydb_etl_spark.store.wap import VersionedTable
-    from pyspark.sql.window import Window as W
 
     # ``work_dir`` makes the ingest RESTARTABLE: the checkpoint, the
     # committed-batch staging, and the source staging live in a
@@ -654,6 +795,8 @@ def run_docs_dedup_ingest(
         ckpt = os.path.join(work_dir, "ckpt")
         batches_root = os.path.join(work_dir, "batches")
         os.makedirs(batches_root, exist_ok=True)
+        index_root = os.path.join(work_dir, "index")
+        os.makedirs(index_root, exist_ok=True)
         stage = os.path.join(work_dir, "stage")
         if not os.path.isdir(stage) or not os.listdir(stage):
             staged = _stage_docs_batches(spark, sf_dir, n_batches)
@@ -664,6 +807,7 @@ def run_docs_dedup_ingest(
         stage = _stage_docs_batches(spark, sf_dir, n_batches)
         ckpt = tempfile.mkdtemp(prefix="docs_dedup_ckpt_")
         batches_root = tempfile.mkdtemp(prefix="docs_dedup_batches_")
+        index_root = tempfile.mkdtemp(prefix="docs_dedup_index_")
         owns_dirs = True
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -677,32 +821,10 @@ def run_docs_dedup_ingest(
             "doc_id", F.sha2(F.col("text"), 256).alias("content_sha")
         )
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            bdir = os.path.join(batches_root, f"b_{batch_id:06d}")
-            marker = bdir + ".committed"
-            if os.path.exists(marker):  # replayed epoch -> no-op
-                return
-            sp = batch_df.sparkSession
-            w = W.partitionBy("content_sha").orderBy("doc_id")
-            first = (
-                batch_df.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .drop("rn")
-            )
-            committed = sorted(
-                os.path.join(batches_root, m[: -len(".committed")])
-                for m in os.listdir(batches_root)
-                if m.endswith(".committed")
-            )
-            if committed:
-                prior = sp.read.parquet(*committed).select("content_sha")
-                first = first.join(prior, "content_sha", "left_anti")
-            first.write.mode("overwrite").parquet(bdir)
-            with open(marker, "w") as f:
-                f.write(str(batch_id))
-
         q = (
-            keyed.writeStream.foreachBatch(sink)
+            keyed.writeStream.foreachBatch(
+                docs_dedup_sink(batches_root, index_root)
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -737,4 +859,5 @@ def run_docs_dedup_ingest(
         if owns_dirs:
             shutil.rmtree(ckpt, ignore_errors=True)
             shutil.rmtree(batches_root, ignore_errors=True)
+            shutil.rmtree(index_root, ignore_errors=True)
             shutil.rmtree(stage, ignore_errors=True)

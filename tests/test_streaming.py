@@ -314,3 +314,116 @@ def test_docs_dedup_ingest_restart_reprocesses_nothing(spark, tmp_path):
     assert rows2 == rows1
     shas = [s for _, s in rows2]
     assert len(shas) == len(set(shas))
+
+def _sha_batch(spark, rows):
+    """(doc_id, content_sha) batch frame shaped like the dedup sink's
+    streaming input."""
+    return spark.createDataFrame(rows, "doc_id long, content_sha string")
+
+
+def test_docs_dedup_state_is_the_index_not_batch_dirs(spark, tmp_path):
+    """VERDICT r7 item 1: per-batch dedup reads touch the compacted
+    content_sha index table, NOT the committed batch directories —
+    proven by deleting every prior batch dir before the next epoch
+    and observing cross-batch dedup still happen."""
+    import os
+    import shutil
+
+    from gerrydb_etl_spark.streaming.stream import docs_dedup_sink
+
+    batches_root = str(tmp_path / "batches")
+    index_root = str(tmp_path / "index")
+    os.makedirs(batches_root)
+    os.makedirs(index_root)
+    sink = docs_dedup_sink(batches_root, index_root)
+
+    sink(_sha_batch(spark, [(1, "A"), (2, "B"), (3, "A")]), 0)
+    b0 = os.path.join(batches_root, "b_000000")
+    got0 = {(r.doc_id, r.content_sha) for r in spark.read.parquet(b0).collect()}
+    assert got0 == {(1, "A"), (2, "B")}
+
+    # committed batch data is gone (cold storage / other cluster) —
+    # only the index remains as dedup state
+    shutil.rmtree(b0)
+    sink(_sha_batch(spark, [(4, "A"), (5, "C")]), 1)
+    b1 = os.path.join(batches_root, "b_000001")
+    got1 = {(r.doc_id, r.content_sha) for r in spark.read.parquet(b1).collect()}
+    assert got1 == {(5, "C")}, "duplicate of epoch-0 content must be dropped"
+
+
+def test_docs_dedup_replay_does_not_self_anti_join(spark, tmp_path):
+    """Crash after the index contribution was written but before the
+    commit marker: the replayed epoch must exclude its OWN loose
+    index file from the prior-state read, or it would anti-join the
+    batch against itself and publish nothing."""
+    import os
+    import shutil
+
+    from gerrydb_etl_spark.streaming.stream import docs_dedup_sink
+
+    batches_root = str(tmp_path / "batches")
+    index_root = str(tmp_path / "index")
+    os.makedirs(batches_root)
+    os.makedirs(index_root)
+    sink = docs_dedup_sink(batches_root, index_root)
+
+    sink(_sha_batch(spark, [(1, "A")]), 0)
+    sink(_sha_batch(spark, [(2, "B"), (3, "C")]), 1)
+    # simulate the crash: epoch 1's marker and batch dir are lost,
+    # but its e_000001.parquet index contribution survived
+    os.unlink(os.path.join(batches_root, "b_000001.committed"))
+    shutil.rmtree(os.path.join(batches_root, "b_000001"))
+    assert os.path.exists(os.path.join(index_root, "e_000001.parquet"))
+
+    sink(_sha_batch(spark, [(2, "B"), (3, "C")]), 1)  # replay
+    b1 = os.path.join(batches_root, "b_000001")
+    got = {(r.doc_id, r.content_sha) for r in spark.read.parquet(b1).collect()}
+    assert got == {(2, "B"), (3, "C")}, "replay must not drop its own batch"
+
+
+def test_docs_dedup_index_compacts_to_bounded_file_count(spark, tmp_path):
+    """After many epochs the index folds into a bucketed compact
+    generation: loose per-epoch files stay below the compaction
+    threshold + 1 and the index still holds every survivor hash
+    exactly once per compact generation."""
+    import os
+
+    from gerrydb_etl_spark.streaming.stream import (
+        _INDEX_COMPACT_EVERY,
+        docs_dedup_sink,
+    )
+
+    batches_root = str(tmp_path / "batches")
+    index_root = str(tmp_path / "index")
+    os.makedirs(batches_root)
+    os.makedirs(index_root)
+    sink = docs_dedup_sink(batches_root, index_root)
+
+    n_epochs = 2 * _INDEX_COMPACT_EVERY + 1
+    for i in range(n_epochs):
+        sink(_sha_batch(spark, [(i, f"H{i}"), (1000 + i, f"H{i // 2}")]), i)
+
+    names = sorted(os.listdir(index_root))
+    loose = [n for n in names if n.startswith("e_")]
+    compact = [n for n in names if n.startswith("c_")]
+    assert compact, "compaction never triggered"
+    assert len(loose) <= _INDEX_COMPACT_EVERY, (
+        f"loose index files unbounded: {loose}"
+    )
+    indexed = {
+        r.content_sha
+        for r in spark.read.parquet(
+            *[os.path.join(index_root, n) for n in names]
+        ).collect()
+    }
+    survivors = {
+        r.content_sha
+        for r in spark.read.parquet(
+            *[
+                os.path.join(batches_root, m[: -len(".committed")])
+                for m in os.listdir(batches_root)
+                if m.endswith(".committed")
+            ]
+        ).collect()
+    }
+    assert indexed == survivors == {f"H{i}" for i in range(n_epochs)}
