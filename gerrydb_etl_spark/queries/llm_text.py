@@ -597,19 +597,23 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def media_strict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRICT-mode media decode on real image bytes: each document's
-    first 256 chars (space-padded) become a REAL 16x16 ASCII-PGM (P2)
-    payload, decoded through the built-in pure-Python PGM codec in
-    the strict mapInPandas kernel (operators/multimodal.py
-    _strict_decode) — no deterministic-fake fallback anywhere in the
-    path. The decoded pixel array IS the char codes, so the DuckDB
-    oracle reproduces the luminance histogram from the text directly
-    and the whole decode pipeline gets a full value-hash gate.
-    Same micro-unit feature quantization + comma-join as
-    media_decode_features (no array columns in query outputs)."""
+    """STRICT-mode media decode on real image bytes in TWO formats:
+    each document's first 256 chars (space-padded) become a REAL
+    16x16 image payload — even doc_ids as ASCII-PGM (P2), odd
+    doc_ids as binary PPM (P6) with gray RGB triples — decoded
+    through the built-in pure-Python netpbm codecs in the strict
+    mapInPandas kernel (operators/multimodal.py _strict_decode); no
+    deterministic-fake fallback anywhere in the path. The P2 pixel
+    array IS the char codes, and the P6 luma of a gray triple
+    (c*299 + c*587 + c*114)//1000 is exactly c again, so BOTH
+    branches decode to the identical luminance histogram and ONE
+    DuckDB oracle reproduces it from the text directly — the whole
+    two-codec pipeline gets a full value-hash gate. Same micro-unit
+    feature quantization + comma-join as media_decode_features (no
+    array columns in query outputs)."""
     docs = load_table(spark, sf_dir, "documents")
     padded = F.rpad(F.col("text"), 256, " ")
-    payload = F.concat(
+    pgm_payload = F.concat(
         F.lit("P2\n16 16\n255\n"),
         F.array_join(
             F.transform(
@@ -619,10 +623,20 @@ def media_strict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ),
     )
+    # P6 raster: every char tripled into an (r,g,b)=(c,c,c) pixel;
+    # ASCII-only corpus (tests/test_multimodal.py guard) means the
+    # UTF-8 binary cast is byte-identical to the raw samples
+    ppm_payload = F.concat(
+        F.lit("P6\n16 16\n255\n"),
+        F.regexp_replace(padded, "(.)", "$1$1$1"),
+    )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        payload.cast("binary").alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, pgm_payload)
+        .otherwise(ppm_payload)
+        .cast("binary")
+        .alias("payload"),
         F.octet_length("text").cast("long").alias("n_bytes"),
     )
     feats = decode_media(media, frame_bytes=64, strict=True)

@@ -229,3 +229,52 @@ def test_pil_decode_kernel_contract_with_stub_codec(monkeypatch):
     # uniform luminance 200 -> all mass in bin 200 >> 4 == 12
     assert abs(feat[12] - 1.0) < 1e-12
     assert abs(feat.sum() - 1.0) < 1e-12
+
+def test_decode_ppm_p6_gray_triples_match_pgm():
+    """A P6 payload of gray (c,c,c) triples decodes to exactly the
+    P2/P5 grayscale pixels — luma (c*299+c*587+c*114)//1000 == c —
+    the identity media_strict_decode's two-format oracle rests on."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.multimodal import _decode_pgm, _decode_ppm
+
+    px = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    pgm = b"P5\n16 16\n255\n" + px.tobytes()
+    ppm = b"P6\n16 16\n255\n" + px.repeat(3).tobytes()
+    assert (_decode_ppm(ppm) == _decode_pgm(pgm)).all()
+
+
+def test_decode_ppm_p3_ascii_luma():
+    """ASCII P3: a 2x1 image with a pure-red and a pure-white pixel
+    → luma floor(299*255/1000)=76 and 255."""
+    from gerrydb_etl_spark.operators.multimodal import _decode_ppm
+
+    payload = b"P3\n# c\n2 1\n255\n255 0 0  255 255 255\n"
+    img = _decode_ppm(payload)
+    assert img.shape == (1, 2)
+    assert img[0, 0] == (255 * 299) // 1000 == 76
+    assert img[0, 1] == 255
+
+
+def test_decode_ppm_p6_strict_through_spark(spark):
+    """Strict mapInPandas route for the P6 magic: uniform gray 200
+    → all histogram mass in bin 12, same as the PGM twin."""
+    payload = b"P6\n16 16\n255\n" + bytes([200, 200, 200]) * 256
+    rows = decode_media(_media_df(spark, payload), strict=True).collect()
+    assert abs(rows[0].feature[12] - 1.0) < 1e-9
+
+
+def test_ascii_sample_above_maxval_raises():
+    """ADVICE r7: a P2/P3 sample above maxval must raise, not wrap
+    through the uint8 cast into a wrong histogram bin (F.ascii emits
+    codepoints > 255 for non-ASCII text)."""
+    import pytest
+
+    from gerrydb_etl_spark.operators.multimodal import _decode_pgm, _decode_ppm
+
+    with pytest.raises(ValueError, match="out of range"):
+        _decode_pgm(b"P2\n2 1\n255\n300 10\n")
+    with pytest.raises(ValueError, match="out of range"):
+        _decode_pgm(b"P2\n2 1\n100\n101 10\n")  # > maxval, <= 255
+    with pytest.raises(ValueError, match="out of range"):
+        _decode_ppm(b"P3\n1 1\n255\n1 -2 3\n")
