@@ -170,3 +170,114 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=CDC_K, boundary_mod=CDC_MOD,
         codes=staged_token_codes(spark, sf_dir),
     )
+
+
+@query(
+    "cdc_incremental_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_CDC_CODES} AS codes FROM documents
+    ),
+    k AS (
+        SELECT doc_id, codes, len(codes) AS n,
+               CASE WHEN len(codes) >= {CDC_K} THEN
+                   list_transform(
+                       range(0, len(codes) - {CDC_K} + 1),
+                       i -> list_reduce(
+                           codes[i + 1 : i + {CDC_K}],
+                           (acc, c) -> (acc * 131 + c) % 1000000007
+                       ) % 1000000007)
+               ELSE [] END AS kh
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, codes, n,
+               CASE WHEN len(kh) >= 2 THEN
+                   list_filter(range(1, len(kh)),
+                               p -> kh[p + 1] % {CDC_MOD} = 0)
+               ELSE [] END AS cuts
+        FROM k
+    ),
+    spans AS (
+        SELECT doc_id, codes,
+               list_prepend(0, cuts) AS starts,
+               list_append(cuts, n) AS ends
+        FROM c
+    ),
+    chunks AS (
+        SELECT doc_id, starts[i] AS s, ends[i] AS e,
+               CAST(ends[i] - starts[i] AS BIGINT) AS n_toks,
+               CAST(list_reduce(codes[starts[i] + 1 : ends[i]],
+                                (acc, cc) -> (acc * 131 + cc) % 1000000007)
+                    % 1000000007 AS BIGINT) AS chunk_fp
+        FROM (SELECT doc_id, codes, starts, ends,
+                     unnest(generate_series(1, len(starts))) AS i
+              FROM spans)
+    ),
+    existing AS (
+        SELECT DISTINCT chunk_fp FROM chunks WHERE doc_id % 2 = 0
+    ),
+    inc AS (
+        SELECT * FROM chunks WHERE doc_id % 2 = 1 OR doc_id % 10 = 0
+    )
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN e.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_known_chunks,
+           CAST(SUM(CASE WHEN e.chunk_fp IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel_chunks,
+           CAST(SUM(CASE WHEN e.chunk_fp IS NULL THEN i.n_toks ELSE 0 END)
+                AS BIGINT) AS n_novel_toks
+    FROM inc i LEFT JOIN existing e ON i.chunk_fp = e.chunk_fp
+    GROUP BY i.doc_id
+    """,
+)
+def cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-recrawl CHUNK-level dedup — the production use the
+    cdc_chunks docstring promises (VERDICT r7 item 8): an incoming
+    recrawl batch (odd doc_ids plus every 10th even — pages both new
+    and already ingested) is chunked content-defined, and each
+    chunk's fingerprint is checked against the EXISTING corpus chunk
+    index (even doc_ids). Per incoming document: how many chunks are
+    already stored vs novel, and how many tokens the novel chunks
+    carry — the "bytes you actually have to store/re-embed" metric
+    that makes recrawl ingestion pay for content-defined (not
+    positional) boundaries: an insertion re-writes only the chunks
+    it touches, so the known-chunk ratio stays high.
+
+    Plan shape: chunking is the zero-shuffle array-domain cdc_chunks
+    pass over the session-staged token codes; the existing index is
+    one distinct-fp build (at 100 TB a bucketed persisted table, the
+    incremental_exact_dedup shape — same economics as the streaming
+    dedup index in streaming/stream.py); the membership check is one
+    fp-keyed left join (AQE broadcasts while small) and one per-doc
+    aggregation. Nothing rescans the existing corpus text."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.docprep import cdc_chunks
+    from gerrydb_etl_spark.store.staging import staged_token_codes
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(
+        docs, k=CDC_K, boundary_mod=CDC_MOD,
+        codes=staged_token_codes(spark, sf_dir),
+    ).select("doc_id", "n_toks", "chunk_fp")
+    existing = (
+        chunks.where(F.col("doc_id") % 2 == 0)
+        .select("chunk_fp")
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    incoming = chunks.where(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    flagged = incoming.join(existing, "chunk_fp", "left")
+    known = F.col("_known").isNotNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(known, 1).otherwise(0)).cast("long").alias("n_known_chunks"),
+        F.sum(F.when(known, 0).otherwise(1)).cast("long").alias("n_novel_chunks"),
+        F.sum(F.when(known, 0).otherwise(F.col("n_toks")))
+        .cast("long")
+        .alias("n_novel_toks"),
+    )

@@ -775,3 +775,166 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= BPE_TOP_MERGES)
     )
+
+
+BPE_APPLY_MERGES = 6
+
+
+def _apply_merge(symbols, left: str, right: str):
+    """One exhaustive left-to-right application of merge (left,
+    right) over a symbol array: a single fold that merges every
+    non-overlapping adjacent (left, right) occurrence, scanning
+    left-to-right (the subword-nmt replace semantics — after a
+    merge, the merged symbol is the new 'last' and cannot re-pair
+    as `left` unless it literally equals it)."""
+    merged = F.lit(left + right)
+    return F.when(F.size(symbols) < 2, symbols).otherwise(
+        F.aggregate(
+            F.slice(symbols, 2, F.size(symbols) - 1),
+            F.slice(symbols, 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+    )
+
+
+@query(
+    "bpe_segment_apply",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE length(word) >= 1
+        GROUP BY word
+    ),
+    mwords AS (SELECT word, freq FROM words WHERE length(word) >= 2),
+    pairs AS (
+        SELECT substr(word, i, 1) AS left_sym,
+               substr(word, i + 1, 1) AS right_sym,
+               freq
+        FROM (SELECT word, freq,
+                     unnest(generate_series(1, length(word) - 1)) AS i
+              FROM mwords)
+    ),
+    counted AS (
+        SELECT left_sym, right_sym, SUM(freq) AS pair_count
+        FROM pairs GROUP BY left_sym, right_sym
+    ),
+    merges AS (
+        SELECT left_sym, right_sym, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                          ORDER BY pair_count DESC, left_sym, right_sym
+                      ) AS rank
+            FROM counted
+        ) WHERE rank <= {BPE_APPLY_MERGES}
+    ),
+    seg(word, freq, sym, r) AS (
+        SELECT word, freq,
+               regexp_replace(word, '(.)', ' \\1', 'g') || ' ',
+               1
+        FROM words
+        UNION ALL
+        SELECT seg.word, seg.freq,
+               CASE WHEN instr(seg.sym,
+                          ' ' || m.left_sym || ' ' || m.right_sym || ' ') > 0
+                    THEN substr(seg.sym, 1,
+                             instr(seg.sym, ' ' || m.left_sym || ' '
+                                   || m.right_sym || ' ') - 1)
+                         || ' ' || m.left_sym || m.right_sym || ' '
+                         || substr(seg.sym,
+                                instr(seg.sym, ' ' || m.left_sym || ' '
+                                      || m.right_sym || ' ')
+                                + length(m.left_sym) + length(m.right_sym)
+                                + 3)
+                    ELSE seg.sym END,
+               CASE WHEN instr(seg.sym,
+                          ' ' || m.left_sym || ' ' || m.right_sym || ' ') > 0
+                    THEN seg.r ELSE seg.r + 1 END
+        FROM seg LEFT JOIN merges m ON m.rank = seg.r
+        WHERE seg.r <= {BPE_APPLY_MERGES}
+    )
+    SELECT word, freq,
+           CAST(length(word) AS BIGINT) AS n_chars,
+           CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces,
+           trim(sym) AS pieces
+    FROM seg WHERE r = {BPE_APPLY_MERGES} + 1
+    """,
+)
+def bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-APPLY half of BPE (VERDICT r7 item 8): the top
+    {BPE_APPLY_MERGES} merge candidates from the
+    ``bpe_merge_candidates`` derivation are applied IN RANK ORDER as
+    a greedy segmenter over the corpus vocabulary — each merge
+    replaces every non-overlapping adjacent occurrence of its pair,
+    left-to-right (subword-nmt's apply semantics). Output: one row
+    per vocabulary word with its corpus frequency, character length,
+    piece count after merging, and the space-joined segmentation
+    (the lookup table a tokenizer service serves).
+
+    Plan shape: the segmentation runs over the VOCABULARY (the
+    word-frequency table), never the corpus — the same
+    vocabulary-bounding trick as BPE training, so a trillion-token
+    corpus segments at the cost of its distinct-word count, and the
+    token stream joins the lookup by word if per-doc token ids are
+    needed. The merge list is model state: a bounded driver collect
+    (≤{BPE_APPLY_MERGES} rows) folded in as literals — the repo
+    convention for k-row models (a rank-keyed join would broadcast
+    per merge and serialize the {BPE_APPLY_MERGES}-step dependency
+    anyway). The nested fold is pure whole-stage-codegen expression
+    work, no UDFs. The DuckDB oracle replays the same merges with a
+    recursive leftmost-replacement CTE — equivalent to the fold
+    because each exhaustive left-to-right pass is order-insensitive
+    to replacement strategy for a fixed pair
+    (tests/test_llm_text.py pins the equivalence on adversarial
+    symbol runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    mwords = words.where(F.length("word") >= 2)
+    pairs = (
+        mwords.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.col("word").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+            F.col("word").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+            "freq",
+        )
+    )
+    counted = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").alias("pair_count")
+    )
+    w = W.partitionBy().orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    )
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in counted.select(
+            "left_sym", "right_sym", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= BPE_APPLY_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]  # bounded model collect (<= BPE_APPLY_MERGES rows), folded as literals
+
+    symbols = F.split(F.col("word"), "")
+    for left, right in merges:
+        symbols = _apply_merge(symbols, left, right)
+    return words.select(
+        "word",
+        "freq",
+        F.length("word").cast("long").alias("n_chars"),
+        F.size(symbols).cast("long").alias("n_pieces"),
+        F.concat_ws(" ", symbols).alias("pieces"),
+    )

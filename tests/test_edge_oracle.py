@@ -104,6 +104,8 @@ EDGE_QUERIES = [
     "doc_fingerprint",          # empty-token fold
     "simhash_near_dup",         # empty-token hash guard (fold init 0)
     "gopher_quality_rules",     # zero-word doc in every rational check
+    "cdc_incremental_dedup",    # twin/empty docs: all-known + 1-chunk paths
+    "bpe_segment_apply",        # empty-text word filter; 1-char words
 ]
 
 

@@ -190,3 +190,84 @@ def test_shingle_df_cap_recall(spark):
         for r in jaccard_pairs(df, "doc_id", "text", max_shingle_df=None).collect()
     }
     assert (1, 2) in uncapped and len(uncapped) == 8 * 7 // 2
+
+
+def _leftmost_repeat(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python reference of the ORACLE's recursive-CTE semantics:
+    per merge rank, repeatedly replace the LEFTMOST sentinel-space
+    occurrence of ' a b ' with ' ab ' until none remains."""
+    sym = " " + " ".join(word) + " " if word else " "
+    for a, b in merges:
+        pat, repl = f" {a} {b} ", f" {a}{b} "
+        while (i := sym.find(pat)) >= 0:
+            sym = sym[:i] + repl + sym[i + len(pat):]
+    return sym.split()
+
+
+def _fold_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python reference of the SPARK side's single-pass fold."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_apply_fold_equals_leftmost_repeat():
+    """bpe_segment_apply's correctness rests on the Spark fold and
+    the oracle's leftmost-replacement recursion computing the same
+    segmentation for any fixed merge sequence — pinned on
+    adversarial runs (overlapping pairs, self-pairs, merged symbols
+    re-pairing)."""
+    import itertools
+    import random
+
+    cases = [
+        ("aaaa", [("a", "a")]),
+        ("aaaaa", [("a", "a"), ("aa", "a")]),
+        ("ababab", [("a", "b"), ("ab", "ab")]),
+        ("aabbaabb", [("a", "b"), ("b", "a")]),
+        ("baaab", [("a", "a"), ("b", "aa")]),
+        ("", [("a", "b")]),
+        ("x", [("x", "x")]),
+    ]
+    rng = random.Random(8)
+    for _ in range(200):
+        word = "".join(rng.choice("ab") for _ in range(rng.randint(0, 10)))
+        ms = [
+            (rng.choice(["a", "b", "aa", "ab"]), rng.choice(["a", "b", "ab"]))
+            for _ in range(rng.randint(1, 4))
+        ]
+        cases.append((word, ms))
+    for word, ms in cases:
+        assert _fold_reference(word, ms) == _leftmost_repeat(word, ms), (
+            word,
+            ms,
+        )
+
+
+def test_bpe_apply_spark_fold_matches_python_reference(spark):
+    """The nested-aggregate Spark expression implements exactly the
+    single-pass fold (and therefore, by the test above, the oracle's
+    recursion)."""
+    from gerrydb_etl_spark.queries.llm_text import _apply_merge
+
+    merges = [("a", "a"), ("b", "a"), ("aa", "b")]
+    words = ["aaaa", "babab", "baab", "abba", "a", "", "bbbb", "aabaab"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    symbols = F.split(F.col("word"), "")
+    for left, right in merges:
+        symbols = _apply_merge(symbols, left, right)
+    got = {r.word: r.pieces for r in df.select("word", symbols.alias("pieces")).collect()}
+    for w in words:
+        expect = _fold_reference(w, merges)
+        # split('', '') yields [''] in Spark; the empty word never
+        # occurs in a tokenized corpus — normalize for the comparison
+        if w == "":
+            expect = [""]
+        assert got[w] == expect, w
