@@ -28,88 +28,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # round 7, positions 1-10: the ten new queries this round
-    # (strict-mode media decode through the built-in PGM codec;
-    # bigram-LM surprisal; DSIR importance weighting; RRF hybrid
-    # retrieval fusion; BPE merge-pair counting; content-defined
-    # chunking; Lee-et-al duplicate-substring spans; streaming
-    # dedup ingest; incremental aggregate maintenance; cluster
-    # survivor selection) — never sampled
+    # round 8, positions 1-2: the two new queries (chunk-level
+    # cross-recrawl CDC dedup; BPE greedy-segmenter apply) — never
+    # sampled
+    "cdc_incremental_dedup",
+    "bpe_segment_apply",
+    # code touched in round 8: streaming dedup state compacted into
+    # the bucketed content_sha index; the near-dup component closure
+    # staged (shared by clusters + survivor selection, cap/oracle
+    # alignment also touched corpus_curation_filter); strict decode
+    # gained the PPM codec + P2 range check under
+    # media_strict_decode; bigram surprisal gained the salted-prefix
+    # fallback refactor. Plus the ADVICE r7 carry-over: the round-7
+    # anchor-plane derivation change (hash-mixed sampling) shipped
+    # without a driver row for its four consumer queries — they lead
+    # the touched block.
+    "embedding_neardup",
+    "embedding_neardup_verify",
+    "ann_cosine_topk",
+    "ann_verify",
+    "docs_stream_dedup_ingest",
+    "neardup_clusters",
+    "cluster_survivor_selection",
+    "corpus_curation_filter",
     "media_strict_decode",
     "bigram_surprisal_filter",
-    "dsir_importance_weights",
-    "rrf_hybrid_retrieval",
-    "bpe_merge_candidates",
-    "cdc_chunking",
-    "substring_dedup_spans",
-    "docs_stream_dedup_ingest",
-    "incremental_agg_maintenance",
-    "cluster_survivor_selection",
-    # code touched in round 7: epoch shuffle re-registered on the
-    # two-phase dense-ID assigner + 31-bit mixer mask; simhash and
-    # the winnowing family moved to the staged token-hash/token-code
-    # fixtures; strict-decode kernel routing changed under the media
-    # queries; pagerank persist hygiene; stream-store empty-batch
-    # guard; winnow/kgram helper guards (passages module)
-    "epoch_shuffle_order",
-    "simhash_near_dup",
-    "simhash_verify",
-    "winnow_fingerprints",
-    "winnow_near_dup",
-    "passage_dedup",
-    "containment_dedup",
-    "pagerank_fixed_point",
-    "events_stream_store_ingest",
-    "media_decode_features",
-    "media_frame_sample",
-    # VERDICT r6 item 2: round-6 staging/rescore work changed code
-    # under these, but their last driver rows are r4-r5 — refresh
-    "minhash_near_dup",
-    "minhash_verify",
-    "ngram_jaccard_dedup",
-    "neardup_clusters",
-    "benchmark_decontam",
-    # stalest external signal: last sampled in round 3 — oldest-
-    # first refill of the remaining window slots
-    "dedup_exact_text",
-    "embedding_cosine_topk",
-    "embedding_quantize",
-    "media_byte_stats",
-    "text_stats",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "token_topk",
-    "geo_point_roundtrip",
-    "geo_union_centroid",
-    "utm_zone_epsg",
-    "set_versioning_double_load",
-    "config_driven_projection",
-    "stats_quantiles_moments",
-    "grouping_sets_revenue",
-    "count_distinct_customers",
-    "approx_distinct_customers",
-    "right_outer_parts",
-    "full_outer_key_overlap",
-    "top_revenue_orders",
-    "region_nation_revenue",
-    "customers_with_orders",
-    "customers_without_orders",
-    "outer_join_order_counts",
-    "rollup_order_priority",
+    # stalest refill, oldest-first (VERDICT r7 item 3): the 14
+    # queries whose last driver row is round 3...
+    "asof_join_clicks_views",
     "cube_returnflag_status",
+    "dedup_full_row",
+    "events_json_props",
+    "events_session_windows",
+    "events_sliding_windows",
+    "except_order_keys",
+    "intersect_nation_keys",
     "mode_part_brand",
     "nations_per_region",
-    "dedup_full_row",
-    "union_distinct_keys",
-    "intersect_nation_keys",
-    "except_order_keys",
     "pivot_status_by_flag",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_json_props",
-    "asof_join_clicks_views",
     "range_join_ship_window",
-    # everything below was green in rounds 5-6 with unchanged code;
+    "rollup_order_priority",
+    "union_distinct_keys",
+    # ...then the oldest round-5 rows filling the remaining slots
+    "alias_resolution_join",
+    "census_header_schema",
+    "classifier_trailing_char",
+    "corrupt_record_quarantine",
+    "dim_upsert_if_absent",
+    "eav_long_table",
+    "eav_pivot_roundtrip",
+    "events_stream_dedup",
+    "events_stream_session",
+    "events_stream_sliding",
+    "events_stream_user_totals",
+    "format_roundtrip_json_csv",
+    "hll_overlap_estimate",
+    "hll_sketch_rollup",
+    "locality_hierarchy_paths",
+    "medsl_config_projection",
+    "observed_load_metrics",
+    "partition_pruned_read",
+    "rename_normalizations",
+    "repetition_quality",
+    "salted_holistic_collect",
+    "scd2_current_view",
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    # everything below was green in rounds 5-7 with unchanged code;
     # deferred past the ~50-query sample window this round
 ]
 

@@ -10,52 +10,30 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# The queries never driver-sampled before round 7 (the round-7
-# addition) must open the window until each has a green row.
+# The queries never driver-sampled before round 8 (the round-8
+# additions) must open the window until each has a green row.
 NEVER_SAMPLED = [
-    "media_strict_decode",
-    "bigram_surprisal_filter",
-    "dsir_importance_weights",
-    "rrf_hybrid_retrieval",
-    "bpe_merge_candidates",
-    "cdc_chunking",
-    "substring_dedup_spans",
-    "docs_stream_dedup_ingest",
-    "incremental_agg_maintenance",
-    "cluster_survivor_selection",
+    "cdc_incremental_dedup",
+    "bpe_segment_apply",
 ]
 
-# Queries whose implementation was touched in (or is new in) round 7,
-# plus the four VERDICT r6 item-2 refreshes (code changed under them
-# in round 6 while they sat outside the sample window) — they need a
-# fresh driver row and must stay inside the window.
+# Queries whose implementation was touched in (or is new in) round 8,
+# plus the four ADVICE r7 carry-overs (the round-7 anchor-plane
+# derivation change shipped without a driver row for its consumers)
+# — they need a fresh driver row and must stay inside the window.
 TOUCHED = [
+    "cdc_incremental_dedup",
+    "bpe_segment_apply",
+    "embedding_neardup",
+    "embedding_neardup_verify",
+    "ann_cosine_topk",
+    "ann_verify",
+    "docs_stream_dedup_ingest",
+    "neardup_clusters",
+    "cluster_survivor_selection",
+    "corpus_curation_filter",
     "media_strict_decode",
     "bigram_surprisal_filter",
-    "dsir_importance_weights",
-    "rrf_hybrid_retrieval",
-    "bpe_merge_candidates",
-    "cdc_chunking",
-    "substring_dedup_spans",
-    "docs_stream_dedup_ingest",
-    "incremental_agg_maintenance",
-    "cluster_survivor_selection",
-    "epoch_shuffle_order",
-    "simhash_near_dup",
-    "simhash_verify",
-    "winnow_fingerprints",
-    "winnow_near_dup",
-    "passage_dedup",
-    "containment_dedup",
-    "pagerank_fixed_point",
-    "events_stream_store_ingest",
-    "media_decode_features",
-    "media_frame_sample",
-    "minhash_near_dup",
-    "minhash_verify",
-    "ngram_jaccard_dedup",
-    "neardup_clusters",
-    "benchmark_decontam",
 ]
 
 
