@@ -3,8 +3,9 @@ metadata, processed in Arrow-batched pandas over mapInPandas.
 
 Design (per the brief): image/audio/video payloads are `binary`
 columns with typed metadata columns beside them. Decode paths, in
-order of preference: built-in pure-Python decoders for PGM (P2/P5)
-and uncompressed 24-bit BMP (strict mode runnable in ANY
+order of preference: built-in pure-Python decoders for PGM (P2/P5),
+PPM (P3/P6), 8-bit non-interlaced PNG (stdlib zlib) and
+uncompressed 24-bit BMP (strict mode runnable in ANY
 environment, bit-exact); PIL for every other image format when
 importable; a clearly-marked NotImplementedError for formats no
 available codec covers; and a deterministic fake featureizer (byte
@@ -227,6 +228,89 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return lum.astype(np.uint8)
 
 
+def _decode_png(data: bytes) -> np.ndarray:
+    """Dependency-free PNG decoder (stdlib zlib only): 8-bit
+    grayscale (color type 0), RGB (2), gray+alpha (4) and RGBA (6),
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Color converts through the same ITU-R 601-2 luma as the
+    BMP/PPM paths; alpha is ignored (decode parity with PIL's
+    convert('L') on opaque images). Palette, 16-bit and interlaced
+    images raise NotImplementedError — the honest marker, never a
+    wrong answer."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(f"not a PNG payload: magic {data[:8]!r}")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[
+            pos + 4 : pos + 8
+        ]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG (depth={depth} color={color} "
+            f"interlace={interlace}): built-in decoder covers 8-bit "
+            "gray/RGB/gray-alpha/RGBA, non-interlaced"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        cur = np.zeros(stride, dtype=np.int64)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = pv[x]
+                if ftype == 1:
+                    v = line[x] + a
+                elif ftype == 3:
+                    v = line[x] + (a + b) // 2
+                else:
+                    c = pv[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return px[..., 0]
+    if channels == 2:  # gray + alpha
+        return px[..., 0]
+    rgb = px[..., :3].astype(np.uint32)
+    lum = (rgb[..., 0] * 299 + rgb[..., 1] * 587 + rgb[..., 2] * 114) // 1000
+    return lum.astype(np.uint8)
+
+
 def _resize_nearest(img: np.ndarray, size: int = 16) -> np.ndarray:
     """Nearest-neighbor downsample to size x size — deterministic
     integer index arithmetic (no interpolation library in the loop)."""
@@ -267,13 +351,15 @@ def _strict_decode(payload: bytes) -> np.ndarray:
         return _lum_histogram(_resize_nearest(_decode_ppm(data)))
     if data[:2] == b"BM":
         return _lum_histogram(_resize_nearest(_decode_bmp(data)))
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _lum_histogram(_resize_nearest(_decode_png(data)))
     if HAS_PIL:
         return _pil_decode(data)
     raise NotImplementedError(
         f"no codec for payload with magic {data[:2]!r}: built-in decoders "
-        "cover PGM (P2/P5), PPM (P3/P6) and uncompressed 24-bit BMP; "
-        "PIL/librosa/ffmpeg are required for other formats and are not "
-        "importable here"
+        "cover PGM (P2/P5), PPM (P3/P6), 8-bit non-interlaced PNG and "
+        "uncompressed 24-bit BMP; PIL/librosa/ffmpeg are required for "
+        "other formats and are not importable here"
     )
 
 

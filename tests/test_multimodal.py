@@ -278,3 +278,126 @@ def test_ascii_sample_above_maxval_raises():
         _decode_pgm(b"P2\n2 1\n100\n101 10\n")  # > maxval, <= 255
     with pytest.raises(ValueError, match="out of range"):
         _decode_ppm(b"P3\n1 1\n255\n1 -2 3\n")
+
+def _png(pixels, color_type: int, filters=None) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit, non-interlaced, one
+    IDAT; `filters` picks the per-row filter type (default all 0)
+    and applies the matching forward filter so the decoder's
+    unfilter path for Sub/Up/Average/Paeth is exercised against
+    ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y]
+        line = flat[y]
+        out = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_gray_all_filters():
+    """8-bit grayscale PNG with every filter type (None/Sub/Up/
+    Average/Paeth, one per row) round-trips to the exact pixels."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.multimodal import _decode_png
+
+    px = ((np.arange(5 * 7).reshape(5, 7) * 37) % 256).astype(np.uint8)
+    payload = _png(px, color_type=0, filters=[0, 1, 2, 3, 4])
+    assert np.array_equal(_decode_png(payload), px)
+
+
+def test_decode_png_rgb_and_rgba_luma():
+    """RGB converts via the shared 299/587/114 luma; RGBA ignores
+    alpha (PIL convert('L') parity on opaque images)."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.multimodal import _decode_png
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0)       # -> 76
+    rgb[0, 1] = (0, 255, 0)       # -> 149
+    rgb[1, 0] = (0, 0, 255)       # -> 29
+    rgb[1, 1] = (200, 200, 200)   # -> 200
+    expect = np.array([[76, 149], [29, 200]], dtype=np.uint8)
+    assert np.array_equal(
+        _decode_png(_png(rgb, 2, filters=[4, 3])), expect
+    )
+    rgba = np.dstack([rgb, np.full((2, 2), 7, np.uint8)])
+    assert np.array_equal(_decode_png(_png(rgba, 6)), expect)
+
+
+def test_decode_png_unsupported_is_honest():
+    import pytest
+
+    from gerrydb_etl_spark.operators.multimodal import _decode_png
+
+    with pytest.raises(NotImplementedError, match="not a PNG"):
+        _decode_png(b"GIF89a....")
+    # palette (color type 3) is out of scope -> honest marker
+    import struct, zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError, match="unsupported PNG"):
+        _decode_png(payload)
+
+
+def test_decode_media_strict_png_through_spark(spark):
+    """Strict mapInPandas route for the PNG magic: uniform gray 200
+    -> all histogram mass in bin 12, matching the PGM/PPM twins."""
+    import numpy as np
+
+    payload = _png(np.full((16, 16), 200, np.uint8), 0)
+    rows = decode_media(_media_df(spark, payload), strict=True).collect()
+    assert abs(rows[0].feature[12] - 1.0) < 1e-9
