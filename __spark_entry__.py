@@ -28,11 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # round 8, positions 1-2: the two new queries (chunk-level
-    # cross-recrawl CDC dedup; BPE greedy-segmenter apply) — never
-    # sampled
+    # round 8, positions 1-3: the three new queries (chunk-level
+    # cross-recrawl CDC dedup; BPE greedy-segmenter apply; per-doc
+    # BPE tokenize counts) — never sampled
     "cdc_incremental_dedup",
     "bpe_segment_apply",
+    "bpe_doc_tokenize",
     # code touched in round 8: streaming dedup state compacted into
     # the bucketed content_sha index; the near-dup component closure
     # staged (shared by clusters + survivor selection, cap/oracle

@@ -802,10 +802,11 @@ def _apply_merge(symbols, left: str, right: str):
     )
 
 
-@query(
-    "bpe_segment_apply",
-    oracle=f"""
-    WITH RECURSIVE words AS (
+# Shared recursive-CTE chain deriving the segmented vocabulary:
+# word-frequency table -> pair counts -> top-K merges -> recursive
+# leftmost-replacement application. Reused verbatim by the
+# bpe_segment_apply and bpe_doc_tokenize oracles.
+_BPE_SEG_CTES = f"""words AS (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word
               FROM documents)
@@ -857,7 +858,13 @@ def _apply_merge(symbols, left: str, right: str):
                     THEN seg.r ELSE seg.r + 1 END
         FROM seg LEFT JOIN merges m ON m.rank = seg.r
         WHERE seg.r <= {BPE_APPLY_MERGES}
-    )
+    )"""
+
+
+@query(
+    "bpe_segment_apply",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_SEG_CTES}
     SELECT word, freq,
            CAST(length(word) AS BIGINT) AS n_chars,
            CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces,
@@ -892,6 +899,13 @@ def bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     to replacement strategy for a fixed pair
     (tests/test_llm_text.py pins the equivalence on adversarial
     symbol runs)."""
+    return _segmented_vocab(spark, sf_dir)
+
+
+def _segmented_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, n_chars, n_pieces, pieces) for every corpus
+    vocabulary word under the top-BPE_APPLY_MERGES greedy segmenter
+    — shared by bpe_segment_apply and bpe_doc_tokenize."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
@@ -928,13 +942,72 @@ def bpe_segment_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]  # bounded model collect (<= BPE_APPLY_MERGES rows), folded as literals
 
-    symbols = F.split(F.col("word"), "")
+    # Each merge stage binds to its OWN projected column: _apply_merge
+    # references its input ~5 times, so composing the folds as one
+    # nested expression duplicates the subtree 5^K-fold (measured:
+    # 27.7s at sf0.1, 161s at the natural sf1 — the round-8 natural
+    # scale test caught it). As separate projections the multi-
+    # referenced alias is non-cheap, so CollapseProject keeps the
+    # stages apart and each fold evaluates exactly once per word.
+    seg = words.withColumn("_syms", F.split(F.col("word"), ""))
     for left, right in merges:
-        symbols = _apply_merge(symbols, left, right)
-    return words.select(
+        seg = seg.withColumn("_syms", _apply_merge(F.col("_syms"), left, right))
+    return seg.select(
         "word",
         "freq",
         F.length("word").cast("long").alias("n_chars"),
-        F.size(symbols).cast("long").alias("n_pieces"),
-        F.concat_ws(" ", symbols).alias("pieces"),
+        F.size("_syms").cast("long").alias("n_pieces"),
+        F.concat_ws(" ", "_syms").alias("pieces"),
+    )
+
+
+@query(
+    "bpe_doc_tokenize",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_SEG_CTES},
+    vocab AS (
+        SELECT word,
+               CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces
+        FROM seg WHERE r = {BPE_APPLY_MERGES} + 1
+    ),
+    tok AS (
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE length(word) >= 1
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(MAX(v.n_pieces) AS BIGINT) AS max_word_pieces
+    FROM tok t JOIN vocab v ON t.word = v.word
+    GROUP BY t.doc_id
+    """,
+)
+def bpe_doc_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE tokenization counts — the CORPUS half of the
+    tokenizer-apply pipeline: the segmented vocabulary lookup
+    (bpe_segment_apply, computed once over distinct words) joins
+    back to the token stream by word, and a per-doc aggregation
+    yields whitespace-token and BPE-piece counts plus the worst
+    single-word fragmentation. This is how a production pipeline
+    gets sequence lengths for packing/budgeting WITHOUT running the
+    segmenter over every token instance: segmentation cost is
+    O(vocabulary), the corpus pays one hash join.
+
+    Plan shape: corpus token explode -> join the vocabulary lookup
+    on word (AQE broadcasts it while small; bucketed/co-shuffled at
+    trillion-token scale) -> one map-side-combined per-doc
+    aggregation. Documents whose every token is empty (empty text)
+    drop out of the inner join on both engines — the explicit
+    contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _segmented_vocab(spark, sf_dir).select("word", "n_pieces")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("word")
+    ).where(F.length("word") >= 1)
+    return toks.join(vocab, "word").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        F.max("n_pieces").cast("long").alias("max_word_pieces"),
     )

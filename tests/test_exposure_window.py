@@ -15,6 +15,7 @@ import __spark_entry__ as entry
 NEVER_SAMPLED = [
     "cdc_incremental_dedup",
     "bpe_segment_apply",
+    "bpe_doc_tokenize",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 8,
@@ -24,6 +25,7 @@ NEVER_SAMPLED = [
 TOUCHED = [
     "cdc_incremental_dedup",
     "bpe_segment_apply",
+    "bpe_doc_tokenize",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ann_cosine_topk",
