@@ -722,7 +722,6 @@ def docs_dedup_sink(batches_root: str, index_root: str):
         if prior_files:
             prior = sp.read.parquet(*prior_files).select("content_sha")
             first = first.join(prior, "content_sha", "left_anti")
-        first = first.localCheckpoint(eager=True)
         first.write.mode("overwrite").parquet(bdir)
         # compact BEFORE appending this epoch's hashes: compact
         # generations then only ever hold prior epochs' state
@@ -731,8 +730,12 @@ def docs_dedup_sink(batches_root: str, index_root: str):
         ]
         if len(loose) >= _INDEX_COMPACT_EVERY:
             _compact_index(sp, index_root, batch_id)
+        # the index contribution re-reads the DURABLE batch dir (not
+        # a cached/localCheckpoint'd plan — executor-resident blocks
+        # vanish with a lost executor on a real cluster), so the
+        # hashes entering the index are exactly the committed rows
         _write_single_parquet(
-            first.select("content_sha"),
+            sp.read.parquet(bdir).select("content_sha"),
             os.path.join(index_root, f"e_{batch_id:06d}.parquet"),
         )
         with open(marker, "w") as f:
