@@ -255,3 +255,63 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("y").alias("y_hi"),
         ((tile_w <= 63) & (tile_h <= 63)).alias("is_tight_tile"),
     )
+
+
+@query(
+    "dpp_runtime_pruned_join",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT o_orderpriority AS priority,
+               CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS urgency_rank
+        FROM orders
+    )
+    SELECT f.o_orderpriority AS priority, f.o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders f JOIN dim d ON f.o_orderpriority = d.priority
+    WHERE d.urgency_rank <= 2
+    GROUP BY 1, 2
+    """,
+)
+def dpp_runtime_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime sibling of
+    partition_pruned_read: the fact table is hive-partitioned on the
+    join key, and the selective filter sits on the DIM side
+    (urgency_rank, an attribute the fact's directory layout knows
+    nothing about), so static pruning cannot apply. Catalyst inserts
+    a dynamicpruning subquery that reuses the dim's broadcast to
+    compute the surviving partition values AT RUNTIME and drops the
+    other directories before scheduling any fact I/O (pinned by
+    tests/test_plan_shapes.py::test_dpp_prunes_fact_scan_at_runtime).
+    At 100 TB this is the difference between scanning 2/5 of a fact
+    table and all of it whenever the predicate lives in a dimension
+    — the star-schema scan-efficiency pattern AQE/DPP exist for.
+    The write runs inside the query to stay self-contained (same
+    convention as partition_pruned_read)."""
+    from gerrydb_etl_spark.store.partitioned import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = write_partitioned(orders, "part_orders_dpp", ["o_orderpriority"])
+    fact = read_partitioned(spark, path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .withColumn(
+            "urgency_rank", F.substring("priority", 1, 1).cast("int")
+        )
+        .where(F.col("urgency_rank") <= 2)
+    )
+    joined = fact.join(
+        F.broadcast(dim), fact["o_orderpriority"] == dim["priority"]
+    )
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority"), "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        dsum(dec("o_totalprice")).alias("revenue"),
+    )

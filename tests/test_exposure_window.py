@@ -16,6 +16,7 @@ NEVER_SAMPLED = [
     "cdc_incremental_dedup",
     "bpe_segment_apply",
     "bpe_doc_tokenize",
+    "dpp_runtime_pruned_join",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 8,
@@ -26,6 +27,7 @@ TOUCHED = [
     "cdc_incremental_dedup",
     "bpe_segment_apply",
     "bpe_doc_tokenize",
+    "dpp_runtime_pruned_join",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ann_cosine_topk",

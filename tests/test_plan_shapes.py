@@ -176,3 +176,12 @@ def test_epoch_shuffle_has_no_per_epoch_window(spark):
     # over the checkpointed range-sorted layout (the range shuffle
     # itself sits behind the checkpoint's lineage truncation)
     assert "MapInPandas" in plan, plan
+
+
+def test_dpp_prunes_fact_scan_at_runtime(spark):
+    """dpp_runtime_pruned_join: the fact scan's PartitionFilters must
+    carry a dynamicpruning expression (runtime directory pruning fed
+    by the dim broadcast) — the filter lives on a dim attribute the
+    fact layout cannot see, so static pruning is impossible."""
+    plan = _executed_plan(spark, "dpp_runtime_pruned_join")
+    assert "dynamicpruning" in plan.lower(), plan
