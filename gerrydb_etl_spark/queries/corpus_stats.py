@@ -321,3 +321,80 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_key",
         F.col("_known").isNotNull().alias("already_known"),
     )
+
+
+@query(
+    "incremental_minhash_dedup",
+    # truth = df-capped exact-Jaccard >= 0.8 pairs (the
+    # minhash_near_dup oracle argument: at this corpus's ~0.98
+    # near-dup Jaccard, band-miss probability is ~1e-9 and an
+    # est >= 0.7 false positive would need ~0.3 estimate inflation,
+    # so the LSH output set-equals the truth set), restricted to the
+    # cross orientation: batch doc on the left, corpus doc on the
+    # right. A doc in BOTH splits (every 10th even) may appear on
+    # either side, hence the two-orientation union.
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> array_to_string(t[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    keyed AS (
+        SELECT doc, shingle FROM sh
+        WHERE shingle IN (SELECT shingle FROM sh
+                          GROUP BY shingle HAVING COUNT(*) <= 1000)
+    ),
+    cand AS (
+        SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+        FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT d1, d2
+        FROM cand
+        JOIN sizes s1 ON s1.doc = d1
+        JOIN sizes s2 ON s2.doc = d2
+        WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.8
+    )
+    SELECT d1 AS batch_doc, d2 AS corpus_doc FROM truth
+    WHERE (d1 % 2 = 1 OR d1 % 10 = 0) AND d2 % 2 = 0
+    UNION ALL
+    SELECT d2 AS batch_doc, d1 AS corpus_doc FROM truth
+    WHERE (d2 % 2 = 1 OR d2 % 10 = 0) AND d1 % 2 = 0
+    """,
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup — the MinHash sibling of
+    incremental_exact_dedup: the incoming recrawl batch (odd doc_ids
+    plus every 10th even) probes the EXISTING corpus's (even
+    doc_ids) band-bucket index instead of self-joining the union.
+    Per batch the corpus contributes only its (staged-economics)
+    banded signatures and the matching capped buckets; the batch
+    pays its own signatures plus one bucket-keyed join — never an
+    O(corpus) rescan, never all-pairs
+    (operators/dedup.py minhash_probe_pairs).
+
+    The engine-specific est_jaccard is projected away; the oracle is
+    the exact-Jaccard truth set restricted to batch-vs-corpus
+    orientation (see the oracle comment for the set-equality
+    argument minhash_near_dup established)."""
+    from gerrydb_etl_spark.operators.dedup import minhash_probe_pairs
+
+    rows = staged_shingles(spark, sf_dir, 3)
+    existing = rows.where(F.col("doc") % 2 == 0)
+    incoming = rows.where(
+        (F.col("doc") % 2 == 1) | (F.col("doc") % 10 == 0)
+    )
+    return minhash_probe_pairs(
+        existing,
+        incoming,
+        num_hashes=32,
+        bands=8,
+        threshold=0.7,
+        max_bucket_size=1000,
+    ).select("batch_doc", "corpus_doc")

@@ -17,6 +17,7 @@ NEVER_SAMPLED = [
     "bpe_segment_apply",
     "bpe_doc_tokenize",
     "dpp_runtime_pruned_join",
+    "incremental_minhash_dedup",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 8,
@@ -28,6 +29,7 @@ TOUCHED = [
     "bpe_segment_apply",
     "bpe_doc_tokenize",
     "dpp_runtime_pruned_join",
+    "incremental_minhash_dedup",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ann_cosine_topk",
