@@ -454,3 +454,93 @@ def embedding_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.6).cast("double").alias("recall_floor"),
         (n_found / F.greatest(n_true, F.lit(1)) >= 0.6).alias("recall_floor_met"),
     )
+
+
+# Cross-split leakage review threshold. Production sets this near
+# ~0.95 (near-identical embeddings); the synthetic corpus's
+# cross-split top-1 cosines top out ~0.49, so 0.4 is used to
+# exercise BOTH verdict branches — the engine mechanics under test
+# (split-filtered IVF probe, top-1 window, threshold flag) are
+# identical at any threshold.
+LEAK_REVIEW_COS = 0.4
+
+
+def _split_leakage_replay_sql() -> str:
+    """Replay of embedding_split_leakage: the staged-equivalent IVF
+    model re-trained in SQL, corpus cells filtered to the TRAIN
+    split, probes filtered to the TEST split, top-1 per test vector,
+    threshold verdict."""
+    from gerrydb_etl_spark.queries.clustering import _kmeans_ctes
+
+    dot = _DVDOT.format(a="x.dv", b="y.dv")
+    nx = _DVNORM.format(a="x.dv")
+    ny = _DVNORM.format(a="y.dv")
+    return f"""
+    {_kmeans_ctes(_IVF_CELLS, _IVF_ITERS)},
+    dvs AS (
+        SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv
+        FROM q
+    ),
+    cells AS (
+        SELECT vec_id AS neighbor_id, cluster_id AS cell
+        FROM a{_IVF_ITERS} WHERE rn = 1 AND vec_id % 5 != 0
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cluster_id AS cell
+        FROM a{_IVF_ITERS}
+        WHERE vec_id % 5 = 0 AND rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               {dot} / ({nx} * {ny}) AS cosine
+        FROM probes p
+        JOIN cells c USING (cell)
+        JOIN dvs x ON x.vec_id = p.query_id
+        JOIN dvs y ON y.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           cosine >= {LEAK_REVIEW_COS} AS flagged
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id
+                  ) AS rank
+        FROM scored
+    ) WHERE rank = 1
+    """
+
+
+@query("embedding_split_leakage", oracle=_split_leakage_replay_sql())
+def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE AUDIT in embedding space — the embedding
+    analogue of benchmark_decontam: every held-out vector (vec_id %
+    5 == 0) probes an IVF index containing ONLY the train split, and
+    its single nearest train neighbor is surfaced with a
+    review-threshold verdict. This is the batch-ANN production
+    shape: a whole query SET (not one vector) rides the cell join —
+    broadcast while provably small, co-shuffled on cell beyond the
+    guard (operators/ivf.py join strategy) — and the index side is
+    the session-staged model's assignment filtered to train rows
+    (centroids trained on the full corpus; the INDEX membership is
+    what defines the searchable split).
+
+    Full pipeline-replay value-hash oracle: fixed-point k-means
+    re-trained in SQL, same split filters, same quantized-double
+    cosine folds, same top-1 window."""
+    from gerrydb_etl_spark.operators.ivf import ivf_topk
+    from gerrydb_etl_spark.store.staging import staged_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS)
+    train_index = assigned.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    top1 = ivf_topk(
+        emb, test, k=1, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        iters=_IVF_ITERS, model=(train_index, centroids),
+    )
+    return top1.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        (F.col("cosine") >= LEAK_REVIEW_COS).alias("flagged"),
+    )

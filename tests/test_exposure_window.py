@@ -18,6 +18,7 @@ NEVER_SAMPLED = [
     "bpe_doc_tokenize",
     "dpp_runtime_pruned_join",
     "incremental_minhash_dedup",
+    "embedding_split_leakage",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 8,
@@ -30,6 +31,7 @@ TOUCHED = [
     "bpe_doc_tokenize",
     "dpp_runtime_pruned_join",
     "incremental_minhash_dedup",
+    "embedding_split_leakage",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ann_cosine_topk",
