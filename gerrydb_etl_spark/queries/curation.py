@@ -275,6 +275,74 @@ def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mix_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    q AS (
+        SELECT source, n_tokens,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)
+                        / CAST(SUM(n_tokens) OVER () AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS sq_e9
+        FROM s
+    )
+    SELECT source, n_tokens, share,
+           CAST(sq_e9 AS DOUBLE) / CAST(SUM(sq_e9) OVER () AS DOUBLE)
+               AS temp_weight,
+           (CAST(sq_e9 AS DOUBLE) / CAST(SUM(sq_e9) OVER () AS DOUBLE))
+               / share AS boost
+    FROM q
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (the mC4/XLM-R
+    multilingual sampling rule, alpha = 0.5): sampling weight
+    proportional to share^alpha, which upsamples small sources and
+    downsamples dominant ones less brutally than flattening to
+    uniform (source_mix_rebalance's rule). ``boost`` = temp_weight /
+    share is the effective repetition factor the training loop
+    applies per source.
+
+    Determinism: sqrt is IEEE correctly-rounded (identical doubles
+    in both engines — the same algebraic-function contract the
+    cosine paths rely on), but a DOUBLE SUM over sources is
+    order-dependent, so the sqrt values are quantized to exact 1e-9
+    integers BEFORE the normalizing sum; every division is then
+    exact-int-over-exact-int in double. Same scale shape as
+    source_mix_rebalance: one map-side-combined groupBy(source),
+    windows over dimension-cardinality rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(tokenize(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast(
+        "double"
+    )
+    sq_e9 = F.floor(F.sqrt(share) * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    q = s.select("source", "n_tokens", share.alias("share"), sq_e9.alias("sq_e9"))
+    temp_w = F.col("sq_e9").cast("double") / F.sum("sq_e9").over(w).cast(
+        "double"
+    )
+    return q.select(
+        "source",
+        "n_tokens",
+        "share",
+        temp_w.alias("temp_weight"),
+        (temp_w / F.col("share")).alias("boost"),
+    )
+
+
+@query(
     "pii_redaction",
     oracle=f"""
     WITH synth AS (

@@ -19,6 +19,7 @@ NEVER_SAMPLED = [
     "dpp_runtime_pruned_join",
     "incremental_minhash_dedup",
     "embedding_split_leakage",
+    "temperature_mix_weights",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 8,
@@ -32,6 +33,7 @@ TOUCHED = [
     "dpp_runtime_pruned_join",
     "incremental_minhash_dedup",
     "embedding_split_leakage",
+    "temperature_mix_weights",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ann_cosine_topk",

@@ -271,3 +271,49 @@ def test_bpe_apply_spark_fold_matches_python_reference(spark):
         if w == "":
             expect = [""]
         assert got[w] == expect, w
+
+
+def test_minhash_probe_pairs_unit(spark):
+    """Unit contract of the incremental probe: (a) candidates come
+    only from batch-vs-corpus bucket collisions; (b) a doc present
+    on both sides never pairs with itself; (c) an over-cap existing
+    bucket is dropped entirely (the degenerate-corpus guard)."""
+    from gerrydb_etl_spark.operators.dedup import (
+        minhash_probe_pairs,
+        shingle_rows,
+    )
+
+    def rows(pairs):
+        df = spark.createDataFrame(pairs, "doc_id long, text string")
+        return shingle_rows(df, "doc_id", "text", 3, with_size=True)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    # corpus doc 0 == batch doc 101's text; batch doc 103 is unrelated
+    existing = rows([(0, base), (2, "one two three four five six")])
+    incoming = rows([(101, base), (103, "totally different words here now")])
+    got = {
+        (r.batch_doc, r.corpus_doc)
+        for r in minhash_probe_pairs(existing, incoming, threshold=0.7).collect()
+    }
+    assert got == {(101, 0)}
+
+    # self-pair exclusion: doc 0 on BOTH sides must not match itself
+    both = rows([(0, base)])
+    got2 = minhash_probe_pairs(existing, both, threshold=0.7).collect()
+    assert [(r.batch_doc, r.corpus_doc) for r in got2] == []
+
+    # hot-bucket cap: 5 identical existing docs exceed cap=4 -> the
+    # bucket is dropped and the probe finds nothing
+    clones = rows([(i, base) for i in range(5)])
+    got3 = minhash_probe_pairs(
+        clones, rows([(200, base)]), threshold=0.7, max_bucket_size=4
+    ).collect()
+    assert got3 == []
+    # ...and with the cap lifted all five surface
+    got4 = {
+        (r.batch_doc, r.corpus_doc)
+        for r in minhash_probe_pairs(
+            clones, rows([(200, base)]), threshold=0.7, max_bucket_size=None
+        ).collect()
+    }
+    assert got4 == {(200, i) for i in range(5)}
