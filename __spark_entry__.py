@@ -28,12 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # round 8, positions 1-7: the seven new queries (chunk-level
+    # round 8, positions 1-8: the eight new queries (chunk-level
     # cross-recrawl CDC dedup; BPE greedy-segmenter apply; per-doc
     # BPE tokenize counts; dynamic-partition-pruned star join;
     # incremental batch-vs-corpus MinHash probe; train/test
-    # embedding-leakage audit; temperature mixture reweighting) —
-    # never sampled
+    # embedding-leakage audit; temperature mixture reweighting;
+    # mergeable histogram-quantile rollup) — never sampled
     "cdc_incremental_dedup",
     "bpe_segment_apply",
     "bpe_doc_tokenize",
@@ -41,6 +41,7 @@ _EXPOSURE_PRIORITY = [
     "incremental_minhash_dedup",
     "embedding_split_leakage",
     "temperature_mix_weights",
+    "histogram_quantile_rollup",
     # code touched in round 8: streaming dedup state compacted into
     # the bucketed content_sha index; the near-dup component closure
     # staged (shared by clusters + survivor selection, cap/oracle
@@ -96,7 +97,6 @@ _EXPOSURE_PRIORITY = [
     "medsl_config_projection",
     "observed_load_metrics",
     "partition_pruned_read",
-    "rename_normalizations",
     # everything below was green in rounds 5-7 with unchanged code;
     # deferred past the ~50-query sample window this round
 ]

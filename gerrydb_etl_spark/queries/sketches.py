@@ -225,3 +225,93 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("exact_count"),
         (F.col("n") < F.lit(thr)).alias("is_false_positive"),
     )
+
+
+HIST_BIN_WIDTH = 16
+
+
+@query(
+    "histogram_quantile_rollup",
+    oracle=f"""
+    WITH partials AS (
+        SELECT lang, source, n_chars // {HIST_BIN_WIDTH} AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT lang, bin, SUM(cnt) AS cnt
+        FROM partials GROUP BY lang, bin
+    ),
+    cum AS (
+        SELECT lang, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS c,
+               SUM(cnt) OVER (PARTITION BY lang) AS total
+        FROM merged
+    )
+    SELECT lang,
+           CAST(MAX(total) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN c * 100 >= 50 * total THEN bin END)
+                * {HIST_BIN_WIDTH} + {HIST_BIN_WIDTH} - 1 AS BIGINT) AS p50_ub,
+           CAST(MIN(CASE WHEN c * 100 >= 90 * total THEN bin END)
+                * {HIST_BIN_WIDTH} + {HIST_BIN_WIDTH} - 1 AS BIGINT) AS p90_ub,
+           CAST(MIN(CASE WHEN c * 100 >= 99 * total THEN bin END)
+                * {HIST_BIN_WIDTH} + {HIST_BIN_WIDTH} - 1 AS BIGINT) AS p99_ub
+    FROM cum GROUP BY lang
+    """,
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram sketch with quantile readout — the
+    distribution-monitoring primitive a pipeline tracks per shard
+    (document length drift, quality score drift): per-(lang, source)
+    fixed-width bin counts are the PARTIALS (mergeable by addition,
+    persistable next to the data), the per-lang rollup merges
+    O(groups x bins) partial rows — never re-scanning documents —
+    and p50/p90/p99 upper bounds come off the merged histogram with
+    exact integer cumulative rules (cum*100 >= q*total). Unlike the
+    HLL rollup's tolerance verdict, every number here is
+    deterministic, so the oracle is a full value-hash replay.
+
+    Scale: level-1 is one map-side-combined groupBy; the merge and
+    the per-lang cumulative window run over dimension x bin
+    cardinality (thousands of rows at any corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    partials = (
+        docs.select(
+            "lang",
+            "source",
+            (F.col("n_chars") / HIST_BIN_WIDTH).cast("long").alias("bin"),
+        )
+        .groupBy("lang", "source", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    merged = partials.groupBy("lang", "bin").agg(F.sum("cnt").alias("cnt"))
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang")
+    cum = merged.select(
+        "lang",
+        "bin",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+
+    def q_ub(q: int, name: str):
+        return (
+            F.min(
+                F.when(F.col("c") * 100 >= q * F.col("total"), F.col("bin"))
+            )
+            * HIST_BIN_WIDTH
+            + (HIST_BIN_WIDTH - 1)
+        ).cast("long").alias(name)
+
+    return cum.groupBy("lang").agg(
+        F.max("total").cast("long").alias("n_docs"),
+        q_ub(50, "p50_ub"),
+        q_ub(90, "p90_ub"),
+        q_ub(99, "p99_ub"),
+    )

@@ -20,6 +20,7 @@ NEVER_SAMPLED = [
     "incremental_minhash_dedup",
     "embedding_split_leakage",
     "temperature_mix_weights",
+    "histogram_quantile_rollup",
 ]
 
 # Queries whose implementation was touched in (or is new in) round 8,
@@ -34,6 +35,7 @@ TOUCHED = [
     "incremental_minhash_dedup",
     "embedding_split_leakage",
     "temperature_mix_weights",
+    "histogram_quantile_rollup",
     "embedding_neardup",
     "embedding_neardup_verify",
     "ann_cosine_topk",
