@@ -106,6 +106,8 @@ EDGE_QUERIES = [
     "gopher_quality_rules",     # zero-word doc in every rational check
     "cdc_incremental_dedup",    # twin/empty docs: all-known + 1-chunk paths
     "bpe_segment_apply",        # empty-text word filter; 1-char words
+    "temperature_mix_weights",  # 1-doc sources; zipf-free degenerate mix
+    "histogram_quantile_rollup",  # constant n_chars: one bin, p50==p99
 ]
 
 
