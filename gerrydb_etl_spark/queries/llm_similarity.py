@@ -530,12 +530,22 @@ def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gerrydb_etl_spark.operators.ivf import ivf_topk
     from gerrydb_etl_spark.store.staging import staged_ivf
 
+    from gerrydb_etl_spark.operators.kmeans import cells_for_corpus
+
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS)
+    # corpus-scaled cell count (operators/kmeans.py cells_for_corpus):
+    # == _IVF_CELLS at every driver-verified scale (static-oracle
+    # parity); above bench scale it holds candidates-per-query at
+    # ~n_probe * per_cell while the query COUNT also grows with the
+    # corpus — with cells frozen at 16 the audit measured 2.0s ->
+    # 152s at the natural sf1 (quadratic), the round-8 sweep's
+    # second finding
+    cells = cells_for_corpus(emb.count(), floor_k=_IVF_CELLS, per_cell=125)
+    assigned, centroids = staged_ivf(spark, sf_dir, cells, _IVF_ITERS)
     train_index = assigned.filter(F.col("vec_id") % 5 != 0)
     test = emb.filter(F.col("vec_id") % 5 == 0)
     top1 = ivf_topk(
-        emb, test, k=1, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        emb, test, k=1, n_cells=cells, n_probe=_IVF_PROBE,
         iters=_IVF_ITERS, model=(train_index, centroids),
     )
     return top1.select(

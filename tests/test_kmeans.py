@@ -148,3 +148,24 @@ def test_staged_kmeans_catalog_hit_is_stable(spark):
     a = ensure_staged_kmeans(spark, SF_SMOKE, k=8, iters=3)
     b = ensure_staged_kmeans(spark, SF_SMOKE, k=8, iters=3)
     assert a == b and spark.catalog.tableExists(a)
+
+
+def test_cells_for_corpus_regions():
+    """Floor below floor_k*per_cell (static-oracle parity at every
+    driver scale), linear in the middle (occupancy ~per_cell), and
+    capped at the top."""
+    from gerrydb_etl_spark.operators.kmeans import cells_for_corpus
+
+    # driver/bench corpora (sf0.001/sf0.01 = 500 embeddings,
+    # sf0.1 = 2000) all return exactly the static-oracle literal
+    # for both consumers (semantic_dedup k=8/per_cell=250,
+    # split-leakage IVF cells=16/per_cell=125)
+    assert cells_for_corpus(500, floor_k=8) == 8
+    assert cells_for_corpus(2000, floor_k=8) == 8
+    assert cells_for_corpus(500, floor_k=16, per_cell=125) == 16
+    assert cells_for_corpus(2000, floor_k=16, per_cell=125) == 16
+    # linear region: occupancy pinned near per_cell
+    k = cells_for_corpus(100_000, floor_k=8)
+    assert 100_000 // k <= 2 * 250
+    # cap region
+    assert cells_for_corpus(10**9, floor_k=8) == 512
