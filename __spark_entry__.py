@@ -48,7 +48,9 @@ _EXPOSURE_PRIORITY = [
     # alignment also touched corpus_curation_filter); strict decode
     # gained the PPM codec + P2 range check under
     # media_strict_decode; bigram surprisal gained the salted-prefix
-    # fallback refactor. Plus the ADVICE r7 carry-over: the round-7
+    # fallback refactor; semantic dedup + the IVF leakage audit now
+    # derive k via cells_for_corpus (floor == the static-oracle
+    # literal at driver scale). Plus the ADVICE r7 carry-over: the round-7
     # anchor-plane derivation change (hash-mixed sampling) shipped
     # without a driver row for its four consumer queries — they lead
     # the touched block.
@@ -62,6 +64,7 @@ _EXPOSURE_PRIORITY = [
     "corpus_curation_filter",
     "media_strict_decode",
     "bigram_surprisal_filter",
+    "semantic_dedup_survivors",
     # stalest refill, oldest-first (VERDICT r7 item 3): the 14
     # queries whose last driver row is round 3...
     "asof_join_clicks_views",

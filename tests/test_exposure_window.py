@@ -46,6 +46,7 @@ TOUCHED = [
     "corpus_curation_filter",
     "media_strict_decode",
     "bigram_surprisal_filter",
+    "semantic_dedup_survivors",
 ]
 
 
