@@ -474,3 +474,101 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("position"),
     )
+
+
+# Priority sampling (Duffield, Lund & Thorup, JACM 2007): a weighted
+# sample WITHOUT replacement of size k whose Horvitz-Thompson-style
+# estimator max(w_i, tau) gives unbiased subset-sum estimates, where
+# tau is the (k+1)-th largest priority q_i = w_i / u_i and u_i is
+# uniform on (0, 1]. u is DERANDOMIZED with the same Knuth
+# multiplicative mixer as epoch_shuffle_order (reproducible across
+# runs and engines, no RNG state), and q is kept integer-exact as
+# (w << 31) // u_scaled with u_scaled in [1, 2^31] — the 2^31
+# factors cancel, so tau is directly in weight units. w < 2^20
+# tokens keeps the scaled product under 2^51: no overflow in either
+# engine.
+PS_K = 20
+PS_MASK = (1 << 31) - 1
+PS_MULT = 2654435761
+
+
+@query(
+    "priority_sample_topk",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+               ((((doc_id & {PS_MASK}) + 1) * {PS_MULT}) & {PS_MASK}) + 1
+                   AS u_scaled
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, weight,
+               (weight * {PS_MASK + 1}) // u_scaled AS priority,
+               ROW_NUMBER() OVER (
+                   ORDER BY (weight * {PS_MASK + 1}) // u_scaled DESC,
+                            doc_id) AS rn
+        FROM s
+    ),
+    t AS (
+        SELECT doc_id, weight, priority, rn,
+               MAX(CASE WHEN rn = {PS_K + 1} THEN priority END) OVER ()
+                   AS tau
+        FROM r WHERE rn <= {PS_K + 1}
+    )
+    SELECT doc_id, weight, priority,
+           GREATEST(weight, COALESCE(tau, weight)) AS est_weight
+    FROM t WHERE rn <= {PS_K}
+    """,
+)
+def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement of PS_K documents, token
+    count as weight: take the k+1 largest priorities w/u, keep k,
+    and attach the estimator weight max(w, tau) (unbiased for subset
+    sums over the sample — the standard way to downsample a corpus
+    while keeping token-mass statistics estimable). Deterministic by
+    construction (hash-derandomized u, integer-exact priorities,
+    doc_id tie-break) -> full value-hash oracle.
+
+    100 TB: the only distributed step is TakeOrderedAndProject
+    (per-partition top-(k+1) heaps, driver merges k+1 rows — no
+    global sort, no shuffle); the rank/tau windows run AFTER the
+    limit, over k+1 = 21 rows. The reference has no sampling layer;
+    this extends the SURVEY §2.12 curation set."""
+    docs = load_table(spark, sf_dir, "documents")
+    u_scaled = (
+        (
+            (F.col("doc_id").bitwiseAND(F.lit(PS_MASK)) + 1) * F.lit(PS_MULT)
+        ).bitwiseAND(F.lit(PS_MASK))
+        + 1
+    )
+    scored = docs.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).cast("long").alias("weight"),
+        u_scaled.alias("u_scaled"),
+    ).select(
+        "doc_id",
+        "weight",
+        F.expr(f"weight * {PS_MASK + 1} DIV u_scaled").alias("priority"),
+    )
+    top = scored.orderBy(F.desc("priority"), "doc_id").limit(PS_K + 1)
+    w_rank = Window.orderBy(F.desc("priority"), F.col("doc_id"))
+    ranked = top.select(
+        "doc_id", "weight", "priority", F.row_number().over(w_rank).alias("rn")
+    )
+    w_all = Window.partitionBy()
+    tau = F.max(
+        F.when(F.col("rn") == PS_K + 1, F.col("priority"))
+    ).over(w_all)
+    return (
+        ranked.select("doc_id", "weight", "priority", "rn", tau.alias("tau"))
+        .filter(F.col("rn") <= PS_K)
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("tau"), F.col("weight"))
+            ).alias("est_weight"),
+        )
+    )

@@ -108,6 +108,7 @@ EDGE_QUERIES = [
     "bpe_segment_apply",        # empty-text word filter; 1-char words
     "temperature_mix_weights",  # 1-doc sources; zipf-free degenerate mix
     "histogram_quantile_rollup",  # constant n_chars: one bin, p50==p99
+    "priority_sample_topk",     # corpus smaller than k+1: tau is NULL
 ]
 
 

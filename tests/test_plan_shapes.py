@@ -185,3 +185,13 @@ def test_dpp_prunes_fact_scan_at_runtime(spark):
     fact layout cannot see, so static pruning is impossible."""
     plan = _executed_plan(spark, "dpp_runtime_pruned_join")
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_priority_sample_topk_is_distributed(spark):
+    """priority_sample_topk's only distributed step must be
+    TakeOrderedAndProject (per-partition top-(k+1) heaps, driver
+    merge); the rank/tau windows run after the limit over k+1 rows,
+    so no Exchange may appear anywhere in the plan."""
+    plan = _executed_plan(spark, "priority_sample_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
