@@ -345,16 +345,28 @@ def _strict_decode(payload: bytes) -> np.ndarray:
       environment cannot decode that format, never a silent fake.
     """
     data = bytes(payload)
-    if data[:2] in (b"P2", b"P5"):
-        return _lum_histogram(_resize_nearest(_decode_pgm(data)))
-    if data[:2] in (b"P3", b"P6"):
-        return _lum_histogram(_resize_nearest(_decode_ppm(data)))
-    if data[:2] == b"BM":
-        return _lum_histogram(_resize_nearest(_decode_bmp(data)))
-    if data[:8] == b"\x89PNG\r\n\x1a\n":
-        return _lum_histogram(_resize_nearest(_decode_png(data)))
-    if HAS_PIL:
+    if data[:2] not in (b"P2", b"P3", b"P5", b"P6") and data[:2] != b"BM" \
+            and data[:8] != b"\x89PNG\r\n\x1a\n" and HAS_PIL:
         return _pil_decode(data)
+    return _lum_histogram(_resize_nearest(_strict_pixels(data)))
+
+
+def _strict_pixels(payload: bytes) -> np.ndarray:
+    """Strict decode to the raw 2-D grayscale pixel array (no resize,
+    no histogram) — the shared routing core of _strict_decode and
+    perceptual_dhash. Same codec contract: built-in pure-Python
+    decoders for the netpbm/BMP/PNG formats, NotImplementedError
+    for anything else (the PIL fallback lives in _strict_decode
+    only, because PIL resizes before we could hash raw pixels)."""
+    data = bytes(payload)
+    if data[:2] in (b"P2", b"P5"):
+        return _decode_pgm(data)
+    if data[:2] in (b"P3", b"P6"):
+        return _decode_ppm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
     raise NotImplementedError(
         f"no codec for payload with magic {data[:2]!r}: built-in decoders "
         "cover PGM (P2/P5), PPM (P3/P6), 8-bit non-interlaced PNG and "
@@ -443,3 +455,71 @@ def sample_frames(df: DataFrame, frame_bytes: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("c0", T.IntegerType()),
+        T.StructField("c1", T.IntegerType()),
+        T.StructField("c2", T.IntegerType()),
+        T.StructField("c3", T.IntegerType()),
+    ]
+)
+
+
+def _dhash_chunks(px: np.ndarray) -> tuple[int, int, int, int]:
+    """64-bit difference hash of a grayscale image, returned as four
+    16-bit chunks (chunk k = bits [16k, 16k+16) — int-safe in every
+    engine, and directly usable as pigeonhole blocking keys).
+
+    Grid: partition rows and columns into 8 contiguous near-equal
+    bands (band r covers [r*h//8, (r+1)*h//8)), block value = pixel
+    sum // block size (floor). Bit r*8+c is set iff
+    g[r][c] > g[r][(c+1) % 8] — the wrap-around column closes the
+    comparison ring so all 64 bits are defined (classic dHash uses a
+    9th column; the ring keeps the grid square and the oracle
+    replay simple). Pure integer arithmetic — deterministic across
+    numpy, Spark and DuckDB."""
+    h, w = px.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"dhash needs an image of at least 8x8, got {h}x{w}")
+    p = px.astype(np.int64)
+    g = np.zeros((8, 8), dtype=np.int64)
+    for r in range(8):
+        r0, r1 = r * h // 8, (r + 1) * h // 8
+        for c in range(8):
+            c0, c1 = c * w // 8, (c + 1) * w // 8
+            blk = p[r0:r1, c0:c1]
+            g[r, c] = int(blk.sum()) // blk.size
+    bits = (g > np.roll(g, -1, axis=1)).astype(np.uint64).ravel()
+    fp = int((bits << np.arange(64, dtype=np.uint64)).sum())
+    return tuple((fp >> (16 * k)) & 0xFFFF for k in range(4))
+
+
+def perceptual_dhash(df: DataFrame) -> DataFrame:
+    """Per-image 64-bit dHash over strictly-decoded pixels, as four
+    16-bit chunk columns (media_id, c0..c3).
+
+    The decode runs through the SAME built-in strict codecs as
+    decode_media(strict=True) (_strict_pixels — netpbm/BMP/PNG on
+    real bytes, never a fake); the hash itself is _dhash_chunks.
+    mapInPandas keeps it a narrow map: Arrow batches in, four small
+    ints out per image, payload bytes never shuffled or collected.
+    At 100 TB the fingerprint table is ~40 bytes/image — the
+    downstream Hamming join works on that, not on pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            chunks = [_dhash_chunks(_strict_pixels(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "c0": np.array([c[0] for c in chunks], dtype=np.int32),
+                    "c1": np.array([c[1] for c in chunks], dtype=np.int32),
+                    "c2": np.array([c[2] for c in chunks], dtype=np.int32),
+                    "c3": np.array([c[3] for c in chunks], dtype=np.int32),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)

@@ -564,6 +564,47 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _netpbm_media(docs):
+    """Documents as REAL 16x16 netpbm image payloads: the first 256
+    chars (space-padded) become the pixel raster — even doc_ids as
+    ASCII-PGM (P2), odd doc_ids as binary PPM (P6) with gray RGB
+    triples. The P2 pixel array IS the char codes, and the P6 luma
+    of a gray triple (c*299 + c*587 + c*114)//1000 is exactly c
+    again, so BOTH formats decode to the identical pixel grid and a
+    DuckDB oracle can replay any pixel-level computation from the
+    text directly. Shared by media_strict_decode and
+    image_dhash_neardup."""
+    padded = F.rpad(F.col("text"), 256, " ")
+    pgm_payload = F.concat(
+        F.lit("P2\n16 16\n255\n"),
+        F.array_join(
+            F.transform(
+                F.split(padded, ""),
+                lambda c: F.ascii(c).cast("string"),
+            ),
+            " ",
+        ),
+    )
+    # P6 raster: every char tripled into an (r,g,b)=(c,c,c) pixel;
+    # ASCII-only corpus (tests/test_multimodal.py guard) means the
+    # UTF-8 binary cast is byte-identical to the raw samples
+    ppm_payload = F.concat(
+        F.lit("P6\n16 16\n255\n"),
+        F.regexp_replace(padded, "(.)", "$1$1$1"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, pgm_payload)
+        .otherwise(ppm_payload)
+        .cast("binary")
+        .alias("payload"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
 @query(
     "media_strict_decode",
     oracle="""
@@ -611,34 +652,7 @@ def media_strict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-codec pipeline gets a full value-hash gate. Same micro-unit
     feature quantization + comma-join as media_decode_features (no
     array columns in query outputs)."""
-    docs = load_table(spark, sf_dir, "documents")
-    padded = F.rpad(F.col("text"), 256, " ")
-    pgm_payload = F.concat(
-        F.lit("P2\n16 16\n255\n"),
-        F.array_join(
-            F.transform(
-                F.split(padded, ""),
-                lambda c: F.ascii(c).cast("string"),
-            ),
-            " ",
-        ),
-    )
-    # P6 raster: every char tripled into an (r,g,b)=(c,c,c) pixel;
-    # ASCII-only corpus (tests/test_multimodal.py guard) means the
-    # UTF-8 binary cast is byte-identical to the raw samples
-    ppm_payload = F.concat(
-        F.lit("P6\n16 16\n255\n"),
-        F.regexp_replace(padded, "(.)", "$1$1$1"),
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.when(F.col("doc_id") % 2 == 0, pgm_payload)
-        .otherwise(ppm_payload)
-        .cast("binary")
-        .alias("payload"),
-        F.octet_length("text").cast("long").alias("n_bytes"),
-    )
+    media = _netpbm_media(load_table(spark, sf_dir, "documents"))
     feats = decode_media(media, frame_bytes=64, strict=True)
     micro = F.transform(
         "feature",
@@ -1011,3 +1025,90 @@ def bpe_doc_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pieces").cast("long").alias("n_pieces"),
         F.max("n_pieces").cast("long").alias("max_word_pieces"),
     )
+
+
+def _dhash_oracle(max_hamming: int = 3, cap: int = 1000) -> str:
+    """Full pipeline replay of image_dhash_neardup in DuckDB, from
+    the TEXT (both netpbm formats decode to the char-code pixel
+    grid — see _netpbm_media): 16x16 grid → 2x2 block floor-means →
+    64 ring-comparison bits → four 16-bit chunks → pigeonhole
+    blocking WITH the hot-bucket cap → summed bit_count(xor)
+    verification."""
+    chunk_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN b // 16 = {k} THEN bit * (1 << (b % 16)) "
+        f"ELSE 0 END) AS INTEGER) AS c{k}"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{k}, b.c{k}))" for k in range(4))
+    return f"""
+    WITH chars AS (
+        SELECT doc_id, i - 1 AS idx,
+               ascii(substr(rpad(text, 256, ' '), i, 1)) AS code
+        FROM (SELECT doc_id, text, unnest(generate_series(1, 256)) AS i
+              FROM documents)
+    ),
+    blocks AS (
+        SELECT doc_id,
+               (idx // 16) // 2 AS r,
+               (idx % 16) // 2 AS c,
+               SUM(code) // 4 AS g
+        FROM chars GROUP BY 1, 2, 3
+    ),
+    bits AS (
+        SELECT b1.doc_id,
+               b1.r * 8 + b1.c AS b,
+               CASE WHEN b1.g > b2.g THEN 1 ELSE 0 END AS bit
+        FROM blocks b1
+        JOIN blocks b2 ON b2.doc_id = b1.doc_id AND b2.r = b1.r
+                       AND b2.c = (b1.c + 1) % 8
+    ),
+    fps AS (
+        SELECT doc_id,
+               {chunk_cols}
+        FROM bits GROUP BY doc_id
+    ),
+    blocked AS (
+        SELECT f.*, ck.chunk,
+               CASE ck.chunk WHEN 0 THEN c0 WHEN 1 THEN c1
+                             WHEN 2 THEN c2 ELSE c3 END AS key
+        FROM fps f, (SELECT unnest([0, 1, 2, 3]) AS chunk) ck
+    ),
+    sizes AS (
+        SELECT chunk, key, COUNT(*) AS n FROM blocked GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT b.* FROM blocked b
+        JOIN sizes USING (chunk, key) WHERE sizes.n <= {cap}
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM capped a
+    JOIN capped b ON a.chunk = b.chunk AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+@query("image_dhash_neardup", oracle=_dhash_oracle(max_hamming=3, cap=1000))
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: strict-decode REAL netpbm
+    payloads (P2/P6 via _netpbm_media — same two-codec path as
+    media_strict_decode) to pixels, 64-bit difference hash
+    (operators/multimodal.py _dhash_chunks), then the pigeonhole
+    chunk-Hamming kernel (operators/dedup.py chunked_hamming_pairs,
+    complete for Hamming <= 3, hot-bucket capped). The image-side
+    twin of simhash_near_dup: byte-level re-encodes, format
+    conversions and small pixel edits that leave the 8x8 gradient
+    structure intact hash to nearby fingerprints.
+
+    100 TB: decode + hash is a narrow mapInPandas (pixels never
+    shuffle — the fingerprint table is ~40 bytes/image); candidate
+    generation is one groupBy on (chunk, key) with the quadratic-
+    bucket cap; verification touches candidates only. Full pixel-
+    level DuckDB replay oracle via the gray-triple luma identity."""
+    from gerrydb_etl_spark.operators.dedup import chunked_hamming_pairs
+    from gerrydb_etl_spark.operators.multimodal import perceptual_dhash
+
+    media = _netpbm_media(load_table(spark, sf_dir, "documents"))
+    fps = perceptual_dhash(media).withColumnRenamed("media_id", "doc")
+    return chunked_hamming_pairs(fps, max_hamming=3, max_bucket_size=1000)

@@ -109,6 +109,7 @@ EDGE_QUERIES = [
     "temperature_mix_weights",  # 1-doc sources; zipf-free degenerate mix
     "histogram_quantile_rollup",  # constant n_chars: one bin, p50==p99
     "priority_sample_topk",     # corpus smaller than k+1: tau is NULL
+    "image_dhash_neardup",      # empty text: flat image, fp 0; twins
 ]
 
 

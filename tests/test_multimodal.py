@@ -401,3 +401,52 @@ def test_decode_media_strict_png_through_spark(spark):
     payload = _png(np.full((16, 16), 200, np.uint8), 0)
     rows = decode_media(_media_df(spark, payload), strict=True).collect()
     assert abs(rows[0].feature[12] - 1.0) < 1e-9
+
+
+def test_dhash_chunks_basic_properties():
+    import numpy as np
+    import pytest
+
+    from gerrydb_etl_spark.operators.multimodal import _dhash_chunks
+
+    flat = np.full((16, 16), 32, np.uint8)
+    assert _dhash_chunks(flat) == (0, 0, 0, 0)
+
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    c = _dhash_chunks(grad)
+    # strictly increasing columns: only the wrap-around bit (c=7)
+    # of each row is set -> bit r*8+7 -> 0x8080 in every chunk
+    assert c == (0x8080, 0x8080, 0x8080, 0x8080)
+
+    # one-pixel edit flips at most a few bits (perceptual locality)
+    base = (np.arange(256, dtype=np.int64) * 7 % 251).astype(
+        np.uint8
+    ).reshape(16, 16)
+    edited = base.copy()
+    edited[3, 5] = 255
+    h1, h2 = _dhash_chunks(base), _dhash_chunks(edited)
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(h1, h2))
+    assert 0 < ham <= 4
+
+    with pytest.raises(ValueError, match="at least 8x8"):
+        _dhash_chunks(np.zeros((4, 16), np.uint8))
+
+
+def test_perceptual_dhash_matches_kernel_through_spark(spark):
+    """The mapInPandas route returns exactly _dhash_chunks of the
+    strictly-decoded pixels, for both a P5 PGM and a BMP payload."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.multimodal import (
+        _dhash_chunks,
+        perceptual_dhash,
+    )
+
+    px = (np.arange(256, dtype=np.int64) * 11 % 256).astype(
+        np.uint8
+    ).reshape(16, 16)
+    pgm = b"P5\n16 16\n255\n" + px.tobytes()
+    rows = perceptual_dhash(_media_df(spark, pgm)).collect()
+    assert (rows[0].c0, rows[0].c1, rows[0].c2, rows[0].c3) == _dhash_chunks(
+        px
+    )
