@@ -34,6 +34,8 @@ _EXPOSURE_PRIORITY = [
     # incremental batch-vs-corpus MinHash probe; train/test
     # embedding-leakage audit; temperature mixture reweighting;
     # mergeable histogram-quantile rollup) — never sampled
+    "pq_adc_topk",
+    "pq_verify",
     "image_dhash_neardup",
     "priority_sample_topk",
     "cdc_incremental_dedup",

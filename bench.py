@@ -144,11 +144,13 @@ def main() -> None:
         ensure_staged_ivf,
         ensure_staged_kmeans,
         ensure_staged_lsh_sigs,
+        ensure_staged_pq,
     )
 
     ensure_staged_kmeans(spark, sf_dir, k=8, iters=3)
     ensure_staged_lsh_sigs(spark, sf_dir, bits=4, tables=8)
     ensure_staged_ivf(spark, sf_dir, n_cells=16, iters=2)
+    ensure_staged_pq(spark, sf_dir, m_subs=4, n_codes=16, iters=2)
 
     # ...and the near-dup component assignment (doc, cluster_rep):
     # the closure shared by neardup_clusters and

@@ -344,3 +344,76 @@ def staged_ivf(
         for r in spark.table(cname).collect()
     }
     return spark.table(name), cents
+
+
+def staged_pq_name(sf_dir: str, m_subs: int, n_codes: int, iters: int) -> str:
+    tag = _source_fingerprint(sf_dir, tables=("embeddings",))
+    return f"st_pq_m{m_subs}_k{n_codes}_i{iters}_{tag}"
+
+
+def ensure_staged_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    m_subs: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> tuple[str, str]:
+    """Stage the PQ model: the codebooks (one (m, code, cv) row per
+    codeword, trained per subspace with the fixed-point k-means —
+    operators/pq.py train_codebooks) AND the corpus code assignment
+    (vec_id, m, code) encoded against those SAME books — the
+    write-once corpus state the ADC join consumes. Staged values
+    identical to inline training/encoding, so the re-training
+    replay oracle is unaffected. Returns (books_table,
+    codes_table)."""
+    from pyspark.sql import Row
+
+    from gerrydb_etl_spark.operators.kmeans import quantize
+    from gerrydb_etl_spark.operators.pq import encode_codes, train_codebooks
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    bname = staged_pq_name(sf_dir, m_subs, n_codes, iters)
+    kname = bname + "_codes"
+    if spark.catalog.tableExists(bname) and spark.catalog.tableExists(kname):
+        return bname, kname
+    # rebuild BOTH on partial staleness (same pair rule as
+    # ensure_staged_ivf: codes are only valid against their books)
+    for t in (bname, kname):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    quant = quantize(load_table(spark, sf_dir, "embeddings")).persist()
+    try:
+        dim = len(quant.select("qv").first()["qv"])
+        books = train_codebooks(
+            quant, dim, m_subs=m_subs, k=n_codes, iters=iters
+        )
+        _ensure_staged(
+            spark, bname,
+            lambda: spark.createDataFrame(
+                [
+                    Row(m=m, code=c, cv=[float(x) for x in v])
+                    for m, book in enumerate(books)
+                    for c, v in sorted(book.items())
+                ]
+            ),
+        )
+        _ensure_staged(spark, kname, lambda: encode_codes(quant, books))
+    finally:
+        quant.unpersist()
+    return bname, kname
+
+
+def staged_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    m_subs: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+) -> tuple[list[dict[int, list[float]]], DataFrame]:
+    """(codebooks, codes DataFrame) from the staged PQ model
+    (staging on first use) — the operators/pq.py `books` and
+    `codes` arguments."""
+    bname, kname = ensure_staged_pq(spark, sf_dir, m_subs, n_codes, iters)
+    books: list[dict[int, list[float]]] = [{} for _ in range(m_subs)]
+    for r in spark.table(bname).collect():
+        books[r["m"]][r["code"]] = list(r["cv"])
+    return books, spark.table(kname)

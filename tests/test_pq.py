@@ -1,0 +1,88 @@
+"""Unit tests for IVF-PQ (operators/pq.py) beyond the registered
+oracle-differential checks (tests/test_queries_oracle.py runs
+pq_adc_topk / pq_verify end to end against the full SQL replay)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.operators.kmeans import quantize
+from gerrydb_etl_spark.operators.pq import (
+    adc_tables,
+    encode_codes,
+    train_codebooks,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _quant(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    return quantize(emb)
+
+
+def test_encode_codes_complete_and_in_range(spark):
+    quant = _quant(spark)
+    books = train_codebooks(quant, 64, m_subs=4, k=16, iters=2)
+    codes = encode_codes(quant, books)
+    n_vecs = quant.count()
+    assert codes.count() == n_vecs * 4
+    agg = codes.agg(
+        F.min("code"), F.max("code"), F.countDistinct("vec_id")
+    ).first()
+    assert agg[0] >= 0 and agg[1] < 16 and agg[2] == n_vecs
+
+
+def test_encode_matches_numpy_argmin(spark):
+    """The literal-codebook argmin projection must agree with a
+    plain numpy nearest-codeword computation (lower code id on
+    ties) for every vector in the corpus."""
+    quant = _quant(spark)
+    books = train_codebooks(quant, 64, m_subs=4, k=16, iters=2)
+    got = {
+        (r["vec_id"], r["m"]): r["code"]
+        for r in encode_codes(quant, books).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["qv"], dtype=np.float64)
+            for r in quant.collect()}
+    for vid, qv in vecs.items():
+        for m, book in enumerate(books):
+            sub = qv[m * 16 : (m + 1) * 16]
+            cids = sorted(book)
+            d = [((sub - np.array(book[c])) ** 2).sum() for c in cids]
+            want = cids[int(np.argmin(d))]  # argmin takes first = lower id
+            assert got[(vid, m)] == want, (vid, m)
+
+
+def test_adc_tables_shape_and_integer_partials(spark):
+    quant = _quant(spark)
+    books = train_codebooks(quant, 64, m_subs=4, k=16, iters=2)
+    queries = quant.filter(F.col("vec_id") < 3)
+    dt = adc_tables(queries, books)
+    rows = dt.collect()
+    n_codes = sum(len(b) for b in books)
+    assert len(rows) == 3 * n_codes
+    # partials are exact BIGINTs; codeword norms are query-independent
+    by_code = {}
+    for r in rows:
+        assert isinstance(r["pdot_q"], int) and isinstance(r["pnorm2_q"], int)
+        by_code.setdefault((r["m"], r["code"]), set()).add(r["pnorm2_q"])
+    assert all(len(v) == 1 for v in by_code.values())
+
+
+def test_staged_pq_identical_to_inline(spark):
+    from gerrydb_etl_spark.store.staging import staged_pq
+    from tests.conftest import SF_SMOKE
+
+    books, codes = staged_pq(spark, SF_SMOKE, 4, 16, 2)
+    quant = quantize(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    )
+    inline_books = train_codebooks(quant, 64, m_subs=4, k=16, iters=2)
+    assert books == inline_books
+    staged = {(r["vec_id"], r["m"], r["code"]) for r in codes.collect()}
+    inline = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in encode_codes(quant, inline_books).collect()
+    }
+    assert staged == inline
