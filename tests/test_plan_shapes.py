@@ -27,6 +27,7 @@ EXACT_BASELINE_QUERIES = {
     "embedding_cosine_topk",
     "ivf_verify",
     "ann_verify",
+    "pq_verify",
     "embedding_neardup_verify",
 }
 
