@@ -5,6 +5,7 @@ quality filtering over the documents table."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.operators.docprep import chunk_documents, repetition_stats
 from gerrydb_etl_spark.queries.base import query
@@ -280,4 +281,253 @@ def cdc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(known, 0).otherwise(F.col("n_toks")))
         .cast("long")
         .alias("n_novel_toks"),
+    )
+
+
+# portable affine MinHash family for chunk token-code SETS:
+# h_i(c) = (A[i] * (c + 1) + B[i]) mod FP_MOD — replayable verbatim
+# in DuckDB (unlike the xxhash64 family the document-level MinHash
+# uses), so the fuzzy chunk matcher below carries a full
+# pipeline-replay oracle. 8 hashes, 4 bands x 2 rows: band
+# collision probability j^2 per band — high recall at j >= 0.5 on
+# ~16-token chunks while unrelated chunks (stopword overlap,
+# j ~ 0.2) rarely collide; the exact-Jaccard verify then makes the
+# output threshold-exact regardless.
+_CFM_A = (131, 137, 139, 149, 151, 157, 163, 167)
+_CFM_B = (17, 29, 43, 59, 71, 89, 103, 127)
+_CFM_MOD = 1000000007
+_CFM_BANDS = 4
+_CFM_CAP = 1000
+_CFM_JAC = 0.5
+
+
+def _cfm_oracle() -> str:
+    hcols = ",\n               ".join(
+        f"list_min(list_transform(cset, "
+        f"c -> ({_CFM_A[i]} * (c + 1) + {_CFM_B[i]}) % {_CFM_MOD}))"
+        f" AS h{i}"
+        for i in range(8)
+    )
+    keycase = " ".join(
+        f"WHEN {b} THEN (h{2 * b} * 131 + h{2 * b + 1}) % {_CFM_MOD}"
+        for b in range(_CFM_BANDS)
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_CDC_CODES} AS codes FROM documents
+    ),
+    k AS (
+        SELECT doc_id, codes, len(codes) AS n,
+               CASE WHEN len(codes) >= {CDC_K} THEN
+                   list_transform(
+                       range(0, len(codes) - {CDC_K} + 1),
+                       i -> list_reduce(
+                           codes[i + 1 : i + {CDC_K}],
+                           (acc, c) -> (acc * 131 + c) % 1000000007
+                       ) % 1000000007)
+               ELSE [] END AS kh
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, codes, n,
+               CASE WHEN len(kh) >= 2 THEN
+                   list_filter(range(1, len(kh)),
+                               p -> kh[p + 1] % {CDC_MOD} = 0)
+               ELSE [] END AS cuts
+        FROM k
+    ),
+    spans AS (
+        SELECT doc_id, codes,
+               list_prepend(0, cuts) AS starts,
+               list_append(cuts, n) AS ends
+        FROM c
+    ),
+    chunks AS (
+        SELECT doc_id, i - 1 AS chunk_idx,
+               CAST(list_reduce(codes[starts[i] + 1 : ends[i]],
+                                (acc, cc) -> (acc * 131 + cc) % 1000000007)
+                    % 1000000007 AS BIGINT) AS chunk_fp,
+               list_distinct(codes[starts[i] + 1 : ends[i]]) AS cset
+        FROM (SELECT doc_id, codes, starts, ends,
+                     unnest(generate_series(1, len(starts))) AS i
+              FROM spans)
+        WHERE ends[i] > starts[i]
+    ),
+    sigs AS (
+        SELECT doc_id, chunk_idx, chunk_fp, cset,
+               {hcols}
+        FROM chunks
+    ),
+    blocked AS (
+        SELECT s.*, b.band,
+               CASE b.band {keycase} END AS key
+        FROM sigs s,
+             (SELECT unnest(generate_series(0, {_CFM_BANDS - 1})) AS band) b
+    ),
+    existing AS (SELECT * FROM blocked WHERE doc_id % 2 = 0),
+    ok AS (
+        SELECT band, key FROM existing
+        GROUP BY 1, 2 HAVING COUNT(*) <= {_CFM_CAP}
+    ),
+    incoming AS (
+        SELECT * FROM blocked WHERE doc_id % 2 = 1 OR doc_id % 10 = 0
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id, i.chunk_idx, i.chunk_fp AS ifp,
+               i.cset AS iset,
+               e.doc_id AS match_doc, e.chunk_idx AS match_idx,
+               e.chunk_fp AS efp, e.cset AS eset
+        FROM incoming i
+        JOIN ok USING (band, key)
+        JOIN existing e ON e.band = i.band AND e.key = i.key
+                        AND e.doc_id != i.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, chunk_idx, match_doc, match_idx,
+               len(list_intersect(iset, eset))
+                   / (len(iset) + len(eset)
+                      - len(list_intersect(iset, eset))) AS jaccard,
+               ifp = efp AS is_exact
+        FROM cand
+    )
+    SELECT doc_id, chunk_idx, match_doc, match_idx, jaccard, is_exact
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id, chunk_idx
+                      ORDER BY jaccard DESC, match_doc, match_idx) AS rn
+        FROM scored WHERE jaccard >= {_CFM_JAC}
+    ) WHERE rn = 1
+    """
+
+
+@query("cdc_fuzzy_chunk_match", oracle=_cfm_oracle())
+def cdc_fuzzy_chunk_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy chunk-level cross-recrawl matching — the MinHash
+    sibling of cdc_incremental_dedup (VERDICT r7 item 8's named
+    frontier op): where the exact pass only recognizes chunks whose
+    fingerprint is byte-identical, this one links an incoming
+    recrawl chunk to its NEAREST stored chunk (token-set Jaccard >=
+    0.5) so small in-chunk edits still dedup against the corpus
+    (store one delta, not a "novel" chunk). Incoming batch = odd
+    doc_ids plus every 10th even; existing index = even doc_ids.
+
+    Pipeline: content-defined chunks (staged token codes, zero
+    shuffles) -> 8-hash portable affine MinHash per chunk token SET
+    (array-domain, no explode) -> 4x2 banded buckets with the
+    hot-bucket cap -> exact array_intersect Jaccard verify on
+    candidates -> best match per incoming chunk. Every stage
+    replays in DuckDB: full value-hash oracle.
+
+    100 TB: signatures are 8 ints per chunk computed in one narrow
+    pass; the bucket join moves (band, key) + ids, capped quadratic;
+    at production scale the existing side is the same bucketed
+    persisted index as incremental_exact_dedup, and identical
+    chunks belong to that exact tier first."""
+    from gerrydb_etl_spark.operators.dedup import _drop_hot_keys
+    from gerrydb_etl_spark.operators.docprep import cdc_chunks
+    from gerrydb_etl_spark.store.staging import staged_token_codes
+
+    codes = staged_token_codes(spark, sf_dir)
+    chunks = cdc_chunks(
+        load_table(spark, sf_dir, "documents"),
+        k=CDC_K, boundary_mod=CDC_MOD, codes=codes,
+    )
+    base = (
+        chunks.join(codes, "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_fp",
+            F.array_distinct(
+                F.slice("codes", F.col("start_tok") + 1, F.col("n_toks"))
+            ).alias("cset"),
+        )
+        .filter(F.size("cset") > 0)
+    )
+    sigs = base.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_fp",
+        "cset",
+        *[
+            F.array_min(
+                F.transform(
+                    "cset",
+                    (
+                        lambda a, b: lambda c: (F.lit(a) * (c + 1) + F.lit(b))
+                        % F.lit(_CFM_MOD)
+                    )(_CFM_A[i], _CFM_B[i]),
+                )
+            ).alias(f"h{i}")
+            for i in range(8)
+        ],
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    (F.col(f"h{2 * b}") * 131 + F.col(f"h{2 * b + 1}"))
+                    % _CFM_MOD
+                ).alias("key"),
+            )
+            for b in range(_CFM_BANDS)
+        ]
+    )
+    blocked = sigs.select(
+        "doc_id", "chunk_idx", "chunk_fp", "cset",
+        F.explode(bands).alias("bk"),
+    ).select(
+        "doc_id", "chunk_idx", "chunk_fp", "cset",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    existing = _drop_hot_keys(
+        blocked.filter(F.col("doc_id") % 2 == 0), ["band", "key"], _CFM_CAP
+    )
+    incoming = blocked.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    cand = (
+        incoming.alias("i")
+        .join(
+            existing.alias("e"),
+            (F.col("i.band") == F.col("e.band"))
+            & (F.col("i.key") == F.col("e.key"))
+            & (F.col("i.doc_id") != F.col("e.doc_id")),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_id"),
+            F.col("i.chunk_idx").alias("chunk_idx"),
+            F.col("i.chunk_fp").alias("ifp"),
+            F.col("i.cset").alias("iset"),
+            F.col("e.doc_id").alias("match_doc"),
+            F.col("e.chunk_idx").alias("match_idx"),
+            F.col("e.chunk_fp").alias("efp"),
+            F.col("e.cset").alias("eset"),
+        )
+        .distinct()
+    )
+    common = F.size(F.array_intersect("iset", "eset"))
+    scored = cand.select(
+        "doc_id",
+        "chunk_idx",
+        "match_doc",
+        "match_idx",
+        (
+            common
+            / (F.size("iset") + F.size("eset") - common)
+        ).alias("jaccard"),
+        (F.col("ifp") == F.col("efp")).alias("is_exact"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id", "chunk_idx").orderBy(
+        F.desc("jaccard"), F.asc("match_doc"), F.asc("match_idx")
+    )
+    return (
+        scored.filter(F.col("jaccard") >= _CFM_JAC)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx", "match_doc", "match_idx",
+                "jaccard", "is_exact")
     )

@@ -110,6 +110,7 @@ EDGE_QUERIES = [
     "histogram_quantile_rollup",  # constant n_chars: one bin, p50==p99
     "priority_sample_topk",     # corpus smaller than k+1: tau is NULL
     "image_dhash_neardup",      # empty text: flat image, fp 0; twins
+    "cdc_fuzzy_chunk_match",    # 1-chunk docs; empty-cset filter; twins
 ]
 
 
