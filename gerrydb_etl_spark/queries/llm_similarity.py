@@ -763,3 +763,42 @@ def pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         model=None,
     )
     return _ann_recall_report(exact, approx, floor=0.6)
+
+
+def _stream_index_oracle() -> str:
+    from gerrydb_etl_spark.queries.clustering import _kmeans_ctes
+
+    return f"""
+    {_kmeans_ctes(_IVF_CELLS, _IVF_ITERS)}
+    SELECT vec_id, cluster_id AS cell
+    FROM a{_IVF_ITERS} WHERE rn = 1
+    """
+
+
+@query("embeddings_stream_index_ingest", oracle=_stream_index_oracle())
+def embeddings_stream_index_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming IVF vector-index maintenance
+    (streaming/stream.py run_stream_vector_index): embeddings
+    arrive in 4 deterministic micro-batches and are cell-assigned
+    ONLINE against the pre-trained coarse quantizer, each epoch
+    appending to a cell-partitioned index behind an idempotent
+    commit marker. The query returns the final streamed index
+    assignment; hash-matching the batch k-means replay proves the
+    streamed index is row-identical to a batch rebuild — no vector
+    lost, duplicated, or mis-assigned across epochs (restart
+    parity is additionally proven in tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from gerrydb_etl_spark.streaming.stream import run_stream_vector_index
+
+    work = tempfile.mkdtemp(prefix="emb_index_ingest_")
+    try:
+        out = run_stream_vector_index(
+            spark, sf_dir, work, n_cells=_IVF_CELLS, iters=_IVF_ITERS
+        ).select("vec_id", F.col("cell").cast("int").alias("cell"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -864,3 +864,138 @@ def run_docs_dedup_ingest(
             shutil.rmtree(batches_root, ignore_errors=True)
             shutil.rmtree(index_root, ignore_errors=True)
             shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stage_emb_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Stage the embeddings table as ``n_batches`` single-file
+    parquets holding ascending vec_id ranges with ascending mtimes —
+    the same deterministic micro-batch recipe as
+    _stage_docs_batches. Caller owns cleanup."""
+    import glob as _glob
+    import time
+
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo0, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
+    if hi is None:
+        raise ValueError(
+            "embeddings table is empty — no micro-batches to stage "
+            f"from {sf_dir!r}"
+        )
+    width = max(1, (hi - lo0 + n_batches) // n_batches)
+    stage = tempfile.mkdtemp(prefix="emb_stream_")
+    t0 = time.time() - 3600
+    for i in range(n_batches):
+        lo = lo0 + i * width
+        up = lo0 + (i + 1) * width if i < n_batches - 1 else hi + 1
+        tmp = tempfile.mkdtemp(prefix="emb_batch_")
+        (
+            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, f"b{i:03d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (t0 + i, t0 + i))
+    return stage
+
+
+def run_stream_vector_index(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    n_batches: int = 4,
+) -> DataFrame:
+    """Streaming IVF vector-index maintenance: new embedding vectors
+    arrive in micro-batches and are assigned to their coarse cell
+    ONLINE against a pre-trained quantizer (the production split:
+    the k-means model trains offline — store/staging.py's staged
+    IVF fixture here — while ingestion is a narrow per-batch
+    projection with literal centroids, no training in the hot
+    path). Each epoch appends its (vec_id, cell) rows to a
+    cell-partitioned parquet index under an epoch-idempotent commit
+    marker (the standard foreachBatch exactly-once recipe), so a
+    replayed batch is a no-op and a restart resumes — the streamed
+    index provably equals the batch-built one.
+
+    Returns the final index assignment (vec_id, cell). ``work_dir``
+    is caller-owned (pass the same one to resume/restart).
+
+    100 TB: per-batch work is one literal-centroid projection + an
+    append of that batch's rows into its cell partitions; the cell
+    layout is exactly what ivf_topk's probe join prunes on, so the
+    index is queryable mid-stream with no rebuild."""
+    from gerrydb_etl_spark.operators.kmeans import assign, quantize
+    from gerrydb_etl_spark.store.staging import staged_ivf
+
+    _, centroids = staged_ivf(spark, sf_dir, n_cells, iters)
+
+    stage = os.path.join(work_dir, "stage")
+    if not os.path.isdir(stage):
+        staged = _stage_emb_batches(spark, sf_dir, n_batches)
+        shutil.move(staged, stage)
+    ckpt = os.path.join(work_dir, "ckpt")
+    index_root = os.path.join(work_dir, "index")
+    os.makedirs(index_root, exist_ok=True)
+
+    schema = (
+        spark.read.parquet(os.path.join(stage, "b000.parquet")).schema
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        edir = os.path.join(index_root, f"epoch-{batch_id:06d}")
+        marker = edir + ".committed"
+        if os.path.exists(marker):  # replayed epoch -> no-op
+            return
+        assigned = assign(quantize(batch_df), centroids).select(
+            "vec_id", F.col("cluster_id").alias("cell")
+        )
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(edir)
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    committed = sorted(
+        os.path.join(index_root, m[: -len(".committed")])
+        for m in os.listdir(index_root)
+        if m.endswith(".committed")
+    )
+    if not committed:
+        raise ValueError(
+            "no micro-batches were committed — the embeddings stream "
+            f"produced no data under {stage!r}"
+        )
+    # each epoch dir is its own cell-partitioned root, so read them
+    # individually and union (metadata-only listing; a production
+    # index would share one root with epoch as a second partition
+    # column)
+    from functools import reduce
+
+    return reduce(
+        DataFrame.unionByName, [spark.read.parquet(d) for d in committed]
+    )

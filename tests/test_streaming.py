@@ -427,3 +427,49 @@ def test_docs_dedup_index_compacts_to_bounded_file_count(spark, tmp_path):
         ).collect()
     }
     assert indexed == survivors == {f"H{i}" for i in range(n_epochs)}
+
+
+def test_stream_vector_index_restart_is_idempotent(spark, tmp_path):
+    """Streaming IVF index maintenance: the streamed index equals
+    the batch assignment, and a second run with the SAME work_dir
+    resumes from the checkpoint — no new epochs, identical index
+    rows, every vec_id exactly once."""
+    import os
+
+    from gerrydb_etl_spark.operators.kmeans import assign, quantize
+    from gerrydb_etl_spark.store.staging import staged_ivf
+    from gerrydb_etl_spark.streaming.stream import run_stream_vector_index
+    from tests.conftest import SF_SMOKE
+
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    out1 = run_stream_vector_index(spark, SF_SMOKE, work, n_batches=3)
+    rows1 = {(r.vec_id, r.cell) for r in out1.collect()}
+    markers1 = sorted(
+        m for m in os.listdir(os.path.join(work, "index"))
+        if m.endswith(".committed")
+    )
+    assert len(markers1) == 3
+
+    out2 = run_stream_vector_index(spark, SF_SMOKE, work, n_batches=3)
+    markers2 = sorted(
+        m for m in os.listdir(os.path.join(work, "index"))
+        if m.endswith(".committed")
+    )
+    assert markers2 == markers1, "restart must not create new epochs"
+    rows2 = {(r.vec_id, r.cell) for r in out2.collect()}
+    assert rows2 == rows1
+    ids = [v for v, _ in rows2]
+    assert len(ids) == len(set(ids))
+
+    # streamed index == batch-built index (same staged quantizer)
+    assigned, centroids = staged_ivf(spark, SF_SMOKE, 16, 2)
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    batch = {
+        (r.vec_id, r.cluster_id)
+        for r in assign(
+            quantize(load_table(spark, SF_SMOKE, "embeddings")), centroids
+        ).collect()
+    }
+    assert rows2 == batch
