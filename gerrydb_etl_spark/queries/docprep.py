@@ -329,7 +329,7 @@ def _cfm_oracle() -> str:
         FROM t
     ),
     c AS (
-        SELECT doc_id, codes, n,
+        SELECT doc_id, codes, kh, n,
                CASE WHEN len(kh) >= 2 THEN
                    list_filter(range(1, len(kh)),
                                p -> kh[p + 1] % {CDC_MOD} = 0)
@@ -337,7 +337,7 @@ def _cfm_oracle() -> str:
         FROM k
     ),
     spans AS (
-        SELECT doc_id, codes,
+        SELECT doc_id, codes, kh,
                list_prepend(0, cuts) AS starts,
                list_append(cuts, n) AS ends
         FROM c
@@ -347,11 +347,16 @@ def _cfm_oracle() -> str:
                CAST(list_reduce(codes[starts[i] + 1 : ends[i]],
                                 (acc, cc) -> (acc * 131 + cc) % 1000000007)
                     % 1000000007 AS BIGINT) AS chunk_fp,
-               list_distinct(codes[starts[i] + 1 : ends[i]]) AS cset
-        FROM (SELECT doc_id, codes, starts, ends,
+               list_distinct(
+                   kh[starts[i] + 1 :
+                      starts[i] + greatest(ends[i] - starts[i] - {CDC_K - 1}, 0)]
+               ) AS cset
+        FROM (SELECT doc_id, codes, kh, starts, ends,
                      unnest(generate_series(1, len(starts))) AS i
               FROM spans)
-        WHERE ends[i] > starts[i]
+        WHERE len(kh[starts[i] + 1 :
+                     starts[i] + greatest(ends[i] - starts[i] - {CDC_K - 1}, 0)])
+              > 0
     ),
     sigs AS (
         SELECT doc_id, chunk_idx, chunk_fp, cset,
@@ -427,19 +432,39 @@ def cdc_fuzzy_chunk_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gerrydb_etl_spark.operators.docprep import cdc_chunks
     from gerrydb_etl_spark.store.staging import staged_token_codes
 
+    from gerrydb_etl_spark.operators.passages import kgram_hashes
+
     codes = staged_token_codes(spark, sf_dir)
     chunks = cdc_chunks(
         load_table(spark, sf_dir, "documents"),
         k=CDC_K, boundary_mod=CDC_MOD, codes=codes,
     )
+    # the chunk's similarity domain is its distinct token 3-GRAM
+    # hashes (order-sensitive, high-cardinality), NOT its token-code
+    # set: the per-token codes collapse to (length, first char) —
+    # a ~300-value universe whose min-hashes degenerate every band
+    # bucket (112 buckets for 21k chunks measured at sf0.1, i.e. an
+    # accidental all-pairs join); 3-gram hashes make buckets
+    # selective AND make the verified Jaccard sequence-aware.
+    # Chunks shorter than CDC_K tokens have no 3-gram and sit out
+    # (below any meaningful fuzzy-match resolution).
+    kh = codes.select(
+        "doc_id", kgram_hashes(F.col("codes"), CDC_K).alias("kh")
+    )
     base = (
-        chunks.join(codes, "doc_id")
+        chunks.join(kh, "doc_id")
         .select(
             "doc_id",
             "chunk_idx",
             "chunk_fp",
             F.array_distinct(
-                F.slice("codes", F.col("start_tok") + 1, F.col("n_toks"))
+                F.slice(
+                    "kh",
+                    F.col("start_tok") + 1,
+                    F.greatest(
+                        F.col("n_toks") - F.lit(CDC_K - 1), F.lit(0)
+                    ),
+                )
             ).alias("cset"),
         )
         .filter(F.size("cset") > 0)
