@@ -18,7 +18,7 @@ tests/test_llm_similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.operators.similarity import (
@@ -802,3 +802,78 @@ def embeddings_stream_index_ingest(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _kmeans_ctes_ivf() -> str:
+    from gerrydb_etl_spark.queries.clustering import _kmeans_ctes
+
+    return _kmeans_ctes(_IVF_CELLS, _IVF_ITERS)
+
+
+@query(
+    "ivf_index_quality",
+    oracle=f"""
+    {_kmeans_ctes_ivf()}
+    , final AS (
+        SELECT vec_id, cluster_id AS cell, d
+        FROM a{_IVF_ITERS} WHERE rn = 1
+    ),
+    per_cell AS (
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               SUM(CAST(FLOOR(d + 0.5) AS BIGINT)) AS sq_err_q
+        FROM final GROUP BY cell
+    )
+    SELECT cell, n_vecs,
+           CAST(n_vecs AS DOUBLE)
+               / (CAST(SUM(n_vecs) OVER () AS DOUBLE)
+                  / CAST(COUNT(*) OVER () AS DOUBLE)) AS balance,
+           CAST(sq_err_q AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+               AS mean_sq_err_q
+    FROM per_cell
+    """,
+)
+def ivf_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-quality audit — the vector-index ops report: per
+    coarse cell, its occupancy, its balance factor (occupancy over
+    the uniform expectation N/k — the skew number that decides
+    whether probes hit hot cells), and its mean quantization error
+    (average squared distance to the centroid in quantized units —
+    rising error means the corpus drifted from the trained model
+    and the index wants re-training). The production re-index
+    trigger watches exactly these two numbers.
+
+    Determinism: per-vector distances are the sequential folds of
+    the fixed-point k-means; each is snapped to an exact BIGINT
+    (floor(d + 0.5)) BEFORE the per-cell SUM so no double-sum
+    ordering leaks, and the two ratios are single fixed-spelling
+    divisions. 100 TB: one narrow literal-centroid projection + one
+    map-side-combined k-group aggregation; windows run over
+    k = {_IVF_CELLS} rows."""
+    from gerrydb_etl_spark.operators.kmeans import assign
+    from gerrydb_etl_spark.store.staging import staged_ivf
+
+    assigned, centroids = staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS)
+    # re-derive the distance narrowly (the staged assignment keeps
+    # only (vec_id, cluster_id, qv)); assign() recomputes the same
+    # argmin + distance from the same literal centroids
+    scored = assign(assigned.select("vec_id", "qv"), centroids).select(
+        F.col("cluster_id").alias("cell"),
+        F.floor(F.col("sq_dist_q") + F.lit(0.5)).cast("long").alias("dq"),
+    )
+    per_cell = scored.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("dq").alias("sq_err_q"),
+    )
+    w = Window.partitionBy()
+    balance = F.col("n_vecs").cast("double") / (
+        F.sum("n_vecs").over(w).cast("double")
+        / F.count("*").over(w).cast("double")
+    )
+    return per_cell.select(
+        "cell",
+        "n_vecs",
+        balance.alias("balance"),
+        (F.col("sq_err_q").cast("double") / F.col("n_vecs").cast("double"))
+        .alias("mean_sq_err_q"),
+    )
