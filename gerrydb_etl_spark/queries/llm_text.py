@@ -1112,3 +1112,57 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _netpbm_media(load_table(spark, sf_dir, "documents"))
     fps = perceptual_dhash(media).withColumnRenamed("media_id", "doc")
     return chunked_hamming_pairs(fps, max_hamming=3, max_bucket_size=1000)
+
+
+@query(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_SEG_CTES},
+    vocab AS (
+        SELECT word,
+               CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces
+        FROM seg WHERE r = {BPE_APPLY_MERGES} + 1
+    ),
+    tok AS (
+        SELECT lang, word FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE length(word) >= 1
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(v.n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS fertility,
+           CAST(SUM(CASE WHEN v.n_pieces >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fragmented
+    FROM tok t JOIN vocab v ON t.word = v.word
+    GROUP BY t.lang
+    """,
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — the standard multilingual
+    tokenizer-equity metric (pieces per word, e.g. mBERT/XLM-R
+    audits): a language whose fertility runs high pays more
+    sequence budget per word under the shared vocabulary, and
+    ``n_fragmented`` counts word instances splitting into 3+
+    pieces (the long-tail pain). Same O(vocabulary) economics as
+    bpe_doc_tokenize: the greedy segmenter runs over distinct
+    words once, the corpus pays one hash join, the aggregation is
+    lang-cardinality. Integer counts + one fixed-spelling division
+    -> full value-hash oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = _segmented_vocab(spark, sf_dir).select("word", "n_pieces")
+    toks = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("word")
+    ).where(F.length("word") >= 1)
+    return toks.join(vocab, "word").groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+        (
+            F.sum("n_pieces").cast("double") / F.count("*").cast("double")
+        ).alias("fertility"),
+        F.sum(F.when(F.col("n_pieces") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fragmented"),
+    )
