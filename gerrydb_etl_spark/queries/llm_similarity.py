@@ -877,3 +877,153 @@ def ivf_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sq_err_q").cast("double") / F.col("n_vecs").cast("double"))
         .alias("mean_sq_err_q"),
     )
+
+
+def _int8_recall_oracle() -> str:
+    ifold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), {arr}), (a, b) -> a + b)"
+    )
+    return (
+        _EXACT_TOPK_SQL
+        + f"""
+    , c8 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / ma + 0.5)
+                             AS BIGINT)) AS c8
+        FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                                           v -> abs(CAST(v AS DOUBLE)))) AS ma
+            FROM embeddings
+        ) WHERE ma > 0
+    ),
+    n8 AS (
+        SELECT vec_id, c8,
+               {ifold.format(arr="list_transform(c8, x -> x * x)")} AS nn
+        FROM c8
+    ),
+    s8 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST({ifold.format(
+                   arr="list_transform(list_zip(q.c8, c.c8), p -> p[1] * p[2])"
+               )} AS DOUBLE)
+               / (sqrt(CAST(q.nn AS DOUBLE)) * sqrt(CAST(c.nn AS DOUBLE)))
+                   AS cos8
+        FROM n8 q JOIN n8 c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    r8 AS (
+        SELECT query_id, neighbor_id, rk FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos8 DESC, neighbor_id) AS rk
+            FROM s8
+        ) WHERE rk <= {TOP_K}
+    ),
+    truth_r AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_overlap,
+           BOOL_OR(t.rank = 1 AND i.rk = 1) AS top1_match
+    FROM truth_r t
+    LEFT JOIN r8 i ON i.query_id = t.query_id
+                   AND i.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """
+    )
+
+
+@query("embedding_int8_recall", oracle=_int8_recall_oracle())
+def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding-compression audit: per-vector symmetric
+    max-abs scalar quantization to 8-bit codes (the standard
+    vector-DB compression step — 4x smaller than float32, integer
+    dot products), then per query: how many of the exact float
+    top-5 the int8-scored top-5 recovers, and whether the top-1
+    survives. The decision input for "can this corpus serve ANN
+    from int8 storage". All-integer scoring (exact BIGINT dot and
+    norm sums — no float-sum ordering anywhere) and a fixed floor
+    spelling for the codes -> full value-hash oracle.
+
+    Plan: codes + integer norms fold once per vector (maxabs bound
+    to its own column first — the expression-tree duplication
+    lesson); the scoring join broadcasts the 10-query side; the
+    exact baseline is the whitelisted brute-force truth join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_ma = emb.select("vec_id", "embedding").withColumn(
+        "_ma",
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(v.cast("double")))
+        ),
+    ).filter(F.col("_ma") > 0)
+    codes = with_ma.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(
+                v.cast("double") * F.lit(127.0) / F.col("_ma") + F.lit(0.5)
+            ).cast("long"),
+        ).alias("c8"),
+    )
+    ifold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, b: a + b
+    )
+    n8 = codes.withColumn(
+        "nn", ifold(F.transform("c8", lambda x: x * x))
+    )
+    q8 = n8.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c8").alias("qc"),
+        F.col("nn").alias("qn"),
+    )
+    s8 = (
+        n8.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("c8").alias("nc"),
+            F.col("nn").alias("cn"),
+        )
+        .join(F.broadcast(q8), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                ifold(
+                    F.zip_with("qc", "nc", lambda x, y: x * y)
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("cn").cast("double"))
+                )
+            ).alias("cos8"),
+        )
+    )
+    w8 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos8"), F.asc("neighbor_id")
+    )
+    r8 = (
+        s8.withColumn("rk", F.row_number().over(w8))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rk")
+    )
+    truth = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
+    ).select("query_id", "neighbor_id", "rank")
+    joined = truth.join(
+        r8.withColumnRenamed("rk", "rk8"),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("rk8").cast("long").alias("n_overlap"),
+        F.coalesce(
+            F.max((F.col("rank") == 1) & (F.col("rk8") == 1)), F.lit(False)
+        ).alias("top1_match"),
+    )

@@ -28,6 +28,7 @@ EXACT_BASELINE_QUERIES = {
     "ivf_verify",
     "ann_verify",
     "pq_verify",
+    "embedding_int8_recall",
     "embedding_neardup_verify",
 }
 
