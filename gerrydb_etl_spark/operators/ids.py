@@ -101,3 +101,69 @@ def assign_dense_ids(
             yield pdf
 
     return parted.mapInPandas(add_ids, out_schema)
+
+
+def assign_prefix_sums(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Add the INCLUSIVE global running total of ``weight_col``
+    ordered by ``key_cols`` — the weighted sibling of
+    ``assign_dense_ids``, replacing the single-reducer
+    ``SUM() OVER (ORDER BY ...)`` window with the same two-phase
+    shape: range-partition + in-partition sort (parallel), bounded
+    per-partition WEIGHT sums to the driver, prefix-summed into
+    start offsets, then one narrow Arrow pass adds
+    ``offset[pid] + in-partition cumsum``. Matches
+    ``SUM(w) OVER (ORDER BY keys ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW)`` exactly for integer weights (the per-batch
+    cumsum is exact int arithmetic; uniqueness of the key makes the
+    order total). Same materialize-once and checkpoint tradeoffs as
+    assign_dense_ids."""
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    keys = [F.col(c) for c in key_cols]
+    parted = (
+        df.repartitionByRange(int(parts), *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted = checkpoint_once(parted, checkpoint_dir)
+
+    sums = (
+        parted.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("_w"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["_w"] or 0)
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        [f for f in parted.schema.fields if f.name != "_pid"]
+        + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def add_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = 0
+        start = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if start is None:
+                start = b_offsets.value[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.drop(columns=["_pid"])
+            cums = pdf[weight_col].cumsum() + (start + carry)
+            carry += int(pdf[weight_col].sum())
+            pdf[out_col] = cums.astype("int64")
+            yield pdf
+
+    return parted.mapInPandas(add_sums, out_schema)

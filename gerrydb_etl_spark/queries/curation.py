@@ -572,3 +572,62 @@ def priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_weight"),
         )
     )
+
+
+CURR_BUDGET = 512
+
+
+@query(
+    "curriculum_packing",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (
+                   ORDER BY n_tok, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents)
+    )
+    SELECT CAST(FLOOR((cum - n_tok) / {CURR_BUDGET}.0) AS BIGINT)
+               AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           CAST(MIN(n_tok) AS BIGINT) AS min_len,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len
+    FROM c GROUP BY 1
+    """,
+)
+def curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered sequence packing: documents sorted
+    shortest-first (the classic easy-to-hard curriculum key —
+    deterministic, no trained difficulty model) and packed into
+    512-token training sequences IN THAT GLOBAL ORDER, so
+    early packs hold many short samples and late packs few long
+    ones. Differs from sequence_packing (per-lang, doc_id order) in
+    needing a GLOBAL weighted running total — which is the
+    single-reducer window anti-pattern at 100 TB, so the cumsum
+    runs through operators/ids.py assign_prefix_sums: range shuffle
+    + parallel in-partition sorts + bounded per-partition weight
+    sums + one narrow Arrow pass (the epoch_shuffle_order recipe,
+    weighted). Plan gate pins window-free. Pack stats per pack_id
+    keep the output pack-granular."""
+    from gerrydb_etl_spark.operators.ids import assign_prefix_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("n_tok")
+    )
+    cum = assign_prefix_sums(
+        sized, ["n_tok", "doc_id"], "n_tok", out_col="cum"
+    )
+    pack = F.floor(
+        (F.col("cum") - F.col("n_tok")) / F.lit(float(CURR_BUDGET))
+    ).cast("long")
+    return cum.select(pack.alias("pack_id"), "n_tok").groupBy("pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+        F.min("n_tok").cast("long").alias("min_len"),
+        F.max("n_tok").cast("long").alias("max_len"),
+    )

@@ -197,3 +197,13 @@ def test_priority_sample_topk_is_distributed(spark):
     plan = _executed_plan(spark, "priority_sample_topk")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_curriculum_packing_is_window_free(spark):
+    """curriculum_packing's global running total must run through
+    the two-phase prefix-sum assigner (range shuffle + Arrow pass),
+    never a single-reducer SUM-OVER window."""
+    plan = _executed_plan(spark, "curriculum_packing")
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "MapInPandas" in plan, plan
