@@ -34,6 +34,7 @@ _EXPOSURE_PRIORITY = [
     # incremental batch-vs-corpus MinHash probe; train/test
     # embedding-leakage audit; temperature mixture reweighting;
     # mergeable histogram-quantile rollup) — never sampled
+    "semantic_decontam",
     "curriculum_packing",
     "embedding_int8_recall",
     "bpe_fertility_by_lang",

@@ -1027,3 +1027,81 @@ def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("rank") == 1) & (F.col("rk8") == 1)), F.lit(False)
         ).alias("top1_match"),
     )
+
+
+SEMDECON_COS = 0.4  # same review threshold family as NEARDUP_COS
+SEMDECON_MOD = 97   # the curation-layer benchmark residue class
+SEMDECON_CAP = 10   # flags surfaced per benchmark item (documented cap)
+
+
+def _semantic_decontam_replay_sql() -> str:
+    from gerrydb_etl_spark.queries.clustering import _kmeans_ctes
+
+    dot = _DVDOT.format(a="x.dv", b="y.dv")
+    nx = _DVNORM.format(a="x.dv")
+    ny = _DVNORM.format(a="y.dv")
+    return f"""
+    {_kmeans_ctes(_IVF_CELLS, _IVF_ITERS)},
+    dvs AS (
+        SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS dv
+        FROM q
+    ),
+    cells AS (
+        SELECT vec_id AS neighbor_id, cluster_id AS cell
+        FROM a{_IVF_ITERS} WHERE rn = 1 AND vec_id % {SEMDECON_MOD} != 0
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cluster_id AS cell
+        FROM a{_IVF_ITERS}
+        WHERE vec_id % {SEMDECON_MOD} = 0 AND rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               {dot} / ({nx} * {ny}) AS cosine
+        FROM probes p
+        JOIN cells c USING (cell)
+        JOIN dvs x ON x.vec_id = p.query_id
+        JOIN dvs y ON y.vec_id = c.neighbor_id
+    )
+    SELECT query_id AS bench_id, neighbor_id AS corpus_id, cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id
+                  ) AS rank
+        FROM scored
+    ) WHERE rank <= {SEMDECON_CAP} AND cosine >= {SEMDECON_COS}
+    """
+
+
+@query("semantic_decontam", oracle=_semantic_decontam_replay_sql())
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the EMBEDDING analogue of the
+    n-gram benchmark_decontam pass (the PaLM/GPT-4-style report:
+    flag training documents semantically too close to an eval
+    item even when no 13-gram matches): every benchmark-class
+    vector (the curation layer's vec_id % 97 residue) probes an
+    IVF index holding ONLY non-benchmark corpus vectors; corpus
+    items within cosine >= 0.4 of any benchmark item are surfaced
+    for removal, capped at the 10 closest flags per benchmark item
+    (the cap is the documented review-queue bound — at 100 TB a
+    reviewer sees the worst offenders first, and a benchmark item
+    flooding past the cap is itself the signal). Same batch-ANN
+    production shape and full fixed-point replay oracle as
+    embedding_split_leakage."""
+    from gerrydb_etl_spark.operators.ivf import ivf_topk
+    from gerrydb_etl_spark.store.staging import staged_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS)
+    index = assigned.filter(F.col("vec_id") % SEMDECON_MOD != 0)
+    bench = emb.filter(F.col("vec_id") % SEMDECON_MOD == 0)
+    top = ivf_topk(
+        emb, bench, k=SEMDECON_CAP, n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE, iters=_IVF_ITERS, model=(index, centroids),
+    )
+    return top.filter(F.col("cosine") >= SEMDECON_COS).select(
+        F.col("query_id").alias("bench_id"),
+        F.col("neighbor_id").alias("corpus_id"),
+        "cosine",
+    )

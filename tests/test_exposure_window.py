@@ -13,6 +13,7 @@ import __spark_entry__ as entry
 # The queries never driver-sampled before round 8 (the round-8
 # additions) must open the window until each has a green row.
 NEVER_SAMPLED = [
+    "semantic_decontam",
     "curriculum_packing",
     "embedding_int8_recall",
     "bpe_fertility_by_lang",
@@ -38,6 +39,7 @@ NEVER_SAMPLED = [
 # derivation change shipped without a driver row for its consumers)
 # — they need a fresh driver row and must stay inside the window.
 TOUCHED = [
+    "semantic_decontam",
     "curriculum_packing",
     "embedding_int8_recall",
     "bpe_fertility_by_lang",
