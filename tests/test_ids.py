@@ -63,3 +63,40 @@ def test_reliable_checkpoint_sets_dir_once_and_stays_correct(spark, tmp_path):
     rows = sorted((r.k, r.row_id) for r in out.collect())
     assert [rid for _, rid in rows] == list(range(500))
     assert [k for k, _ in rows] == sorted({i * 7 % 500 for i in range(500)})
+
+
+def test_prefix_sums_match_window_spelling(spark):
+    """assign_prefix_sums must equal the single-reducer
+    SUM() OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND CURRENT
+    ROW) spelling row-for-row on a skewed weighted input — including
+    tie-free total ordering via the composite key."""
+    from pyspark.sql.window import Window as W
+
+    from gerrydb_etl_spark.operators.ids import assign_prefix_sums
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 31 % 113).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 17 + 1).alias("w"),
+    )
+    got = {
+        (r.k, r.uid): r.running_total
+        for r in assign_prefix_sums(df, ["k", "uid"], "w").collect()
+    }
+    win = W.orderBy("k", "uid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        (r.k, r.uid): r.rt
+        for r in df.withColumn("rt", F.sum("w").over(win)).collect()
+    }
+    assert got == want
+    assert max(got.values()) == sum(i % 17 + 1 for i in range(997))
+
+
+def test_prefix_sums_single_row_and_empty_partitions(spark):
+    from gerrydb_etl_spark.operators.ids import assign_prefix_sums
+
+    one = spark.range(0, 1).select(
+        F.col("id").alias("k"), F.lit(42).alias("w")
+    )
+    rows = assign_prefix_sums(one, ["k"], "w").collect()
+    assert len(rows) == 1 and rows[0].running_total == 42
