@@ -111,6 +111,8 @@ EDGE_QUERIES = [
     "priority_sample_topk",     # corpus smaller than k+1: tau is NULL
     "image_dhash_neardup",      # empty text: flat image, fp 0; twins
     "cdc_fuzzy_chunk_match",    # 1-chunk docs; empty-cset filter; twins
+    "curriculum_packing",       # all docs fit one pack; empty-text doc
+    "bpe_fertility_by_lang",    # 1-doc langs; single-char words
 ]
 
 
