@@ -28,77 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # round 8, positions 1-8: the eight new queries (chunk-level
-    # cross-recrawl CDC dedup; BPE greedy-segmenter apply; per-doc
-    # BPE tokenize counts; dynamic-partition-pruned star join;
-    # incremental batch-vs-corpus MinHash probe; train/test
-    # embedding-leakage audit; temperature mixture reweighting;
-    # mergeable histogram-quantile rollup) — never sampled
-    "semantic_decontam",
-    "curriculum_packing",
-    "embedding_int8_recall",
-    "bpe_fertility_by_lang",
-    "ivf_index_quality",
-    "embeddings_stream_index_ingest",
-    "cdc_fuzzy_chunk_match",
-    "pq_adc_topk",
-    "pq_verify",
-    "image_dhash_neardup",
-    "priority_sample_topk",
-    "cdc_incremental_dedup",
-    "bpe_segment_apply",
-    "bpe_doc_tokenize",
-    "dpp_runtime_pruned_join",
-    "incremental_minhash_dedup",
-    "embedding_split_leakage",
-    "temperature_mix_weights",
-    "histogram_quantile_rollup",
-    # code touched in round 8: streaming dedup state compacted into
-    # the bucketed content_sha index; the near-dup component closure
-    # staged (shared by clusters + survivor selection, cap/oracle
-    # alignment also touched corpus_curation_filter); strict decode
-    # gained the PPM codec + P2 range check under
-    # media_strict_decode; bigram surprisal gained the salted-prefix
-    # fallback refactor; semantic dedup + the IVF leakage audit now
-    # derive k via cells_for_corpus (floor == the static-oracle
-    # literal at driver scale). Plus the ADVICE r7 carry-over: the round-7
-    # anchor-plane derivation change (hash-mixed sampling) shipped
-    # without a driver row for its four consumer queries — they lead
-    # the touched block.
-    "embedding_neardup",
-    "embedding_neardup_verify",
-    "ann_cosine_topk",
-    "ann_verify",
-    "docs_stream_dedup_ingest",
-    "neardup_clusters",
-    "cluster_survivor_selection",
-    "corpus_curation_filter",
-    "media_strict_decode",
-    "bigram_surprisal_filter",
-    "semantic_dedup_survivors",
-    # stalest refill, oldest-first (VERDICT r7 item 3): the 14
-    # queries whose last driver row is round 3...
-    "asof_join_clicks_views",
-    "cube_returnflag_status",
-    "dedup_full_row",
-    "events_json_props",
-    "events_session_windows",
-    "events_sliding_windows",
-    "except_order_keys",
-    "intersect_nation_keys",
-    "mode_part_brand",
-    "nations_per_region",
-    "pivot_status_by_flag",
-    "range_join_ship_window",
-    "rollup_order_priority",
-    "union_distinct_keys",
-    # ...then the oldest round-5 rows filling the remaining slots
-    "alias_resolution_join",
-    "census_header_schema",
-    "classifier_trailing_char",
-    "corrupt_record_quarantine",
-    "dim_upsert_if_absent",
-    "eav_long_table",
+    # round 9, positions 1-31 (VERDICT r8 item 1): the 31 queries
+    # whose last driver row is round 5 — the whole stale tail, so
+    # after this round no query's latest driver check predates r8.
     "eav_pivot_roundtrip",
     "events_stream_dedup",
     "events_stream_session",
@@ -111,7 +43,56 @@ _EXPOSURE_PRIORITY = [
     "medsl_config_projection",
     "observed_load_metrics",
     "partition_pruned_read",
-    # everything below was green in rounds 5-7 with unchanged code;
+    "rename_normalizations",
+    "repetition_quality",
+    "salted_holistic_collect",
+    "scd2_current_view",
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    "schema_evolution_read",
+    "sequence_packing",
+    "skew_replicated_join",
+    "snapshot_diff",
+    "source_mix_rebalance",
+    "stratified_sample_quota",
+    "trailing_window_features",
+    "train_val_test_split",
+    "validation_collision_ceiling",
+    "validation_count_reconciliation",
+    "validation_cross_row_consistency",
+    "validation_type_violations",
+    "zorder_layout",
+    # code touched in (or new in) round 9: the daves_enacted
+    # plans-index walk (new query); hierarchical cell splitting
+    # above the 512-cell cap touched the kmeans/IVF family
+    # (semantic dedup, the leakage audit, decontam, the IVF
+    # queries); surprisal gained automatic broadcast-vs-salted
+    # selection; the geometric union gained overlap detection /
+    # dissolve; locality hierarchy generalized past depth 3 (its
+    # registered query sits in the stale block above); staged
+    # fixtures gained code-derivation tags (touches every staged
+    # consumer — the staged writers themselves are value-identical,
+    # so the representatives here are the model-staging consumers).
+    "daves_enacted_assignments",
+    "semantic_dedup_survivors",
+    "kmeans_train_assign",
+    "embedding_split_leakage",
+    "semantic_decontam",
+    "ivf_cosine_topk",
+    "ivf_verify",
+    "bigram_surprisal_filter",
+    "geo_union_centroid",
+    "dsir_importance_weights",
+    "curriculum_packing",
+    # stalest refill, oldest-first: round-6 rows
+    "bm25_scoring",
+    "bucketed_colocated_join",
+    "cms_heavy_hitters",
+    "current_version_per_order",
+    "dense_id_assignment",
+    "doc_chunking",
+    "event_rate_anomaly",
+    # everything below was green in rounds 6-8 with unchanged code;
     # deferred past the ~50-query sample window this round
 ]
 

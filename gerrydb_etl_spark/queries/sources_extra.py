@@ -192,3 +192,181 @@ def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~good, 1).otherwise(0)).cast("long").alias("n_quarantined"),
         F.sum(F.when(good, dec("o_totalprice"))).cast("double").alias("revenue_good"),
     )
+
+
+_DAVES_SPECIAL_NAME = "NC 118th Congressional (Court Approved - HB 1029)"
+_DAVES_SPECIAL_PATH = "nc_congress_hb_2019"
+
+
+@query(
+    "daves_enacted_assignments",
+    oracle=f"""
+    WITH plans AS (
+        SELECT n.n_nationkey AS state_key,
+               lower(replace(n.n_name, ' ', '-')) AS state_slug,
+               p.p AS p,
+               CASE
+                   WHEN n.n_nationkey = 0 AND p.p = 0
+                       THEN '{_DAVES_SPECIAL_NAME.replace("'", "''")}'
+                   WHEN p.p = 0 THEN 'Enacted Congressional'
+                   ELSE 'Enacted State Senate'
+               END AS plan_name
+        FROM nation n CROSS JOIN (VALUES (0), (1)) AS p(p)
+    ),
+    pathed AS (
+        SELECT state_key, p, plan_name,
+               CASE WHEN plan_name = '{_DAVES_SPECIAL_NAME.replace("'", "''")}'
+                    THEN '{_DAVES_SPECIAL_PATH}'
+                    ELSE state_slug || '_' ||
+                         lower(replace(replace(plan_name, ' ', '-'), '''', ''))
+               END AS plan_path
+        FROM plans
+    )
+    SELECT pa.plan_path,
+           CAST(c.c_custkey AS VARCHAR) AS geoid,
+           CAST(c.c_custkey % (3 + pa.p) + 1 AS INTEGER) AS district
+    FROM pathed pa JOIN customer c ON c.c_nationkey = pa.state_key
+    """,
+)
+def daves_enacted_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daves_enacted plans-index walk as one declarative reshape
+    (reference gerrydb_etl/bootstrap/daves_enacted.py:17-36: fetch
+    the per-state plans index, then each plan's edit-cache JSON, and
+    emit district assignments — the reference prototype prints them
+    and stops at the first state; here the full walk lands as a long
+    (plan_path, geoid, district) table).
+
+    The two scraped payload shapes are reproduced as staged JSON
+    strings built from the corpus (nation = state, its customers =
+    the plan's geoids) and parsed back with from_json — the same
+    staged-parse discipline as the Census JSON source: the INDEX
+    payload is one {{"plans": [{{id, name}}, ...]}} document per
+    state, the EDIT-CACHE payload one {{"assignments": {{geoid:
+    district}}}} document per plan. SPECIAL_PLANS
+    (daves_enacted.py:12-14) is applied after parse: the one plan
+    whose display name breaks the naming convention maps to its
+    custom path; every other path is the slugified state/plan name.
+
+    Scale: payload construction is one per-state aggregation and one
+    per-plan aggregation (map-side combined); parse + posexplode are
+    narrow; plans-per-state and geoids-per-plan bound the payload
+    sizes exactly as the upstream API does. No driver-side loop —
+    the reference's per-plan HTTP round trips become rows."""
+    from pyspark.sql import types as T
+
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+
+    # --- stage 1: the per-state plans-index JSON payloads ---------
+    two_plans = F.array(F.lit(0), F.lit(1))
+    plan_rows = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(two_plans).alias("p"),
+    ).select(
+        "n_nationkey",
+        "n_name",
+        "p",
+        F.when(
+            (F.col("n_nationkey") == 0) & (F.col("p") == 0),
+            F.lit(_DAVES_SPECIAL_NAME),
+        )
+        .when(F.col("p") == 0, F.lit("Enacted Congressional"))
+        .otherwise(F.lit("Enacted State Senate"))
+        .alias("plan_name"),
+    )
+    index_payloads = plan_rows.groupBy("n_nationkey", "n_name").agg(
+        F.to_json(
+            F.struct(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("n_nationkey") * 2 + F.col("p")).alias("id"),
+                            F.col("plan_name").alias("name"),
+                        )
+                    )
+                ).alias("plans")
+            )
+        ).alias("payload")
+    )
+
+    # --- stage 2: walk the index (parse + explode the plans) ------
+    index_schema = T.StructType(
+        [
+            T.StructField(
+                "plans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("id", T.LongType()),
+                            T.StructField("name", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    plans = index_payloads.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(F.from_json("payload", index_schema).getField("plans")).alias(
+            "plan"
+        ),
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.col("plan.id").alias("plan_id"),
+        F.col("plan.name").alias("plan_name"),
+        (F.col("plan.id") % 2).cast("int").alias("p"),
+    )
+
+    # --- stage 3: the per-plan edit-cache JSON payloads -----------
+    assignments = plans.join(
+        cust.select("c_custkey", "c_nationkey"),
+        plans.n_nationkey == cust.c_nationkey,
+    ).select(
+        "plan_id",
+        "n_name",
+        "plan_name",
+        "p",
+        F.col("c_custkey").cast("string").alias("geoid"),
+        (F.col("c_custkey") % (F.lit(3) + F.col("p")) + 1)
+        .cast("int")
+        .alias("district"),
+    )
+    cache_payloads = assignments.groupBy(
+        "plan_id", "n_name", "plan_name"
+    ).agg(
+        F.to_json(
+            F.struct(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("geoid", "district")))
+                ).alias("assignments")
+            )
+        ).alias("payload")
+    )
+
+    # --- stage 4: parse the edit cache into the long table --------
+    cache_schema = T.StructType(
+        [
+            T.StructField(
+                "assignments", T.MapType(T.StringType(), T.IntegerType())
+            )
+        ]
+    )
+    slug = lambda c: F.lower(  # noqa: E731
+        F.regexp_replace(F.regexp_replace(c, " ", "-"), "'", "")
+    )
+    plan_path = F.when(
+        F.col("plan_name") == _DAVES_SPECIAL_NAME, F.lit(_DAVES_SPECIAL_PATH)
+    ).otherwise(
+        F.concat(slug(F.col("n_name")), F.lit("_"), slug(F.col("plan_name")))
+    )
+    return (
+        cache_payloads.select(
+            plan_path.alias("plan_path"),
+            F.explode(
+                F.from_json("payload", cache_schema).getField("assignments")
+            ).alias("geoid", "district"),
+        )
+    )

@@ -10,65 +10,63 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# The queries never driver-sampled before round 8 (the round-8
-# additions) must open the window until each has a green row.
+# Round 9: no never-sampled queries remain except this round's one
+# addition; the window-opening block is instead the 31 queries whose
+# last driver row is round 5 (VERDICT r8 item 1) — after this round
+# every query's latest driver check is r8 or newer.
 NEVER_SAMPLED = [
-    "semantic_decontam",
-    "curriculum_packing",
-    "embedding_int8_recall",
-    "bpe_fertility_by_lang",
-    "ivf_index_quality",
-    "embeddings_stream_index_ingest",
-    "cdc_fuzzy_chunk_match",
-    "pq_adc_topk",
-    "pq_verify",
-    "image_dhash_neardup",
-    "priority_sample_topk",
-    "cdc_incremental_dedup",
-    "bpe_segment_apply",
-    "bpe_doc_tokenize",
-    "dpp_runtime_pruned_join",
-    "incremental_minhash_dedup",
-    "embedding_split_leakage",
-    "temperature_mix_weights",
-    "histogram_quantile_rollup",
+    "daves_enacted_assignments",
 ]
 
-# Queries whose implementation was touched in (or is new in) round 8,
-# plus the four ADVICE r7 carry-overs (the round-7 anchor-plane
-# derivation change shipped without a driver row for its consumers)
+# The 31 round-5-stale queries that open the round-9 window.
+STALE_R5 = [
+    "eav_pivot_roundtrip",
+    "events_stream_dedup",
+    "events_stream_session",
+    "events_stream_sliding",
+    "events_stream_user_totals",
+    "format_roundtrip_json_csv",
+    "hll_overlap_estimate",
+    "hll_sketch_rollup",
+    "locality_hierarchy_paths",
+    "medsl_config_projection",
+    "observed_load_metrics",
+    "partition_pruned_read",
+    "rename_normalizations",
+    "repetition_quality",
+    "salted_holistic_collect",
+    "scd2_current_view",
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    "schema_evolution_read",
+    "sequence_packing",
+    "skew_replicated_join",
+    "snapshot_diff",
+    "source_mix_rebalance",
+    "stratified_sample_quota",
+    "trailing_window_features",
+    "train_val_test_split",
+    "validation_collision_ceiling",
+    "validation_count_reconciliation",
+    "validation_cross_row_consistency",
+    "validation_type_violations",
+    "zorder_layout",
+]
+
+# Queries whose implementation was touched in (or is new in) round 9
 # — they need a fresh driver row and must stay inside the window.
 TOUCHED = [
-    "semantic_decontam",
-    "curriculum_packing",
-    "embedding_int8_recall",
-    "bpe_fertility_by_lang",
-    "ivf_index_quality",
-    "embeddings_stream_index_ingest",
-    "cdc_fuzzy_chunk_match",
-    "pq_adc_topk",
-    "pq_verify",
-    "image_dhash_neardup",
-    "priority_sample_topk",
-    "cdc_incremental_dedup",
-    "bpe_segment_apply",
-    "bpe_doc_tokenize",
-    "dpp_runtime_pruned_join",
-    "incremental_minhash_dedup",
-    "embedding_split_leakage",
-    "temperature_mix_weights",
-    "histogram_quantile_rollup",
-    "embedding_neardup",
-    "embedding_neardup_verify",
-    "ann_cosine_topk",
-    "ann_verify",
-    "docs_stream_dedup_ingest",
-    "neardup_clusters",
-    "cluster_survivor_selection",
-    "corpus_curation_filter",
-    "media_strict_decode",
-    "bigram_surprisal_filter",
+    "daves_enacted_assignments",
     "semantic_dedup_survivors",
+    "kmeans_train_assign",
+    "embedding_split_leakage",
+    "semantic_decontam",
+    "ivf_cosine_topk",
+    "ivf_verify",
+    "bigram_surprisal_filter",
+    "geo_union_centroid",
+    "locality_hierarchy_paths",
+    "curriculum_packing",
 ]
 
 
@@ -79,8 +77,14 @@ def test_priority_names_all_registered():
     assert len(qs) >= 100
 
 
-def test_never_sampled_queries_open_the_window():
-    assert list(entry.queries())[: len(NEVER_SAMPLED)] == NEVER_SAMPLED
+def test_stale_r5_queries_open_the_window():
+    assert list(entry.queries())[: len(STALE_R5)] == STALE_R5
+
+
+def test_never_sampled_queries_inside_the_window():
+    window = list(entry.queries())[:50]
+    missing = [n for n in NEVER_SAMPLED if n not in window]
+    assert not missing, f"never-sampled queries outside window: {missing}"
 
 
 def test_touched_queries_inside_the_window():
