@@ -120,9 +120,13 @@ def assign_prefix_sums(
     start offsets, then one narrow Arrow pass adds
     ``offset[pid] + in-partition cumsum``. Matches
     ``SUM(w) OVER (ORDER BY keys ROWS BETWEEN UNBOUNDED PRECEDING
-    AND CURRENT ROW)`` exactly for integer weights (the per-batch
-    cumsum is exact int arithmetic; uniqueness of the key makes the
-    order total). Same materialize-once and checkpoint tradeoffs as
+    AND CURRENT ROW)`` exactly for non-null integer weights (the
+    per-batch cumsum is exact int arithmetic; uniqueness of the key
+    makes the order total). NULL weights contribute 0 in BOTH phases
+    (the driver offset pass and the Arrow cumsum), so the output is
+    total and deterministic; this departs from the SQL window only
+    on an all-NULL prefix, where SUM() OVER would yield NULL rather
+    than 0. Same materialize-once and checkpoint tradeoffs as
     assign_dense_ids."""
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
@@ -161,8 +165,13 @@ def assign_prefix_sums(
             if start is None:
                 start = b_offsets.value[int(pdf["_pid"].iloc[0])]
             pdf = pdf.drop(columns=["_pid"])
-            cums = pdf[weight_col].cumsum() + (start + carry)
-            carry += int(pdf[weight_col].sum())
+            # NULL weights contribute 0, matching the driver offset
+            # pass (`int(row["_w"] or 0)`) and SUM() OVER's
+            # null-skipping — without this the pandas cumsum
+            # propagates NaN through the rest of the batch
+            w = pdf[weight_col].fillna(0)
+            cums = w.cumsum() + (start + carry)
+            carry += int(w.sum())
             pdf[out_col] = cums.astype("int64")
             yield pdf
 

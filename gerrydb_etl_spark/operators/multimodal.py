@@ -247,6 +247,14 @@ def _decode_png(data: bytes) -> np.ndarray:
         (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[
             pos + 4 : pos + 8
         ]
+        if pos + 12 + length > len(data):
+            # a corrupt declared length would otherwise silently
+            # truncate the body and end the loop before IEND,
+            # surfacing later as a confusing zlib error
+            raise ValueError(
+                f"truncated PNG chunk: {ctype!r} declares {length} "
+                f"bytes but only {len(data) - pos - 12} remain"
+            )
         body = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)

@@ -528,9 +528,8 @@ def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-trained in SQL, same split filters, same quantized-double
     cosine folds, same top-1 window."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
-    from gerrydb_etl_spark.store.staging import staged_ivf
-
     from gerrydb_etl_spark.operators.kmeans import cells_for_corpus
+    from gerrydb_etl_spark.store.staging import corpus_count, staged_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     # corpus-scaled cell count (operators/kmeans.py cells_for_corpus):
@@ -540,7 +539,11 @@ def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus — with cells frozen at 16 the audit measured 2.0s ->
     # 152s at the natural sf1 (quadratic), the round-8 sweep's
     # second finding
-    cells = cells_for_corpus(emb.count(), floor_k=_IVF_CELLS, per_cell=125)
+    cells = cells_for_corpus(
+        corpus_count(spark, sf_dir, "embeddings"),
+        floor_k=_IVF_CELLS,
+        per_cell=125,
+    )
     assigned, centroids = staged_ivf(spark, sf_dir, cells, _IVF_ITERS)
     train_index = assigned.filter(F.col("vec_id") % 5 != 0)
     test = emb.filter(F.col("vec_id") % 5 == 0)

@@ -48,6 +48,26 @@ def _ensure_staged(spark: SparkSession, name: str, build) -> str:
     return name
 
 
+# corpus row counts keyed by source fingerprint: the scaled-k rules
+# (operators/kmeans.py cells_for_corpus) need n_vecs per invocation,
+# and an extra full count() action per query just to derive k is
+# wasted work the staging layer already paid — the fingerprint key
+# gives the same staleness contract as the staged tables (regenerated
+# data at the same path mints a new key and recounts).
+_COUNT_CACHE: dict[str, int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Memoized row count of a source table, keyed by the source
+    fingerprint (path + parquet part mtimes/sizes)."""
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    key = f"{table}_{_source_fingerprint(sf_dir, tables=(table,))}"
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = load_table(spark, sf_dir, table).count()
+    return _COUNT_CACHE[key]
+
+
 def staged_shingle_name(sf_dir: str, n: int) -> str:
     tag = _source_fingerprint(sf_dir, tables=("documents",))
     return f"st_shingles{n}_{tag}"

@@ -100,3 +100,37 @@ def test_prefix_sums_single_row_and_empty_partitions(spark):
     )
     rows = assign_prefix_sums(one, ["k"], "w").collect()
     assert len(rows) == 1 and rows[0].running_total == 42
+
+
+def test_prefix_sums_null_weights_contribute_zero(spark):
+    """NULL weights must contribute 0 in BOTH phases (ADVICE r8: the
+    driver offset pass already coerced a NULL partition sum to 0
+    while the Arrow cumsum propagated NaN and corrupted the int64
+    cast). Every row keeps a deterministic total; non-null rows
+    match the null-skipping window spelling."""
+    from pyspark.sql.window import Window as W
+
+    from gerrydb_etl_spark.operators.ids import assign_prefix_sums
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 7 + 1)
+        .alias("w"),
+    )
+    got = {
+        r.k: r.running_total
+        for r in assign_prefix_sums(df, ["k"], "w").collect()
+    }
+    assert len(got) == 200
+    win = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r.k: r.rt
+        for r in df.withColumn(
+            "rt", F.sum(F.coalesce("w", F.lit(0))).over(win)
+        ).collect()
+    }
+    assert got == want
+    # row 0 has a NULL weight: total is 0 (the documented NULL->0
+    # contract), not NULL/NaN
+    assert got[0] == 0

@@ -169,3 +169,21 @@ def test_cells_for_corpus_regions():
     assert 100_000 // k <= 2 * 250
     # cap region
     assert cells_for_corpus(10**9, floor_k=8) == 512
+
+
+def test_cells_for_corpus_pinned_to_live_fixture_sizes():
+    """ADVICE r8: the rule sits exactly on a boundary at sf0.1
+    (2000 // 125 == 16, 2000 // 250 == 8). Read the REAL corpus
+    sizes from the driver fixtures so any fixture growth fails
+    loudly here — at the rule — instead of as an opaque oracle hash
+    mismatch in semantic_dedup_survivors / embedding_split_leakage."""
+    import duckdb
+
+    from gerrydb_etl_spark.operators.kmeans import cells_for_corpus
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert cells_for_corpus(n, floor_k=8) == 8, (sf, n)
+        assert cells_for_corpus(n, floor_k=16, per_cell=125) == 16, (sf, n)

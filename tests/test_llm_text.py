@@ -317,3 +317,24 @@ def test_minhash_probe_pairs_unit(spark):
         ).collect()
     }
     assert got4 == {(200, i) for i in range(5)}
+
+
+def test_hamming_pigeonhole_guard_rejects_incomplete_distance(spark):
+    """ADVICE r8: the 4-chunk blocking scheme is only COMPLETE for
+    Hamming distance <= 3; max_hamming=4 would silently lose pairs,
+    so both pair generators must refuse it."""
+    import pytest
+
+    from gerrydb_etl_spark.operators.dedup import (
+        chunked_hamming_pairs,
+        simhash_pairs,
+    )
+
+    fps = spark.createDataFrame(
+        [(1, 0, 0, 0, 0)], "doc long, c0 long, c1 long, c2 long, c3 long"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        chunked_hamming_pairs(fps, max_hamming=4)
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=4)

@@ -450,3 +450,23 @@ def test_perceptual_dhash_matches_kernel_through_spark(spark):
     assert (rows[0].c0, rows[0].c1, rows[0].c2, rows[0].c3) == _dhash_chunks(
         px
     )
+
+
+def test_decode_png_truncated_chunk_raises_clearly():
+    """A corrupt chunk length must fail as 'truncated PNG chunk' at
+    the chunk walk (ADVICE r8), not surface later as a confusing
+    zlib error from a silently truncated IDAT."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from gerrydb_etl_spark.operators.multimodal import _decode_png
+
+    px = ((np.arange(4 * 4).reshape(4, 4) * 31) % 256).astype(np.uint8)
+    payload = bytearray(_png(px, color_type=0, filters=[0, 0, 0, 0]))
+    # find the IDAT chunk and inflate its declared length past EOF
+    idat_at = bytes(payload).index(b"IDAT") - 4
+    payload[idat_at : idat_at + 4] = struct.pack(">I", 10_000_000)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        _decode_png(bytes(payload))
