@@ -120,21 +120,66 @@ def bigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and replicate the vocabulary-bounded c1 table salts× on the w1
     join (operators/skew.py replicated_skew_join) — identical values
     (tests/test_skew.py), hot prefix spread over salts tasks, at the
-    cost of salts× the (small) counts-table shuffle.
+    cost of salts× the (small) counts-table shuffle. Selection is
+    AUTOMATIC (VERDICT r8 item 3): the vocabulary scalar the scoring
+    literal already collects doubles as the c1 size estimate, and the
+    salted path engages exactly when that estimate outgrows
+    spark.sql.autoBroadcastJoinThreshold (or broadcast is disabled)
+    — no manual kwarg, and the physical rewrite never changes values.
     """
-    return _bigram_surprisal(spark, sf_dir, prefix_salts=None)
+    return _bigram_surprisal(spark, sf_dir)
+
+
+# salts for the auto-selected fallback: spreads the Zipf-hot prefix
+# over 16 tasks; the replicated side is the vocabulary-bounded c1
+_SURPRISAL_SALTS = 16
+
+
+def _parse_size_bytes(v: object) -> int:
+    """Spark size-string to bytes ('10MB', '10485760b', '-1')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = m
+            break
+    return int(float(s) * mult)
 
 
 def _bigram_surprisal(
-    spark: SparkSession, sf_dir: str, prefix_salts: int | None = None
+    spark: SparkSession, sf_dir: str, prefix_salts: int | None | str = "auto"
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize(F.col("text")).alias("t"))
-    vocab = (
+    vocab_row = (
         toks.select(F.explode("t").alias("tok"))
-        .agg(F.countDistinct("tok"))
-        .first()[0]
+        .agg(
+            F.countDistinct("tok").alias("v"),
+            F.avg(F.length("tok")).alias("avg_len"),
+        )
+        .first()
     )
+    vocab = vocab_row["v"]
+    if prefix_salts == "auto":
+        # c1 has one row per distinct prefix (<= vocabulary), so the
+        # vocabulary scalar — already collected for the scoring
+        # literal, no extra action — bounds the broadcast build side:
+        # ~48 bytes of UnsafeRow/map overhead + the token itself per
+        # row. Past the threshold (or with broadcast disabled) the
+        # join would land as the skew-split-blind SMJ the round-8
+        # probe documented, so pick the salted replicated join.
+        thresh = _parse_size_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        )
+        est = int(vocab * (48 + float(vocab_row["avg_len"] or 0.0)))
+        prefix_salts = (
+            _SURPRISAL_SALTS if (thresh < 0 or est > thresh) else None
+        )
     # guard BEFORE sequence(): n < 2 would count the sequence down
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size("t") - 2),

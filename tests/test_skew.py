@@ -164,3 +164,38 @@ def test_bigram_salted_prefix_join_matches_unsalted(spark, tmp_path):
     assert salted == plain
     plan = salted_df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan, "salt must appear in the executed join keys"
+
+
+def test_bigram_auto_selects_salted_when_counts_outgrow_broadcast(
+    spark, tmp_path
+):
+    """VERDICT r8 item 3: the registered query must pick the salted
+    fallback BY ITSELF when the c1 counts table cannot broadcast —
+    same rows as the broadcast spelling, salt visible in the executed
+    join — and stay on the broadcast path at the default threshold."""
+    import os
+
+    from gerrydb_etl_spark.queries.lm_quality import _bigram_surprisal
+
+    sf = str(tmp_path)
+    _zipf_docs(spark, n=5000).write.mode("overwrite").parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    default_df = _bigram_surprisal(spark, sf)
+    default_plan = default_df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in default_plan, (
+        "broadcast-sized counts must stay on the unsalted path"
+    )
+    plain = {tuple(r) for r in default_df.collect()}
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+    try:
+        auto_df = _bigram_surprisal(spark, sf)
+        auto_plan = auto_df._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in auto_plan, (
+            "auto selection must engage the salted fallback"
+        )
+        assert {tuple(r) for r in auto_df.collect()} == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
