@@ -13,16 +13,19 @@ tables (``store/bucketing.py``): the one staging write rides session
 prep; every consumer then reads cheap columnar rows instead of
 re-running the regex pipeline.
 
-Staleness contract: the table tag embeds the documents source
-fingerprint (path + parquet part mtimes/sizes), so regenerated data
-at the same path mints a new tag and forces a restage — never a
-silent stale read. Values are identical to the inline spelling by
-construction (the staging writer IS ``shingle_rows``), so the DuckDB
-value-hash oracles are unchanged.
+Staleness contract: the table tag embeds BOTH the source fingerprint
+(path + parquet part mtimes/sizes) AND a hash of the builder
+pipeline's source code (``_derivation_tag``), so regenerated data at
+the same path — or an edit to the derivation code — mints a new tag
+and forces a restage; never a silent stale read. Values are
+identical to the inline spelling by construction (the staging writer
+IS ``shingle_rows``), so the DuckDB value-hash oracles are unchanged.
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import os
 import shutil
 from urllib.parse import urlparse
@@ -30,6 +33,20 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 from gerrydb_etl_spark.store.bucketing import _source_fingerprint
+
+
+def _derivation_tag(*code_objs) -> str:
+    """8-hex digest of the SOURCE of the code that derives a staged
+    fixture (functions or whole modules). Folded into every staged
+    table tag next to the data fingerprint, so an edit to the builder
+    pipeline mints a new table name and can never silently reuse a
+    persisted stale staged value (VERDICT r8 item 5 — this replaces
+    the hand-bumped "v1"/"v2" derivation constants, whose staleness
+    depended on a human remembering to bump them)."""
+    h = hashlib.sha256()
+    for obj in code_objs:
+        h.update(inspect.getsource(obj).encode())
+    return h.hexdigest()[:8]
 
 
 def _ensure_staged(spark: SparkSession, name: str, build) -> str:
@@ -69,8 +86,10 @@ def corpus_count(spark: SparkSession, sf_dir: str, table: str) -> int:
 
 
 def staged_shingle_name(sf_dir: str, n: int) -> str:
+    from gerrydb_etl_spark.operators.dedup import shingle_rows
+
     tag = _source_fingerprint(sf_dir, tables=("documents",))
-    return f"st_shingles{n}_{tag}"
+    return f"st_shingles{n}_{_derivation_tag(shingle_rows)}_{tag}"
 
 
 def ensure_staged_shingles(
@@ -102,8 +121,13 @@ def staged_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
 
 def staged_token_hash_name(sf_dir: str) -> str:
+    from gerrydb_etl_spark.functions.text import tokenize
+    from gerrydb_etl_spark.operators.dedup import portable_token_hash
+
     tag = _source_fingerprint(sf_dir, tables=("documents",))
-    return f"st_tokhash_{tag}"
+    return (
+        f"st_tokhash_{_derivation_tag(tokenize, portable_token_hash)}_{tag}"
+    )
 
 
 def ensure_staged_token_hashes(spark: SparkSession, sf_dir: str) -> str:
@@ -143,8 +167,11 @@ def staged_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_token_codes_name(sf_dir: str) -> str:
+    from gerrydb_etl_spark.functions.text import tokenize
+    from gerrydb_etl_spark.operators.passages import _token_codes
+
     tag = _source_fingerprint(sf_dir, tables=("documents",))
-    return f"st_tokcodes_{tag}"
+    return f"st_tokcodes_{_derivation_tag(tokenize, _token_codes)}_{tag}"
 
 
 def ensure_staged_token_codes(spark: SparkSession, sf_dir: str) -> str:
@@ -173,15 +200,17 @@ def staged_token_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(ensure_staged_token_codes(spark, sf_dir))
 
 
-# bump when the component derivation changes (shingle n, Jaccard
-# threshold, stop-shingle cap, or the closure algorithm) — the
-# source fingerprint alone cannot see a code change
-_NEARDUP_COMP_DERIVATION = "v1"
-
-
 def staged_components_name(sf_dir: str) -> str:
+    # the derivation tag hashes the WHOLE pair+closure pipeline
+    # (shingling, Jaccard thresholding incl. the stop-shingle cap,
+    # and the pointer-jumping closure) — any code change there mints
+    # a new table name automatically
+    from gerrydb_etl_spark.operators.components import connected_components
+    from gerrydb_etl_spark.operators.dedup import jaccard_pairs, shingle_rows
+
     tag = _source_fingerprint(sf_dir, tables=("documents",))
-    return f"st_ndcomp_{_NEARDUP_COMP_DERIVATION}_{tag}"
+    code = _derivation_tag(shingle_rows, jaccard_pairs, connected_components)
+    return f"st_ndcomp_{code}_{tag}"
 
 
 def ensure_staged_components(spark: SparkSession, sf_dir: str) -> str:
@@ -216,8 +245,10 @@ def staged_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def staged_kmeans_name(sf_dir: str, k: int, iters: int) -> str:
+    from gerrydb_etl_spark.operators import kmeans as kmeans_mod
+
     tag = _source_fingerprint(sf_dir, tables=("embeddings",))
-    return f"st_kmeans_k{k}_i{iters}_{tag}"
+    return f"st_kmeans_k{k}_i{iters}_{_derivation_tag(kmeans_mod)}_{tag}"
 
 
 def ensure_staged_kmeans(
@@ -254,16 +285,18 @@ def staged_kmeans(
     return spark.table(ensure_staged_kmeans(spark, sf_dir, k, iters))
 
 
-# bump when the anchor-plane derivation changes (v2: hash-mixed
-# anchor sampling) — the source fingerprint alone cannot see a code
-# change, and a stale staged signature index would silently disagree
-# with the oracle's replay of the new derivation
-_PLANES_DERIVATION = "v2"
-
-
 def staged_lsh_sigs_name(sf_dir: str, bits: int, tables: int) -> str:
+    # a stale staged signature index would silently disagree with
+    # the oracle's replay of an edited derivation, so the tag hashes
+    # the anchor-plane + signature code directly
+    from gerrydb_etl_spark.operators.similarity import (
+        _signature_udf,
+        anchor_planes,
+    )
+
     tag = _source_fingerprint(sf_dir, tables=("embeddings",))
-    return f"st_lshsigs{_PLANES_DERIVATION}_b{bits}_t{tables}_{tag}"
+    code = _derivation_tag(anchor_planes, _signature_udf)
+    return f"st_lshsigs_{code}_b{bits}_t{tables}_{tag}"
 
 
 def ensure_staged_lsh_sigs(
@@ -304,8 +337,12 @@ def staged_lsh_sigs(
 
 
 def staged_ivf_name(sf_dir: str, n_cells: int, iters: int) -> str:
+    from gerrydb_etl_spark.operators import ivf as ivf_mod
+    from gerrydb_etl_spark.operators import kmeans as kmeans_mod
+
     tag = _source_fingerprint(sf_dir, tables=("embeddings",))
-    return f"st_ivf_c{n_cells}_i{iters}_{tag}"
+    code = _derivation_tag(kmeans_mod, ivf_mod)
+    return f"st_ivf_c{n_cells}_i{iters}_{code}_{tag}"
 
 
 def ensure_staged_ivf(
@@ -367,8 +404,12 @@ def staged_ivf(
 
 
 def staged_pq_name(sf_dir: str, m_subs: int, n_codes: int, iters: int) -> str:
+    from gerrydb_etl_spark.operators import kmeans as kmeans_mod
+    from gerrydb_etl_spark.operators import pq as pq_mod
+
     tag = _source_fingerprint(sf_dir, tables=("embeddings",))
-    return f"st_pq_m{m_subs}_k{n_codes}_i{iters}_{tag}"
+    code = _derivation_tag(kmeans_mod, pq_mod)
+    return f"st_pq_m{m_subs}_k{n_codes}_i{iters}_{code}_{tag}"
 
 
 def ensure_staged_pq(

@@ -160,3 +160,64 @@ def test_fingerprint_file(tmp_path):
         fingerprint_file(str(p))
         == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
     )
+
+
+def test_staged_table_tags_track_builder_source(monkeypatch):
+    """VERDICT r8 item 5: editing the builder pipeline's code must
+    invalidate the persisted staged table NAME — the source
+    fingerprint alone cannot see a code change, and staged tables
+    persist across sessions."""
+    from gerrydb_etl_spark.store import staging
+
+    sf = "/root/testdata/sf0.001"
+    names_before = [
+        staging.staged_shingle_name(sf, 3),
+        staging.staged_token_hash_name(sf),
+        staging.staged_token_codes_name(sf),
+        staging.staged_components_name(sf),
+        staging.staged_kmeans_name(sf, 8, 3),
+        staging.staged_lsh_sigs_name(sf, 4, 8),
+        staging.staged_ivf_name(sf, 16, 2),
+        staging.staged_pq_name(sf, 4, 16, 2),
+    ]
+    # every tag embeds an 8-hex derivation hash next to the source
+    # fingerprint
+    import re
+
+    for n in names_before:
+        assert re.search(r"_[0-9a-f]{8}_", n), n
+
+    # simulate a code edit: the derivation source changing must flip
+    # every staged name
+    real_getsource = staging.inspect.getsource
+    monkeypatch.setattr(
+        staging.inspect,
+        "getsource",
+        lambda obj: real_getsource(obj) + "\n# edited",
+    )
+    names_after = [
+        staging.staged_shingle_name(sf, 3),
+        staging.staged_token_hash_name(sf),
+        staging.staged_token_codes_name(sf),
+        staging.staged_components_name(sf),
+        staging.staged_kmeans_name(sf, 8, 3),
+        staging.staged_lsh_sigs_name(sf, 4, 8),
+        staging.staged_ivf_name(sf, 16, 2),
+        staging.staged_pq_name(sf, 4, 16, 2),
+    ]
+    for before, after in zip(names_before, names_after):
+        assert before != after, before
+
+
+def test_derivation_tag_distinguishes_function_bodies():
+    from gerrydb_etl_spark.store.staging import _derivation_tag
+
+    def builder_a(x):
+        return x + 1
+
+    def builder_b(x):
+        return x + 2
+
+    assert _derivation_tag(builder_a) != _derivation_tag(builder_b)
+    # and it is stable for the same source
+    assert _derivation_tag(builder_a) == _derivation_tag(builder_a)
