@@ -77,21 +77,33 @@ def st_box(cx: Column, cy: Column, half: Column) -> Column:
 UNION_SCHEMA = "key string, geometry binary, n_parts int"
 
 
-def union_by_key(df: DataFrame, key: str, geom_col: str) -> DataFrame:
-    """Geometric union of disjoint polygons per key via applyInPandas
-    — the reference's aiannh group-merge UDAF (pl_geo.py:149-190:
-    R/T rows sharing a geoid union their geometries).
+def union_by_key(
+    df: DataFrame, key: str, geom_col: str, dissolve: bool = False
+) -> DataFrame:
+    """Geometric union per key via applyInPandas — the reference's
+    aiannh group-merge UDAF (pl_geo.py:149-190: R/T rows sharing a
+    geoid union their geometries).
+
+    Default (``dissolve=False``) is the disjoint-interiors contract
+    the reference pipeline relies on: parts collect into a
+    MultiPolygon, and interior overlap RAISES instead of silently
+    double-counting area (wkb.union_disjoint's detector).
+    ``dissolve=True`` is the general shapely.unary_union semantics
+    (pl_geo.py:169-171) for overlapping inputs — shapely behind the
+    optional extra, with the dependency-free path still raising on
+    overlap it cannot dissolve.
 
     Scale: one shuffle on the key; each group's WKB blobs meet in one
     Arrow batch. Groups are small by contract (the reference caps
     them at 2 rows — enforce with validate.collision_ceiling)."""
+    union = wkb.union_dissolve if dissolve else wkb.union_disjoint
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         blobs = list(pdf[geom_col])
         return pd.DataFrame(
             {
                 "key": [str(pdf[key].iloc[0])],
-                "geometry": [wkb.union_disjoint(blobs)],
+                "geometry": [union(blobs)],
                 "n_parts": [len(blobs)],
             }
         )

@@ -94,3 +94,106 @@ def test_big_endian_rejected():
     buf[0] = 0  # claim big-endian
     with pytest.raises(ValueError, match="little-endian"):
         wkb.decode(bytes(buf))
+
+
+# -- interior-overlap detection / dissolve (VERDICT r8 item 4) --------
+
+
+def test_union_disjoint_raises_on_overlapping_interiors():
+    a = wkb.encode_polygon([_square(0.0, 0.0)])
+    b = wkb.encode_polygon([_square(0.4, 0.0)])  # overlaps a
+    with pytest.raises(ValueError, match="interiors overlap"):
+        wkb.union_disjoint([a, b])
+
+
+def test_union_disjoint_raises_on_identical_polygons():
+    """Coincident polygons have no strict edge crossings and every
+    vertex sits ON the other boundary — the centroid probe must
+    still catch them."""
+    a = wkb.encode_polygon([_square(1.0, 1.0)])
+    with pytest.raises(ValueError, match="interiors overlap"):
+        wkb.union_disjoint([a, a])
+
+
+def test_union_disjoint_raises_on_containment():
+    outer = wkb.encode_polygon([_square(0.0, 0.0, 2.0)])
+    inner = wkb.encode_polygon([_square(0.0, 0.0, 0.5)])
+    with pytest.raises(ValueError, match="interiors overlap"):
+        wkb.union_disjoint([outer, inner])
+
+
+def test_union_disjoint_allows_shared_edges_and_vertices():
+    """Boundary touching is NOT interior overlap: the reference's
+    aiannh R/T tiling shares edges, and the geo_union_centroid
+    fixture is a grid of edge-adjacent unit squares."""
+    row = [wkb.encode_polygon([_square(float(i), 0.0)]) for i in range(3)]
+    # shares exactly the corner point (2.5, 0.5) with the i=2 square
+    corner = wkb.encode_polygon([_square(3.0, 1.0)])
+    u = wkb.union_disjoint(row + [corner])
+    gtype, polys = wkb.decode(u)
+    assert gtype == wkb.MULTIPOLYGON and len(polys) == 4
+    total = sum(wkb.polygon_area_centroid(r)[0] for r in polys)
+    assert total == pytest.approx(4.0)
+
+
+def test_union_dissolve_without_shapely_matches_disjoint_or_raises():
+    """Dependency-free path: disjoint inputs dissolve trivially (the
+    multipolygon collect), overlap raises instead of returning a
+    wrong area."""
+    try:
+        import shapely  # noqa: F401
+
+        pytest.skip("shapely installed: fallback path not reachable")
+    except ImportError:
+        pass
+    squares = [wkb.encode_polygon([_square(float(i) * 2, 0.0)]) for i in range(3)]
+    assert wkb.union_dissolve(squares) == wkb.union_disjoint(squares)
+    with pytest.raises(ValueError, match="interiors overlap"):
+        wkb.union_dissolve(
+            [wkb.encode_polygon([_square(0.0, 0.0)]),
+             wkb.encode_polygon([_square(0.3, 0.1)])]
+        )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-20, 20), st.integers(-20, 20)),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_union_disjoint_commutative_and_area_additive(cells, rng):
+    """Property: for ANY set of distinct grid cells (edge/vertex
+    touching allowed), the union accepts every input order, total
+    area is additive, and the decoded part multiset is
+    order-insensitive."""
+    sqs = [wkb.encode_polygon([_square(float(x), float(y))]) for x, y in cells]
+    shuffled = list(sqs)
+    rng.shuffle(shuffled)
+    u1, u2 = wkb.union_disjoint(sqs), wkb.union_disjoint(shuffled)
+    _, p1 = wkb.decode(u1)
+    _, p2 = wkb.decode(u2)
+    area1 = sum(wkb.polygon_area_centroid(r)[0] for r in p1)
+    assert area1 == pytest.approx(float(len(cells)))
+    key = lambda rings: tuple(sorted(map(tuple, rings[0].tolist())))  # noqa: E731
+    assert sorted(map(key, p1)) == sorted(map(key, p2))
+
+
+def test_interiors_overlap_nonconvex_cross():
+    """An L-shaped polygon crossing a square: caught by strict edge
+    crossings even though no vertex is strictly inside."""
+    ell = [
+        np.array(
+            [
+                [0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [1.0, 1.0],
+                [1.0, 3.0], [0.0, 3.0], [0.0, 0.0],
+            ]
+        )
+    ]
+    bar = [_square(1.5, 0.5, 10.0)]  # wide slab crossing the L's foot
+    assert wkb.interiors_overlap(ell, bar)
+    far = [_square(10.0, 10.0)]
+    assert not wkb.interiors_overlap(ell, far)
