@@ -87,6 +87,8 @@ def ivf_topk(
     iters: int = 2,
     broadcast_query_limit: int = 1024,
     model: tuple[DataFrame, dict[int, list[float]]] | None = None,
+    sub_model: DataFrame | None = None,
+    sub_probe: int = 4,
 ) -> DataFrame:
     """Approximate cosine top-k: score each query only against corpus
     rows whose cell is among the query's n_probe nearest cells
@@ -108,7 +110,20 @@ def ivf_topk(
     join becomes a plain shuffle on ``cell`` instead, which is the
     correct co-partitioned plan at that shape. Pass a larger limit
     explicitly when a bigger broadcast side is intended and the
-    executor memory budget is known."""
+    executor memory budget is known.
+
+    ``sub_model`` (the past-the-cap hierarchy,
+    operators/kmeans.py split_oversized_cells): a (cluster_id, sub,
+    cv) subcentroid table paired with an assignment carrying
+    ``sub_id``. The probe becomes two-level — rank the n_probe
+    nearest TOP cells against the bounded literal codebook as
+    before, then within each probed cell rank its subcells against
+    the subcentroid TABLE (a join, not plan literals — the fine
+    codebook can grow with the corpus) and keep the ``sub_probe``
+    nearest. Candidates per query drop from n_probe x occupancy to
+    ~n_probe x sub_probe x per_cell, restoring the bounded-work
+    contract when cell occupancy outgrows the cap; unsplit cells
+    keep their single implicit subcell 0."""
     quant = None
     try:
         if model is not None:
@@ -127,9 +142,16 @@ def ivf_topk(
         def nrm(col: str):
             return F.sqrt(fold_sum(F.transform(col, lambda x: x * x)))
 
+        two_level = sub_model is not None
+        sub_col = (
+            F.coalesce(F.col("sub_id"), F.lit(0))
+            if "sub_id" in assigned.columns
+            else F.lit(0)
+        )
         corpus_cells = assigned.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cluster_id").alias("cell"),
+            sub_col.alias("sub"),
             dv("qv").alias("n_vec"),
         ).withColumn("n_nrm", nrm("n_vec"))
 
@@ -138,15 +160,43 @@ def ivf_topk(
             queries.limit(broadcast_query_limit + 1).count()
             <= broadcast_query_limit
         )
-        query_cells = assign_topn(qq, centroids, n_probe).select(
+        top_probes = assign_topn(qq, centroids, n_probe).select(
             F.col("vec_id").alias("query_id"),
             F.col("cluster_id").alias("cell"),
-            dv("qv").alias("q_vec"),
+            F.col("qv"),
+        )
+        if two_level:
+            from gerrydb_etl_spark.operators.kmeans import _sqdist
+
+            subs = sub_model.select(
+                F.col("cluster_id").alias("cell"), "sub", "cv"
+            )
+            # left join: unsplit cells keep their implicit subcell 0
+            # (NULL d ranks first and is the lone row of its window)
+            ranked = top_probes.join(subs, "cell", "left").select(
+                "query_id",
+                "cell",
+                "qv",
+                F.coalesce(F.col("sub"), F.lit(0)).alias("sub"),
+                F.when(
+                    F.col("sub").isNull(), F.lit(0.0)
+                ).otherwise(_sqdist(F.col("qv"), F.col("cv"))).alias("d"),
+            )
+            w = W.partitionBy("query_id", "cell").orderBy("d", "sub")
+            top_probes = (
+                ranked.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= sub_probe)
+                .select("query_id", "cell", "sub", "qv")
+            )
+        else:
+            top_probes = top_probes.withColumn("sub", F.lit(0))
+        query_cells = top_probes.select(
+            "query_id", "cell", "sub", dv("qv").alias("q_vec")
         ).withColumn("q_nrm", nrm("q_vec"))
 
         probe = F.broadcast(query_cells) if small_query_set else query_cells
         cand = (
-            corpus_cells.join(probe, "cell")
+            corpus_cells.join(probe, ["cell", "sub"])
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
                 "query_id", "neighbor_id", "q_vec", "q_nrm", "n_vec", "n_nrm"

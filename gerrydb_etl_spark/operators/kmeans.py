@@ -203,9 +203,13 @@ def semantic_dedup(
     store/staging.py — in which case Lloyd training is skipped
     entirely; values are identical either way (fixed-point training
     has no RNG and no float-order dependence), so the SQL replay
-    oracle that re-trains from scratch still hash-matches.
+    oracle that re-trains from scratch still hash-matches. When the
+    assignment carries a ``sub_id`` column (split_oversized_cells —
+    the past-the-cap hierarchy), pairing blocks on the REFINED
+    (cluster_id, sub_id) key, bounding per-block occupancy at
+    ~per_cell; the output keeps the top-level cluster_id.
 
-    The pairwise join is cell-local (shuffle key = cluster_id), so
+    The pairwise join is cell-local (shuffle key = the cell id), so
     candidate volume is sum(n_c^2) over cells — the SemDeDup cost
     model — not corpus^2."""
     if assigned is None:
@@ -216,13 +220,18 @@ def semantic_dedup(
             emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
             keep_qv=True,
         )
+    # the blocking key: the refined subcell when the hierarchy is
+    # active, else the top-level cell
+    cell_cols = ["cluster_id"] + (
+        ["sub_id"] if "sub_id" in assigned.columns else []
+    )
     # norms are folded ONCE PER ROW here; recomputing them
     # inside the pair filter would triple the per-pair fold
     # work (same fix as the vector-family rescore path)
     dv = F.transform("qv", lambda x: x.cast("double"))
     qd = assigned.select(
         "vec_id",
-        "cluster_id",
+        *cell_cols,
         dv.alias("dv"),
         F.sqrt(fold_sum(F.transform(dv, lambda x: x * x))).alias("nrm"),
     )
@@ -242,20 +251,20 @@ def semantic_dedup(
     # replicated-join pattern, deterministic salt).
     salts = 16
     a = qd.select(
-        "cluster_id",
+        *cell_cols,
         F.col("vec_id").alias("a_id"),
         F.col("dv").alias("a_dv"),
         F.col("nrm").alias("a_nrm"),
     ).withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
     b = qd.select(
-        "cluster_id",
+        *cell_cols,
         F.col("vec_id").alias("b_id"),
         F.col("dv").alias("b_dv"),
         F.col("nrm").alias("b_nrm"),
     ).withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
     dot_ab = fold_sum(F.zip_with(F.col("a_dv"), F.col("b_dv"), lambda x, y: x * y))
     dropped = (
-        a.join(b, ["cluster_id", "__salt"])
+        a.join(b, [*cell_cols, "__salt"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(dot_ab / (F.col("a_nrm") * F.col("b_nrm")) >= F.lit(tau))
         .select(F.col("b_id").alias("vec_id"))
@@ -285,3 +294,164 @@ def cells_for_corpus(
     rule only departs from the literal ABOVE bench scale, where no
     oracle runs."""
     return max(floor_k, min(cap, n_vecs // per_cell))
+
+
+# -- hierarchical cells: the scale path past the cap ------------------
+#
+# cells_for_corpus clamps k at `cap` so the literal-centroid
+# assignment projection stays codegen-friendly — but past
+# cap * per_cell vectors (~128k at the defaults) occupancy grows with
+# the corpus again and the SemDeDup/IVF pair volume sum(n_c^2) turns
+# quadratic (VERDICT r8 item 2; the exact failure mode measured and
+# fixed at sf1 before the cap bites). split_oversized_cells is the
+# second quantizer level: any cell holding more than
+# split_factor * per_cell vectors is subdivided by a CELL-LOCAL
+# fixed-point Lloyd run — all oversized cells trained together as ONE
+# grouped job (the subcell centroids live in a DataFrame keyed by
+# cell, not in plan literals, so the fine codebook can grow with the
+# corpus without blowing up codegen). Occupancy returns to ~per_cell
+# and pair volume to linear; a still-oversized subcell can be split
+# again by re-applying the operator (each level multiplies the
+# effective cell count by ~split_factor * per_cell / per_cell).
+#
+# Determinism contract (same as the top level, so a SQL replay can
+# follow every step): integer quantized components, per-(cell, sub)
+# element-wise integer sums divided once, sequential-fold distances,
+# ties to the lower sub id, init = every ceil(n_c/m_c)-th vector of
+# the cell in vec_id order (strided, so a duplicate run at the head
+# of the order cannot seed every subcell identically).
+
+
+SPLIT_FACTOR = 4
+
+
+def _grouped_assign(rows: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each row of an oversized cell to its nearest SUBCELL
+    centroid: one equi-join on the cell id (n_c x m_c candidate rows
+    per cell), a sequential-fold distance, and a per-vector argmin
+    window (ties to the lower sub id)."""
+    from pyspark.sql.window import Window as W
+
+    d = _sqdist(F.col("qv"), F.col("cv"))
+    w = W.partitionBy("vec_id").orderBy("d", "sub")
+    return (
+        rows.join(cents, "cluster_id")
+        .select("cluster_id", "vec_id", "qv", "sub", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "vec_id",
+            "qv",
+            F.col("sub").alias("sub_id"),
+            F.col("d").alias("sq_dist_q"),
+        )
+    )
+
+
+def _grouped_update(assigned_sub: DataFrame, dim: int) -> DataFrame:
+    """New subcell centroids: per-(cell, sub) element-wise integer
+    sums (exact, order-free) divided once — one map-side-combined
+    shuffle producing one row per surviving subcell."""
+    sums = assigned_sub.groupBy("cluster_id", "sub_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    return sums.select(
+        "cluster_id",
+        F.col("sub_id").alias("sub"),
+        F.array(
+            *[
+                F.col(f"s{i}").cast("double") / F.col("n").cast("double")
+                for i in range(dim)
+            ]
+        ).alias("cv"),
+    )
+
+
+def split_oversized_cells(
+    assigned: DataFrame,
+    per_cell: int = 250,
+    iters: int = 2,
+    split_factor: int = SPLIT_FACTOR,
+) -> tuple[DataFrame, DataFrame]:
+    """Subdivide every cell of a (vec_id, cluster_id, qv) assignment
+    that holds more than ``split_factor * per_cell`` vectors, using a
+    grouped fixed-point Lloyd pass (all oversized cells trained in
+    the same jobs). Returns (assignment, subcentroids):
+
+      assignment   — (vec_id, cluster_id, sub_id, qv): every input
+                     row, sub_id 0 for rows of cells left alone;
+      subcentroids — (cluster_id, sub, cv): the fine codebook the
+                     final sub assignment was computed against
+                     (empty when nothing split) — the probe side of
+                     the two-level IVF search.
+
+    The split REFINES the partition: rows never change their
+    top-level cluster_id, so any consumer keyed on (cluster_id,
+    sub_id) blocks strictly within the original cells."""
+    from pyspark.sql.window import Window as W
+
+    spark = assigned.sparkSession
+    counts = assigned.groupBy("cluster_id").count().collect()  # <= k rows
+    threshold = split_factor * per_cell
+    split_cells = {
+        r["cluster_id"]: r["count"]
+        for r in counts
+        if r["count"] > threshold
+    }
+    base = assigned.select("vec_id", "cluster_id", "qv")
+    empty_cents = spark.createDataFrame(
+        [], "cluster_id int, sub int, cv array<double>"
+    )
+    if not split_cells:
+        return base.withColumn("sub_id", F.lit(0)), empty_cents
+
+    # seeds are STRIDED through the cell's id order (every
+    # ceil(n_c/m_c)-th vector), not the first m_c: runs of duplicate
+    # vectors at the head of the id order would otherwise seed every
+    # subcell identically and the lower-sub tie-break would collapse
+    # the split to one subcell
+    m_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (c, m, -(-n // m))
+                for c, n in sorted(split_cells.items())
+                for m in [-(-n // per_cell)]  # ceil(n / per_cell)
+            ],
+            "cluster_id int, m int, stride int",
+        )
+    )
+    rows = base.join(m_df.select("cluster_id"), "cluster_id")
+    keep = base.join(m_df.select("cluster_id"), "cluster_id", "left_anti")
+
+    w = W.partitionBy("cluster_id").orderBy("vec_id")
+    cents = (
+        rows.withColumn("rn", F.row_number().over(w))
+        .join(m_df, "cluster_id")
+        .filter((F.col("rn") - 1) % F.col("stride") == 0)
+        .select(
+            "cluster_id",
+            ((F.col("rn") - 1) / F.col("stride")).cast("int").alias("sub"),
+            F.transform("qv", lambda x: x.cast("double")).alias("cv"),
+        )
+    )
+    dim = len(rows.select("qv").first()["qv"])
+    rows = rows.localCheckpoint(eager=False)
+    sub_assigned = _grouped_assign(rows, cents)
+    for _ in range(iters - 1):
+        cents = _grouped_update(sub_assigned, dim).localCheckpoint(eager=False)
+        sub_assigned = _grouped_assign(rows, cents)
+    out = keep.withColumn("sub_id", F.lit(0)).unionByName(
+        sub_assigned.select("vec_id", "cluster_id", "qv", "sub_id")
+    )
+    return out, cents
+
+
+def needs_cell_split(n_vecs: int, per_cell: int = 250, cap: int = 512) -> bool:
+    """True exactly when cells_for_corpus clamped at the cap — the
+    regime where occupancy grows with the corpus again and the
+    second quantizer level must engage. Below the cap this is False
+    at every driver-verified scale, so the static SQL oracles are
+    untouched by the hierarchy."""
+    return n_vecs // per_cell > cap

@@ -528,7 +528,11 @@ def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-trained in SQL, same split filters, same quantized-double
     cosine folds, same top-1 window."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
-    from gerrydb_etl_spark.operators.kmeans import cells_for_corpus
+    from gerrydb_etl_spark.operators.kmeans import (
+        cells_for_corpus,
+        needs_cell_split,
+        split_oversized_cells,
+    )
     from gerrydb_etl_spark.store.staging import corpus_count, staged_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -539,17 +543,21 @@ def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus — with cells frozen at 16 the audit measured 2.0s ->
     # 152s at the natural sf1 (quadratic), the round-8 sweep's
     # second finding
-    cells = cells_for_corpus(
-        corpus_count(spark, sf_dir, "embeddings"),
-        floor_k=_IVF_CELLS,
-        per_cell=125,
-    )
+    n = corpus_count(spark, sf_dir, "embeddings")
+    cells = cells_for_corpus(n, floor_k=_IVF_CELLS, per_cell=125)
     assigned, centroids = staged_ivf(spark, sf_dir, cells, _IVF_ITERS)
+    subcents = None
+    if needs_cell_split(n, per_cell=125):
+        # past cap * per_cell the cell count stops scaling — refine
+        # the capped cells and probe two-level (never active at any
+        # driver-verified scale, so the static oracle is untouched)
+        assigned, subcents = split_oversized_cells(assigned, per_cell=125)
     train_index = assigned.filter(F.col("vec_id") % 5 != 0)
     test = emb.filter(F.col("vec_id") % 5 == 0)
     top1 = ivf_topk(
         emb, test, k=1, n_cells=cells, n_probe=_IVF_PROBE,
         iters=_IVF_ITERS, model=(train_index, centroids),
+        sub_model=subcents,
     )
     return top1.select(
         "query_id",
@@ -1093,15 +1101,29 @@ def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape and full fixed-point replay oracle as
     embedding_split_leakage."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
-    from gerrydb_etl_spark.store.staging import staged_ivf
+    from gerrydb_etl_spark.operators.kmeans import (
+        cells_for_corpus,
+        needs_cell_split,
+        split_oversized_cells,
+    )
+    from gerrydb_etl_spark.store.staging import corpus_count, staged_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS)
+    # corpus-scaled cells + the past-the-cap hierarchy, same contract
+    # as embedding_split_leakage: == _IVF_CELLS (the oracle literal)
+    # at every driver-verified scale
+    n = corpus_count(spark, sf_dir, "embeddings")
+    cells = cells_for_corpus(n, floor_k=_IVF_CELLS, per_cell=125)
+    assigned, centroids = staged_ivf(spark, sf_dir, cells, _IVF_ITERS)
+    subcents = None
+    if needs_cell_split(n, per_cell=125):
+        assigned, subcents = split_oversized_cells(assigned, per_cell=125)
     index = assigned.filter(F.col("vec_id") % SEMDECON_MOD != 0)
     bench = emb.filter(F.col("vec_id") % SEMDECON_MOD == 0)
     top = ivf_topk(
-        emb, bench, k=SEMDECON_CAP, n_cells=_IVF_CELLS,
+        emb, bench, k=SEMDECON_CAP, n_cells=cells,
         n_probe=_IVF_PROBE, iters=_IVF_ITERS, model=(index, centroids),
+        sub_model=subcents,
     )
     return top.filter(F.col("cosine") >= SEMDECON_COS).select(
         F.col("query_id").alias("bench_id"),

@@ -187,3 +187,163 @@ def test_cells_for_corpus_pinned_to_live_fixture_sizes():
         ).fetchone()[0]
         assert cells_for_corpus(n, floor_k=8) == 8, (sf, n)
         assert cells_for_corpus(n, floor_k=16, per_cell=125) == 16, (sf, n)
+
+
+# -- hierarchical cells (VERDICT r8 item 2) ---------------------------
+
+
+def _clustered_emb(spark, n, fat_frac=0.7, dim=4):
+    """Synthetic corpus with one FAT natural cluster (fat_frac of
+    rows near the origin) and the rest spread out — the shape that
+    leaves one k-means cell oversized."""
+    import pyspark.sql.functions as F
+
+    fat = (F.col("id") % 1000 < int(fat_frac * 1000))
+    comp = lambda i: (  # noqa: E731
+        F.when(fat, (F.col("id") % 13).cast("double") / 100.0)
+        .otherwise(((F.col("id") * (i + 7)) % 997).cast("double"))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i) for i in range(dim)]).alias("embedding"),
+    )
+
+
+def test_split_oversized_noop_below_threshold(spark):
+    """Below split_factor * per_cell nothing splits: sub_id is 0
+    everywhere, rows and cells unchanged, subcentroids empty."""
+    from gerrydb_etl_spark.operators.kmeans import (
+        kmeans_train,
+        split_oversized_cells,
+    )
+
+    emb = _clustered_emb(spark, 300)
+    assigned = kmeans_train(emb, k=4, iters=2, keep_qv=True)
+    out, cents = split_oversized_cells(assigned, per_cell=250)
+    assert cents.count() == 0
+    rows = out.collect()
+    assert all(r["sub_id"] == 0 for r in rows)
+    want = {(r["vec_id"], r["cluster_id"]) for r in assigned.collect()}
+    assert {(r["vec_id"], r["cluster_id"]) for r in rows} == want
+
+
+def test_split_refines_partition_and_bounds_occupancy(spark):
+    """Splitting must (a) keep every vector in its top-level cell,
+    (b) leave small cells alone, and (c) bring every refined block
+    at-or-under the pre-split fat-cell occupancy with multiple
+    populated subcells."""
+    from gerrydb_etl_spark.operators.kmeans import (
+        kmeans_train,
+        split_oversized_cells,
+    )
+
+    per_cell = 50
+    emb = _clustered_emb(spark, 1200)
+    assigned = kmeans_train(emb, k=4, iters=2, keep_qv=True)
+    before = {
+        r["cluster_id"]: r["count"]
+        for r in assigned.groupBy("cluster_id").count().collect()
+    }
+    fat_cells = {c for c, n in before.items() if n > 4 * per_cell}
+    assert fat_cells, "fixture must produce an oversized cell"
+
+    out, cents = split_oversized_cells(assigned, per_cell=per_cell)
+    # (a) partition refinement
+    top_before = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    rows = out.collect()
+    assert {r["vec_id"]: r["cluster_id"] for r in rows} == top_before
+    # (b) small cells untouched
+    assert all(
+        r["sub_id"] == 0 for r in rows if r["cluster_id"] not in fat_cells
+    )
+    # (c) fat cells genuinely subdivided
+    from collections import Counter
+
+    occ = Counter((r["cluster_id"], r["sub_id"]) for r in rows)
+    for c in fat_cells:
+        subs = {s for (cc, s) in occ if cc == c}
+        assert len(subs) > 1, "fat cell did not split"
+        assert max(v for (cc, _), v in occ.items() if cc == c) < before[c]
+    # the subcentroid table covers exactly the split cells
+    assert {r["cluster_id"] for r in cents.collect()} >= fat_cells
+
+
+def test_split_is_deterministic(spark):
+    from gerrydb_etl_spark.operators.kmeans import (
+        kmeans_train,
+        split_oversized_cells,
+    )
+
+    emb = _clustered_emb(spark, 800)
+    assigned = kmeans_train(emb, k=4, iters=2, keep_qv=True)
+    a1, c1 = split_oversized_cells(assigned, per_cell=50)
+    a2, c2 = split_oversized_cells(assigned, per_cell=50)
+    key = lambda r: (r["vec_id"], r["cluster_id"], r["sub_id"])  # noqa: E731
+    assert sorted(map(key, a1.collect())) == sorted(map(key, a2.collect()))
+    ckey = lambda r: (r["cluster_id"], r["sub"], tuple(r["cv"]))  # noqa: E731
+    assert sorted(map(ckey, c1.collect())) == sorted(map(ckey, c2.collect()))
+
+
+def test_split_pair_volume_linearizes(spark):
+    """The point of the hierarchy: sum(block^2) must drop by at
+    least the split factor on a corpus whose capped cells are
+    oversized."""
+    from gerrydb_etl_spark.operators.kmeans import (
+        kmeans_train,
+        split_oversized_cells,
+    )
+
+    emb = _clustered_emb(spark, 2000)
+    assigned = kmeans_train(emb, k=4, iters=2, keep_qv=True)
+    pair = lambda counts: sum(n * n for n in counts)  # noqa: E731
+    before = pair(
+        r["count"] for r in assigned.groupBy("cluster_id").count().collect()
+    )
+    out, _ = split_oversized_cells(assigned, per_cell=50)
+    after = pair(
+        r["count"]
+        for r in out.groupBy("cluster_id", "sub_id").count().collect()
+    )
+    assert after * 4 <= before, (before, after)
+
+
+def test_semantic_dedup_blocks_on_subcells(spark):
+    """semantic_dedup with a split assignment: survivors on a corpus
+    of well-separated duplicate GROUPS equal the unsplit answer
+    (identical vectors always share a subcell — same distances, same
+    tie-break — and cross-group cosine sits far below tau), and the
+    output keeps the top-level cluster_id."""
+    import math
+
+    from gerrydb_etl_spark.operators.kmeans import (
+        kmeans_train,
+        semantic_dedup,
+        split_oversized_cells,
+    )
+
+    # 20 groups x 30 identical members; group directions 4.5deg
+    # apart (adjacent cosine 0.997 << tau)
+    rows = []
+    for g in range(20):
+        theta = g * math.pi / 2 / 20
+        v = [math.cos(theta), math.sin(theta)]
+        for j in range(30):
+            rows.append((g * 30 + j, v))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    assigned = kmeans_train(emb, k=2, iters=2, keep_qv=True)
+    plain = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            emb, tau=0.9999, assigned=assigned
+        ).collect()
+    }
+    # exactly the first member of each group survives
+    assert plain == {g * 30 for g in range(20)}
+    split, _ = split_oversized_cells(assigned, per_cell=30)
+    assert split.filter("sub_id > 0").count() > 0, "nothing split"
+    refined = semantic_dedup(emb, tau=0.9999, assigned=split)
+    assert {r["vec_id"] for r in refined.collect()} == plain
+    # output schema keeps the top-level cell id
+    assert refined.columns == ["vec_id", "cluster_id"]

@@ -271,3 +271,83 @@ def test_anchor_plane_corpus_contract_holds_on_driver_data(spark):
     planes = anchor_planes(emb, bits=4, tables=8)
     rng = hyperplanes(64, bits=4, tables=8, seed=42)
     assert not np.allclose(planes, rng), "fallback unexpectedly triggered"
+
+
+# -- two-level IVF probe (VERDICT r8 item 2) --------------------------
+
+
+def _grouped_corpus(spark, groups=16, members=40):
+    """Duplicate groups on well-separated directions: every vector's
+    true nearest neighbor is an identical twin in its own group."""
+    import math
+
+    rows = []
+    for g in range(groups):
+        theta = g * math.pi / 2 / groups
+        v = [math.cos(theta), math.sin(theta), 0.25, 0.5]
+        for j in range(members):
+            rows.append((g * members + j, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_two_level_probe_finds_identical_twin(spark):
+    """With the hierarchy active, each query's top-1 must still be a
+    member of its own duplicate group (the twin shares the exact
+    subcell, so a correct two-level probe cannot miss it)."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train, ivf_topk
+    from gerrydb_etl_spark.operators.kmeans import (
+        quantize,
+        split_oversized_cells,
+    )
+
+    corpus = _grouped_corpus(spark)
+    quant = quantize(corpus)
+    centroids, assigned = _train(quant, n_cells=2, iters=2)
+    split, subcents = split_oversized_cells(assigned, per_cell=40)
+    assert subcents.count() > 0, "fixture must split"
+    queries = corpus.filter(F.col("vec_id") % 80 == 0)
+    top1 = ivf_topk(
+        corpus, queries, k=1, n_cells=2, n_probe=2,
+        model=(split, centroids), sub_model=subcents,
+    ).collect()
+    assert len(top1) == queries.count()
+    for r in top1:
+        assert r["query_id"] // 40 == r["neighbor_id"] // 40, r
+        assert r["cosine"] > 0.999999
+
+
+def test_ivf_sub_model_with_no_split_matches_one_level(spark):
+    """An EMPTY subcentroid table (nothing was oversized) must give
+    bit-identical results to the one-level probe — the hierarchy is
+    a strict superset of the old path."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train, ivf_topk
+    from gerrydb_etl_spark.operators.kmeans import (
+        quantize,
+        split_oversized_cells,
+    )
+    from gerrydb_etl_spark.sources import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    quant = quantize(corpus)
+    centroids, assigned = _train(quant, n_cells=8, iters=2)
+    split, subcents = split_oversized_cells(assigned, per_cell=250)
+    assert subcents.count() == 0
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])  # noqa: E731
+    one = sorted(
+        map(key, ivf_topk(
+            corpus, queries, k=3, n_cells=8, n_probe=2,
+            model=(assigned, centroids),
+        ).collect())
+    )
+    two = sorted(
+        map(key, ivf_topk(
+            corpus, queries, k=3, n_cells=8, n_probe=2,
+            model=(split, centroids), sub_model=subcents,
+        ).collect())
+    )
+    assert one == two
