@@ -74,6 +74,7 @@ _EXPOSURE_PRIORITY = [
     # consumer — the staged writers themselves are value-identical,
     # so the representatives here are the model-staging consumers).
     "daves_enacted_assignments",
+    "hierarchical_cells_assign",
     "semantic_dedup_survivors",
     "kmeans_train_assign",
     "embedding_split_leakage",
@@ -91,7 +92,6 @@ _EXPOSURE_PRIORITY = [
     "current_version_per_order",
     "dense_id_assignment",
     "doc_chunking",
-    "event_rate_anomaly",
     # everything below was green in rounds 6-8 with unchanged code;
     # deferred past the ~50-query sample window this round
 ]

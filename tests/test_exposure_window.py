@@ -16,6 +16,7 @@ import __spark_entry__ as entry
 # every query's latest driver check is r8 or newer.
 NEVER_SAMPLED = [
     "daves_enacted_assignments",
+    "hierarchical_cells_assign",
 ]
 
 # The 31 round-5-stale queries that open the round-9 window.
@@ -57,6 +58,7 @@ STALE_R5 = [
 # — they need a fresh driver row and must stay inside the window.
 TOUCHED = [
     "daves_enacted_assignments",
+    "hierarchical_cells_assign",
     "semantic_dedup_survivors",
     "kmeans_train_assign",
     "embedding_split_leakage",
