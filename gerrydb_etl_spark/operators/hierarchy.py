@@ -35,14 +35,25 @@ def expand_paths(
     id_col: str = "node_id",
     parent_col: str = "parent_id",
     label_col: str = "label",
+    broadcast_frontier: bool = False,
 ) -> DataFrame:
     """(id, path, depth) for every node in a self-referencing edge
     table: roots are rows whose ``parent_col`` IS NULL (their path is
     their label, depth 0); every other node appends '/' + label to
     its parent's path. Runs as one WITH RECURSIVE query — the engine
-    iterates level joins until the frontier is empty."""
+    iterates level joins until the frontier is empty.
+
+    ``broadcast_frontier`` forces a BROADCAST hint on the frontier of
+    every recursion step (~30% faster per level at bench scale).
+    Opt-in ONLY when every level of the hierarchy — INCLUDING the
+    leaf level — is known broadcastable: the engine joins the
+    leaf-depth frontier once more to discover it has no children, so
+    a billion-leaf hierarchy would broadcast a billion-row frontier.
+    The default lets the planner pick shuffle vs broadcast per level,
+    which is the scale-safe plan."""
     spark = edges.sparkSession
     view = "hierarchy_edges_input"
+    hint = "/*+ BROADCAST(p) */ " if broadcast_frontier else ""
     edges.select(
         F.col(id_col).alias("id"),
         F.col(parent_col).alias("parent"),
@@ -53,7 +64,7 @@ def expand_paths(
         WITH RECURSIVE paths (id, path, depth) AS (
             SELECT id, label, 0 FROM {view} WHERE parent IS NULL
             UNION ALL
-            SELECT e.id, CONCAT(p.path, '/', e.label), p.depth + 1
+            SELECT {hint}e.id, CONCAT(p.path, '/', e.label), p.depth + 1
             FROM {view} e JOIN paths p ON e.parent = p.id
             WHERE p.depth < {MAX_DEPTH}
         )

@@ -134,3 +134,24 @@ def test_locality_query_matches_unrolled_spelling(spark):
         .collect()
     }
     assert got == want
+
+
+def test_broadcast_frontier_hint_is_value_identical(spark):
+    """The opt-in frontier broadcast is a physical hint only."""
+    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("us", None, "us"),
+            ("s1", "us", "alabama"),
+            ("c1", "s1", "autauga"),
+            ("t1", "c1", "tract-1"),
+        ],
+        "node_id string, parent_id string, label string",
+    )
+    key = lambda r: (r["id"], r["path"], r["depth"])  # noqa: E731
+    plain = sorted(map(key, expand_paths(edges).collect()))
+    hinted = sorted(
+        map(key, expand_paths(edges, broadcast_frontier=True).collect())
+    )
+    assert plain == hinted
