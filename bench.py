@@ -148,6 +148,7 @@ def main() -> None:
     )
 
     ensure_staged_kmeans(spark, sf_dir, k=8, iters=3)
+    ensure_staged_kmeans(spark, sf_dir, k=4, iters=2)  # hierarchy query
     ensure_staged_lsh_sigs(spark, sf_dir, bits=4, tables=8)
     ensure_staged_ivf(spark, sf_dir, n_cells=16, iters=2)
     ensure_staged_pq(spark, sf_dir, m_subs=4, n_codes=16, iters=2)
