@@ -141,3 +141,124 @@ def test_edge_session_boundary_semantics(spark, edge_dir):
 def test_edge_anomaly_zero_variance_never_flags(spark, edge_dir):
     rows = REGISTRY["event_rate_anomaly"].spark(spark, edge_dir).collect()
     assert rows and all(r["is_anomaly"] is False for r in rows)
+
+
+# -- round-9 additions: relational/vector edge tables -----------------
+
+
+@pytest.fixture(scope="module")
+def edge_rel_dir(tmp_path_factory):
+    """Mini region/nation/customer/embeddings tables for the round-9
+    queries: an empty region (no nations), a nation with ZERO
+    customers (its plans must vanish identically in both engines),
+    nationkey 0 (the SPECIAL_PLANS override), and an embeddings
+    corpus with a duplicate run at the HEAD of the id order plus one
+    cell exactly AT the split threshold (must NOT split) and one
+    just past it (must split)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path_factory.mktemp("edge_rel"))
+    region = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], pa.int32()),
+            "r_name": pa.array(["Alpha Region", "Empty Region"]),
+        }
+    )
+    pq.write_table(region, os.path.join(root, "region.parquet"))
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 2], pa.int32()),
+            "n_name": pa.array(["Aa Bb", "No Customers"]),
+            "n_regionkey": pa.array([0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(nation, os.path.join(root, "nation.parquet"))
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([0, 1, 2, 7, 12], pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(5)]),
+            "c_nationkey": pa.array([0] * 5, pa.int32()),
+            "c_acctbal": pa.array([0.0] * 5, pa.float64()),
+            "c_mktsegment": pa.array(["M"] * 5),
+        }
+    )
+    pq.write_table(cust, os.path.join(root, "customer.parquet"))
+
+    # embeddings (dim 2, float32-exact halves):
+    #   ids 0..19    : IDENTICAL vectors (duplicate head run)
+    #   ids 20..119  : tight cluster A — with the head run lands a
+    #                  cell OVER 4*25=100 -> must split
+    #   ids 120..219 : tight cluster B sized exactly 100 -> at the
+    #                  threshold, must NOT split (rule is strictly >)
+    #   ids 220..223 : far-out seeds so k=4 init spreads
+    rows_id, rows_v = [], []
+    for i in range(20):
+        rows_id.append(i); rows_v.append([1.0, 1.0])
+    for i in range(20, 120):
+        rows_id.append(i); rows_v.append([1.0 + (i % 8) * 0.125, 1.0])
+    for i in range(120, 220):
+        rows_id.append(i); rows_v.append([50.0 + (i % 8) * 0.125, 50.0])
+    for i, v in zip(range(220, 224), ([99.0, 0.0], [0.0, 99.0], [99.0, 99.0], [75.0, 12.0])):
+        rows_id.append(i); rows_v.append(v)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32) for v in rows_v],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(rows_id), pa.int32()),
+        }
+    )
+    pq.write_table(emb, os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def edge_rel_duck(edge_rel_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{edge_rel_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+EDGE_REL_QUERIES = [
+    "daves_enacted_assignments",  # customer-less nation's plans vanish
+    "locality_hierarchy_paths",   # empty region; single-nation chain
+    "hierarchical_cells_assign",  # duplicate head run; exact-threshold cell
+]
+
+
+@pytest.mark.parametrize("name", EDGE_REL_QUERIES)
+def test_edge_rel_inputs_match_oracle(spark, edge_rel_dir, edge_rel_duck, name):
+    spec = REGISTRY[name]
+    df = spec.spark(spark, edge_rel_dir)
+    assert_matches_oracle(df, edge_rel_duck, spec.oracle, f"edge:{name}")
+
+
+def test_edge_split_threshold_is_strict(spark, edge_rel_dir):
+    """The 100-member cell sits exactly AT 4*per_cell and must stay
+    whole; the 120-member cell must split; the 20 identical head
+    vectors must share one subcell."""
+    df = REGISTRY["hierarchical_cells_assign"].spark(spark, edge_rel_dir)
+    rows = df.collect()
+    from collections import Counter
+
+    by_cell = Counter(r["cluster_id"] for r in rows)
+    split_cells = {
+        r["cluster_id"] for r in rows if r["sub_id"] > 0
+    }
+    for cell, n in by_cell.items():
+        if n > 100:
+            assert cell in split_cells, (cell, n)
+        if n <= 100:
+            assert cell not in split_cells, (cell, n)
+    dup_subs = {
+        (r["cluster_id"], r["sub_id"]) for r in rows if r["vec_id"] < 20
+    }
+    assert len(dup_subs) == 1, dup_subs
