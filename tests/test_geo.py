@@ -197,3 +197,58 @@ def test_interiors_overlap_nonconvex_cross():
     assert wkb.interiors_overlap(ell, bar)
     far = [_square(10.0, 10.0)]
     assert not wkb.interiors_overlap(ell, far)
+
+
+def test_union_dissolve_shapely_call_contract(monkeypatch):
+    """The shapely-backed path (unreachable in this container) must
+    load every input, dissolve via unary_union, promote a lone
+    Polygon to a MultiPolygon, and dump the result — pinned with a
+    stub shapely so an API drift fails here, not at a user's site."""
+    import sys
+    import types
+
+    calls = {}
+
+    class _Geom:
+        def __init__(self, tag, geom_type="Polygon"):
+            self.tag = tag
+            self.geom_type = geom_type
+
+    shapely = types.ModuleType("shapely")
+    shapely_wkb = types.ModuleType("shapely.wkb")
+    shapely_geometry = types.ModuleType("shapely.geometry")
+    shapely_ops = types.ModuleType("shapely.ops")
+
+    shapely_wkb.loads = lambda b: _Geom(("loaded", bytes(b)))
+    shapely_wkb.dumps = lambda g: b"DUMPED:" + repr(g.tag).encode()
+
+    def unary_union(geoms):
+        calls["n_inputs"] = len(geoms)
+        return _Geom("union", "Polygon")
+
+    shapely_ops.unary_union = unary_union
+
+    class MultiPolygon:
+        def __init__(self, polys):
+            calls["promoted"] = [p.tag for p in polys]
+            self.tag = "multi"
+            self.geom_type = "MultiPolygon"
+
+    shapely_geometry.MultiPolygon = MultiPolygon
+    shapely.wkb = shapely_wkb
+    shapely.geometry = shapely_geometry
+    shapely.ops = shapely_ops
+    for name, mod in [
+        ("shapely", shapely),
+        ("shapely.wkb", shapely_wkb),
+        ("shapely.geometry", shapely_geometry),
+        ("shapely.ops", shapely_ops),
+    ]:
+        monkeypatch.setitem(sys.modules, name, mod)
+
+    a = wkb.encode_polygon([_square(0.0, 0.0)])
+    b = wkb.encode_polygon([_square(0.3, 0.0)])  # overlap: must be OK here
+    out = wkb.union_dissolve([a, b])
+    assert calls["n_inputs"] == 2
+    assert calls["promoted"] == ["union"]  # Polygon promoted to multi
+    assert out == b"DUMPED:'multi'"
