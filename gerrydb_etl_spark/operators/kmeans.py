@@ -389,8 +389,19 @@ def split_oversized_cells(
 
     The split REFINES the partition: rows never change their
     top-level cluster_id, so any consumer keyed on (cluster_id,
-    sub_id) blocks strictly within the original cells."""
+    sub_id) blocks strictly within the original cells.
+
+    RE-APPLICATION: an input already carrying ``sub_id`` (a prior
+    split's output) is refined at the (cluster_id, sub_id) block
+    level — new sub ids compose collision-free with the old ones, so
+    a pathologically skewed subcell can be split again. Note the
+    block-count collect is O(existing blocks) there (vs <= k at the
+    first level); intended for the diagnosed-skew case, not as a
+    routine extra level."""
     from pyspark.sql.window import Window as W
+
+    if "sub_id" in assigned.columns:
+        return _resplit_blocks(assigned, per_cell, iters, split_factor)
 
     spark = assigned.sparkSession
     counts = assigned.groupBy("cluster_id").count().collect()  # <= k rows
@@ -446,6 +457,42 @@ def split_oversized_cells(
         sub_assigned.select("vec_id", "cluster_id", "qv", "sub_id")
     )
     return out, cents
+
+
+def _resplit_blocks(
+    assigned: DataFrame, per_cell: int, iters: int, split_factor: int
+) -> tuple[DataFrame, DataFrame]:
+    """Refine an existing (cluster_id, sub_id) split: re-key each
+    block to a composite single id, run the level-1 machinery on it,
+    then decompose — new sub ids are old_sub * (max_new_sub + 1) +
+    new_sub, collision-free and deterministic."""
+    max_sub = assigned.agg(F.max("sub_id")).first()[0] or 0
+    mult = int(max_sub) + 1
+    re_keyed = assigned.select(
+        "vec_id",
+        (F.col("cluster_id") * mult + F.col("sub_id"))
+        .cast("int")
+        .alias("cluster_id"),
+        "qv",
+    )
+    out, cents = split_oversized_cells(
+        re_keyed, per_cell=per_cell, iters=iters, split_factor=split_factor
+    )
+    max_new = cents.agg(F.max("sub")).first()[0]
+    nmult = int(max_new or 0) + 1
+    blk = F.col("cluster_id")
+    out2 = out.select(
+        "vec_id",
+        F.floor(blk / mult).cast("int").alias("cluster_id"),
+        ((blk % mult) * nmult + F.col("sub_id")).cast("int").alias("sub_id"),
+        "qv",
+    )
+    cents2 = cents.select(
+        F.floor(blk / mult).cast("int").alias("cluster_id"),
+        ((blk % mult) * nmult + F.col("sub")).cast("int").alias("sub"),
+        "cv",
+    )
+    return out2, cents2
 
 
 def needs_cell_split(n_vecs: int, per_cell: int = 250, cap: int = 512) -> bool:

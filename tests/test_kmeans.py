@@ -363,3 +363,52 @@ def test_hier_demo_per_cell_rule_pinned_to_fixture_sizes():
             f"SELECT COUNT(*) FROM '/root/testdata/{sf}/embeddings.parquet'"
         ).fetchone()[0]
         assert max(_HPER, n // 80) == _HPER, (sf, n)
+
+
+def test_split_reapplication_refines_existing_blocks(spark):
+    """Re-applying the split to an output that still has oversized
+    (cluster, sub) blocks must refine THOSE blocks (not restart from
+    the top level): level-1 membership preserved, occupancy drops,
+    composed sub ids collision-free, deterministic."""
+    from collections import Counter
+
+    from gerrydb_etl_spark.operators.kmeans import (
+        kmeans_train,
+        split_oversized_cells,
+    )
+
+    emb = _clustered_emb(spark, 1600)
+    assigned = kmeans_train(emb, k=4, iters=2, keep_qv=True)
+    # coarse first level: big per_cell leaves big blocks...
+    lvl1, _ = split_oversized_cells(assigned, per_cell=200)
+    occ1 = Counter(
+        (r["cluster_id"], r["sub_id"]) for r in lvl1.collect()
+    )
+    # ...which exceed the finer second-level threshold
+    assert any(n > 4 * 30 for n in occ1.values())
+    lvl2, cents2 = split_oversized_cells(lvl1, per_cell=30)
+    rows1 = {r["vec_id"]: (r["cluster_id"], r["sub_id"]) for r in lvl1.collect()}
+    rows2 = lvl2.collect()
+    occ2 = Counter((r["cluster_id"], r["sub_id"]) for r in rows2)
+    # top-level membership never changes
+    assert {r["vec_id"]: r["cluster_id"] for r in rows2} == {
+        v: c for v, (c, _) in rows1.items()
+    }
+    # biggest block shrank
+    assert max(occ2.values()) < max(occ1.values())
+    # level-2 blocks refine level-1 blocks: all members of one
+    # lvl2 block share one lvl1 block
+    by_blk2: dict[tuple, set] = {}
+    for r in rows2:
+        by_blk2.setdefault((r["cluster_id"], r["sub_id"]), set()).add(
+            rows1[r["vec_id"]]
+        )
+    assert all(len(v) == 1 for v in by_blk2.values())
+    # deterministic
+    again = split_oversized_cells(lvl1, per_cell=30)[0].collect()
+    key = lambda r: (r["vec_id"], r["cluster_id"], r["sub_id"])  # noqa: E731
+    assert sorted(map(key, rows2)) == sorted(map(key, again))
+    # subcentroids decompose onto real blocks
+    assert {r["cluster_id"] for r in cents2.collect()} <= {
+        c for c, _ in occ1
+    }
