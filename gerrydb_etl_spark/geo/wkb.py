@@ -147,57 +147,97 @@ def centroid(buf: bytes) -> tuple[float, float]:
 # shapely-backed union_dissolve is the fully general path.
 
 
-def _orient(ax, ay, bx, by, cx, cy) -> float:
-    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+def _edges(ring: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return ring[:-1], ring[1:]
 
 
-def _segments_cross_strictly(a1, a2, b1, b2) -> bool:
-    """Proper interior crossing: shared endpoints / collinear touch
-    do not count (those are boundary contact, not interior overlap)."""
-    d1 = _orient(*b1, *b2, *a1)
-    d2 = _orient(*b1, *b2, *a2)
-    d3 = _orient(*a1, *a2, *b1)
-    d4 = _orient(*a1, *a2, *b2)
-    if d1 == 0.0 or d2 == 0.0 or d3 == 0.0 or d4 == 0.0:
+def _any_strict_crossing(ra: np.ndarray, rb: np.ndarray) -> bool:
+    """Vectorized proper-crossing test between all edge pairs of two
+    rings (numpy broadcast + per-edge bbox rejection, no Python loop
+    over edge pairs)."""
+    a1, a2 = _edges(ra)
+    b1, b2 = _edges(rb)
+    # per-edge bboxes, (m,1) vs (n,) broadcast to the (m,n) pair mask
+    amin = np.minimum(a1, a2)
+    amax = np.maximum(a1, a2)
+    bmin = np.minimum(b1, b2)
+    bmax = np.maximum(b1, b2)
+    mask = (
+        (amin[:, None, 0] <= bmax[None, :, 0])
+        & (bmin[None, :, 0] <= amax[:, None, 0])
+        & (amin[:, None, 1] <= bmax[None, :, 1])
+        & (bmin[None, :, 1] <= amax[:, None, 1])
+    )
+    if not mask.any():
         return False
-    return (d1 > 0.0) != (d2 > 0.0) and (d3 > 0.0) != (d4 > 0.0)
+    ii, jj = np.nonzero(mask)
+    p1, p2 = a1[ii], a2[ii]
+    q1, q2 = b1[jj], b2[jj]
+
+    def orient(o, a, b):
+        return (a[:, 0] - o[:, 0]) * (b[:, 1] - o[:, 1]) - (
+            a[:, 1] - o[:, 1]
+        ) * (b[:, 0] - o[:, 0])
+
+    d1 = orient(q1, q2, p1)
+    d2 = orient(q1, q2, p2)
+    d3 = orient(p1, p2, q1)
+    d4 = orient(p1, p2, q2)
+    proper = (
+        (d1 != 0.0) & (d2 != 0.0) & (d3 != 0.0) & (d4 != 0.0)
+        & ((d1 > 0.0) != (d2 > 0.0))
+        & ((d3 > 0.0) != (d4 > 0.0))
+    )
+    return bool(proper.any())
 
 
-def _point_on_ring(px: float, py: float, ring: np.ndarray) -> bool:
-    for i in range(len(ring) - 1):
-        ax, ay = ring[i]
-        bx, by = ring[i + 1]
-        if _orient(ax, ay, bx, by, px, py) != 0.0:
-            continue
-        if min(ax, bx) <= px <= max(ax, bx) and min(ay, by) <= py <= max(ay, by):
-            return True
-    return False
+def _points_on_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """(k,) bool: each point collinear with AND inside the span of
+    some ring edge (vectorized)."""
+    a, b = _edges(ring)
+    ox = (b[None, :, 0] - a[None, :, 0]) * (pts[:, None, 1] - a[None, :, 1])
+    oy = (b[None, :, 1] - a[None, :, 1]) * (pts[:, None, 0] - a[None, :, 0])
+    coll = (ox - oy) == 0.0
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    inspan = (
+        (pts[:, None, 0] >= lo[None, :, 0])
+        & (pts[:, None, 0] <= hi[None, :, 0])
+        & (pts[:, None, 1] >= lo[None, :, 1])
+        & (pts[:, None, 1] <= hi[None, :, 1])
+    )
+    return (coll & inspan).any(axis=1)
 
 
-def _point_in_ring(px: float, py: float, ring: np.ndarray) -> bool:
-    """Even-odd ray cast (rightward); callers must exclude boundary
-    points first — on the boundary the parity is ill-defined."""
-    inside = False
-    for i in range(len(ring) - 1):
-        ax, ay = ring[i]
-        bx, by = ring[i + 1]
-        if (ay > py) != (by > py):
-            xin = ax + (py - ay) * (bx - ax) / (by - ay)
-            if px < xin:
-                inside = not inside
-    return inside
+def _points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """(k,) bool even-odd ray cast (rightward), vectorized; callers
+    must exclude boundary points — parity is ill-defined there."""
+    a, b = _edges(ring)
+    ay = a[None, :, 1]
+    by = b[None, :, 1]
+    py = pts[:, None, 1]
+    straddle = (ay > py) != (by > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = a[None, :, 0] + (py - ay) * (b[None, :, 0] - a[None, :, 0]) / (
+            by - ay
+        )
+    hit = straddle & (pts[:, None, 0] < xin)
+    return hit.sum(axis=1) % 2 == 1
 
 
-def _point_strictly_inside(
-    px: float, py: float, rings: list[np.ndarray]
-) -> bool | None:
-    """True/False for interior/exterior; None when the probe lands on
-    the boundary (inconclusive — the caller skips it)."""
-    if any(_point_on_ring(px, py, r) for r in rings):
-        return None
-    if not _point_in_ring(px, py, rings[0]):
-        return False
-    return not any(_point_in_ring(px, py, h) for h in rings[1:])
+def _points_strictly_inside(
+    pts: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """(k,) bool: strictly interior to the polygon (inside the
+    exterior ring, outside every hole, NOT on any boundary —
+    boundary probes are inconclusive and report False)."""
+    on_any = np.zeros(len(pts), dtype=bool)
+    for r in rings:
+        on_any |= _points_on_ring(pts, r)
+    inside = _points_in_ring(pts, rings[0])
+    for h in rings[1:]:
+        inside &= ~_points_in_ring(pts, h)
+    return inside & ~on_any
 
 
 def _rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
@@ -205,37 +245,81 @@ def _rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
     return ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max()
 
 
+def _is_convex(ring: np.ndarray) -> bool:
+    """All turns the same way (zeros allowed for collinear runs)."""
+    v = np.diff(ring, axis=0)
+    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    return bool((cross >= 0.0).all() or (cross <= 0.0).all())
+
+
+def _sat_separated(ra: np.ndarray, rb: np.ndarray) -> bool:
+    """Separating-axis test for two CONVEX rings: True when some edge
+    normal separates them (touching projections count as separated —
+    boundary contact is not interior overlap)."""
+    for ring in (ra, rb):
+        e = np.diff(ring, axis=0)
+        normals = np.stack([-e[:, 1], e[:, 0]], axis=1)
+        pa = ra[:-1] @ normals.T
+        pb = rb[:-1] @ normals.T
+        separated = (pa.max(axis=0) <= pb.min(axis=0)) | (
+            pb.max(axis=0) <= pa.min(axis=0)
+        )
+        if separated.any():
+            return True
+    return False
+
+
+def _probe_points(rings: list[np.ndarray]) -> np.ndarray:
+    """Vertices + edge midpoints of every ring — each is a boundary
+    point of the polygon, so landing strictly inside the OTHER
+    polygon proves the interiors intersect (boundary points are
+    limits of interior points)."""
+    parts = []
+    for r in rings:
+        a, b = _edges(r)
+        parts.append(a)
+        parts.append((a + b) / 2.0)
+    return np.concatenate(parts, axis=0)
+
+
 def interiors_overlap(
     a: list[np.ndarray], b: list[np.ndarray]
 ) -> bool:
-    """Heuristic interior-intersection test between two polygons
-    (ring lists). Shared boundaries/vertices are NOT overlap."""
+    """Interior-intersection test between two polygons (ring lists).
+    Shared boundaries/vertices are NOT overlap. EXACT when both
+    polygons are single-ring convex (separating-axis test);
+    otherwise a sound-but-incomplete detector — strict edge
+    crossings plus vertex/midpoint/centroid interior probes, each of
+    which only fires on genuine interior intersection (no false
+    positives), but an adversarial concave pair whose contact avoids
+    every probe can slip through. The shapely-backed
+    ``union_dissolve`` is the fully general path."""
     ax0, ay0, ax1, ay1 = _rings_bbox(a)
     bx0, by0, bx1, by1 = _rings_bbox(b)
     if ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0:
         return False
+    if len(a) == 1 and len(b) == 1 and _is_convex(a[0]) and _is_convex(b[0]):
+        return not _sat_separated(a[0], b[0])
     # strict edge crossings between any pair of rings
     for ra in a:
         for rb in b:
-            for i in range(len(ra) - 1):
-                for j in range(len(rb) - 1):
-                    if _segments_cross_strictly(
-                        tuple(ra[i]), tuple(ra[i + 1]),
-                        tuple(rb[j]), tuple(rb[j + 1]),
-                    ):
-                        return True
-    # containment / coincidence: a vertex or the centroid of one
-    # strictly inside the other (boundary probes are skipped)
+            if _any_strict_crossing(ra, rb):
+                return True
+    # containment / coincidence: any boundary probe (vertex or edge
+    # midpoint) of one strictly inside the other; the area centroid
+    # joins the probe set ONLY when it lies strictly inside its own
+    # polygon (a concave/holed polygon's centroid may fall outside
+    # it, where its position proves nothing about overlap)
     for src, dst in ((a, b), (b, a)):
-        for ring in src:
-            for px, py in ring[:-1]:
-                if _point_strictly_inside(float(px), float(py), dst):
-                    return True
+        probes = _probe_points(src)
         try:
             _, cx, cy = polygon_area_centroid(src)
+            cpt = np.array([[cx, cy]], dtype=np.float64)
+            if _points_strictly_inside(cpt, src)[0]:
+                probes = np.concatenate([probes, cpt], axis=0)
         except ValueError:
-            continue
-        if _point_strictly_inside(cx, cy, dst):
+            pass
+        if _points_strictly_inside(probes, dst).any():
             return True
     return False
 
@@ -288,7 +372,16 @@ def union_dissolve(wkbs: list[bytes]) -> bytes:
         from shapely.ops import unary_union
     except ImportError:
         return union_disjoint(wkbs)
+    # same input validation as the fallback path: non-polygonal
+    # members must fail HERE, not as a confusing downstream decode
+    # error on whatever unary_union makes of them
+    _collect_polys(wkbs, "union_dissolve")
     u = unary_union([shapely_wkb.loads(bytes(b)) for b in wkbs])
     if u.geom_type == "Polygon":
         u = ShapelyMultiPolygon([u])
+    if u.geom_type != "MultiPolygon":
+        raise ValueError(
+            f"union_dissolve: dissolve produced a {u.geom_type}, not a "
+            "polygonal geometry (degenerate input?)"
+        )
     return shapely_wkb.dumps(u)

@@ -22,12 +22,19 @@ manual unroll did with its explicit hints.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # recursion guard: no real geographic hierarchy is deeper than this;
-# a cycle in the edge table would otherwise loop to the engine cap
+# any path REACHING it (an over-deep tree, or a cycle reachable from
+# a root) raises at execution time instead of silently truncating
 MAX_DEPTH = 32
+
+# per-call temp-view names: a shared fixed name would let concurrent
+# expand_paths calls in one session race each other's edge tables
+_VIEW_SEQ = itertools.count()
 
 
 def expand_paths(
@@ -41,7 +48,11 @@ def expand_paths(
     table: roots are rows whose ``parent_col`` IS NULL (their path is
     their label, depth 0); every other node appends '/' + label to
     its parent's path. Runs as one WITH RECURSIVE query — the engine
-    iterates level joins until the frontier is empty.
+    iterates level joins until the frontier is empty. Any path
+    reaching MAX_DEPTH raises at execution time (``raise_error`` in
+    the projection, no extra pass): silent truncation of an over-deep
+    tree — or of a cycle reachable from a root — is exactly the
+    failure mode this operator exists to remove.
 
     ``broadcast_frontier`` forces a BROADCAST hint on the frontier of
     every recursion step (~30% faster per level at bench scale).
@@ -52,7 +63,7 @@ def expand_paths(
     The default lets the planner pick shuffle vs broadcast per level,
     which is the scale-safe plan."""
     spark = edges.sparkSession
-    view = "hierarchy_edges_input"
+    view = f"hierarchy_edges_input_{next(_VIEW_SEQ)}"
     hint = "/*+ BROADCAST(p) */ " if broadcast_frontier else ""
     edges.select(
         F.col(id_col).alias("id"),
@@ -68,6 +79,16 @@ def expand_paths(
             FROM {view} e JOIN paths p ON e.parent = p.id
             WHERE p.depth < {MAX_DEPTH}
         )
-        SELECT id, path, depth FROM paths
+        SELECT id, path,
+               CASE WHEN depth >= {MAX_DEPTH}
+                    THEN raise_error(CONCAT(
+                        'expand_paths: node ', id, ' sits at depth ',
+                        CAST(depth AS STRING),
+                        ' — hierarchy deeper than MAX_DEPTH ',
+                        '{MAX_DEPTH}', ' (or a cycle reachable from ',
+                        'a root); raise MAX_DEPTH if the tree is ',
+                        'genuinely this deep'))
+                    ELSE depth END AS depth
+        FROM paths
         """
     )

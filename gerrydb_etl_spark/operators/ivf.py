@@ -143,9 +143,14 @@ def ivf_topk(
             return F.sqrt(fold_sum(F.transform(col, lambda x: x * x)))
 
         two_level = sub_model is not None
+        # the corpus joins on (cell, sub) ONLY under a two-level
+        # probe; without sub_model the probe side would pin sub=0 and
+        # silently drop every sub_id>0 corpus row from the search, so
+        # a split assignment searched one-level ignores its sub_id
+        # (blocking refinement never affects WHO is searchable)
         sub_col = (
             F.coalesce(F.col("sub_id"), F.lit(0))
-            if "sub_id" in assigned.columns
+            if two_level and "sub_id" in assigned.columns
             else F.lit(0)
         )
         corpus_cells = assigned.select(

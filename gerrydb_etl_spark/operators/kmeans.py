@@ -374,6 +374,7 @@ def split_oversized_cells(
     per_cell: int = 250,
     iters: int = 2,
     split_factor: int = SPLIT_FACTOR,
+    prev_cents: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Subdivide every cell of a (vec_id, cluster_id, qv) assignment
     that holds more than ``split_factor * per_cell`` vectors, using a
@@ -394,14 +395,26 @@ def split_oversized_cells(
     RE-APPLICATION: an input already carrying ``sub_id`` (a prior
     split's output) is refined at the (cluster_id, sub_id) block
     level — new sub ids compose collision-free with the old ones, so
-    a pathologically skewed subcell can be split again. Note the
-    block-count collect is O(existing blocks) there (vs <= k at the
-    first level); intended for the diagnosed-skew case, not as a
-    routine extra level."""
+    a pathologically skewed subcell can be split again. Pass the
+    prior level's subcentroids as ``prev_cents`` to get a COMPLETE
+    recomposed codebook back (untouched blocks keep their old
+    centroid under the new numbering) — required if the result feeds
+    ivf_topk's ``sub_model``; without it the returned codebook covers
+    only the re-split blocks and must not be used as a probe side.
+    Note the block-count collect is O(existing blocks) there (vs <= k
+    at the first level); intended for the diagnosed-skew case, not as
+    a routine extra level."""
     from pyspark.sql.window import Window as W
 
     if "sub_id" in assigned.columns:
-        return _resplit_blocks(assigned, per_cell, iters, split_factor)
+        return _resplit_blocks(
+            assigned, per_cell, iters, split_factor, prev_cents
+        )
+    if prev_cents is not None:
+        raise ValueError(
+            "prev_cents only applies when re-splitting an assignment "
+            "that already carries sub_id"
+        )
 
     spark = assigned.sparkSession
     counts = assigned.groupBy("cluster_id").count().collect()  # <= k rows
@@ -460,12 +473,19 @@ def split_oversized_cells(
 
 
 def _resplit_blocks(
-    assigned: DataFrame, per_cell: int, iters: int, split_factor: int
+    assigned: DataFrame,
+    per_cell: int,
+    iters: int,
+    split_factor: int,
+    prev_cents: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Refine an existing (cluster_id, sub_id) split: re-key each
     block to a composite single id, run the level-1 machinery on it,
     then decompose — new sub ids are old_sub * (max_new_sub + 1) +
-    new_sub, collision-free and deterministic."""
+    new_sub, collision-free and deterministic. With ``prev_cents``
+    the returned codebook is COMPLETE: blocks this pass did not
+    re-split keep their previous centroid at new sub
+    old_sub * nmult + 0."""
     max_sub = assigned.agg(F.max("sub_id")).first()[0] or 0
     mult = int(max_sub) + 1
     re_keyed = assigned.select(
@@ -492,6 +512,22 @@ def _resplit_blocks(
         ((blk % mult) * nmult + F.col("sub")).cast("int").alias("sub"),
         "cv",
     )
+    if prev_cents is not None:
+        resplit_blks = cents.select(
+            F.floor(blk / mult).cast("int").alias("cluster_id"),
+            (blk % mult).cast("int").alias("old_sub"),
+        ).distinct()
+        kept = prev_cents.join(
+            resplit_blks,
+            (prev_cents["cluster_id"] == resplit_blks["cluster_id"])
+            & (prev_cents["sub"] == resplit_blks["old_sub"]),
+            "left_anti",
+        ).select(
+            "cluster_id",
+            (F.col("sub") * nmult).cast("int").alias("sub"),
+            "cv",
+        )
+        cents2 = kept.unionByName(cents2)
     return out2, cents2
 
 

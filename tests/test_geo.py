@@ -252,3 +252,79 @@ def test_union_dissolve_shapely_call_contract(monkeypatch):
     assert calls["n_inputs"] == 2
     assert calls["promoted"] == ["union"]  # Polygon promoted to multi
     assert out == b"DUMPED:'multi'"
+
+
+# -- review-regression battery (round-9 code review) ------------------
+
+
+def test_overlap_detected_when_crossings_hit_vertices():
+    """Grid-aligned half-overlapping squares: every edge crossing
+    falls ON a vertex, every vertex and both centroids lie ON the
+    other boundary — the confirmed round-9 review miss. The SAT path
+    (both convex) and the midpoint probes must both catch it."""
+    a = [_square(1.0, 1.0, 1.0)]  # (0,0)-(2,2)
+    b = [_square(2.0, 1.0, 1.0)]  # (1,0)-(3,2): true union area 6, not 8
+    assert wkb.interiors_overlap(a, b)
+    with pytest.raises(ValueError, match="interiors overlap"):
+        wkb.union_disjoint(
+            [wkb.encode_polygon(a), wkb.encode_polygon(b)]
+        )
+
+
+def test_ring_with_island_in_hole_is_disjoint():
+    """A square ring (hole in the middle) plus a disjoint island
+    INSIDE the hole — the reference's reservation/trust enclave
+    shape. The ring's own centroid falls in its hole (inside the
+    island), which the confirmed round-9 review false positive
+    mistook for overlap; the gated centroid probe must not fire."""
+    ring = [
+        _square(2.0, 2.0, 2.0),          # exterior (0,0)-(4,4)
+        _square(2.0, 2.0, 1.0)[::-1],    # hole (1,1)-(3,3)
+    ]
+    island = [_square(2.0, 2.0, 0.5)]    # (1.5,1.5)-(2.5,2.5): in the hole
+    assert not wkb.interiors_overlap(ring, island)
+    assert not wkb.interiors_overlap(island, ring)
+    # and the enclave union must succeed
+    u = wkb.union_disjoint(
+        [wkb.encode_polygon(ring), wkb.encode_polygon(island)]
+    )
+    _, polys = wkb.decode(u)
+    total = sum(wkb.polygon_area_centroid(r)[0] for r in polys)
+    assert total == pytest.approx(16.0 - 4.0 + 1.0)
+
+
+def test_u_shape_with_square_in_cavity_is_disjoint():
+    """Concave U whose centroid sits in its own cavity, with a
+    disjoint square filling the cavity — probes on the U must not
+    count its outside-the-polygon centroid as evidence."""
+    import numpy as np
+
+    u_shape = [
+        np.array(
+            [
+                [0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [2.0, 3.0],
+                [2.0, 1.0], [1.0, 1.0], [1.0, 3.0], [0.0, 3.0],
+                [0.0, 0.0],
+            ]
+        )
+    ]
+    cavity_sq = [_square(1.5, 2.0, 0.4)]  # floats inside the cavity
+    assert not wkb.interiors_overlap(u_shape, cavity_sq)
+    assert not wkb.interiors_overlap(cavity_sq, u_shape)
+    # but a square PIERCING the U's left arm is overlap
+    piercing = [_square(0.5, 2.0, 0.4)]
+    assert wkb.interiors_overlap(u_shape, piercing)
+
+
+def test_sat_convex_exactness_samples():
+    """Convex pairs route through the separating-axis test: touching
+    is not overlap, any positive-area intersection is."""
+    import numpy as np
+
+    tri = [np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]])]
+    # hypotenuse-touching twin (reflected) — boundary contact only
+    twin = [np.array([[2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [2.0, 0.0]])]
+    assert not wkb.interiors_overlap(tri, twin)
+    # nudge the twin into the triangle
+    moved = [twin[0] - np.array([0.25, 0.25])]
+    assert wkb.interiors_overlap(tri, moved)

@@ -78,9 +78,8 @@ def test_ragged_depths_all_levels_emitted(spark):
     }
 
 
-def test_cycle_is_bounded_by_max_depth(spark):
-    """A cyclic edge table (bad input) terminates at MAX_DEPTH
-    instead of hitting the engine's recursion cap mid-join."""
+def test_unreachable_cycle_never_enters_the_result(spark):
+    """A cycle not reachable from any root simply does not appear."""
     from gerrydb_etl_spark.operators.hierarchy import MAX_DEPTH
 
     got = _expand(
@@ -93,10 +92,35 @@ def test_cycle_is_bounded_by_max_depth(spark):
             ("z", "y", "z"),
         ],
     )
-    # the cycle is unreachable from a root, so it never enters the
-    # result; the guard also caps a reachable cycle at MAX_DEPTH
     assert set(got) == {"r", "x"}
     assert MAX_DEPTH >= 8
+
+
+def test_reachable_cycle_raises_instead_of_truncating(spark):
+    """A cycle reachable from a root (or a tree deeper than
+    MAX_DEPTH) must FAIL LOUDLY at execution — silent truncation is
+    the failure mode the operator exists to remove (round-9 review
+    finding)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("r", None, "root"),
+            ("x", "r", "x"),
+            ("y", "x", "y"),
+            # y -> x closes a cycle reachable from the root
+            ("x", "y", "x2"),
+        ],
+        "node_id string, parent_id string, label string",
+    )
+    with pytest.raises(Exception, match="MAX_DEPTH") as exc:
+        expand_paths(edges).collect()
+    assert isinstance(exc.value, Py4JJavaError) or "MAX_DEPTH" in str(
+        exc.value
+    )
 
 
 def test_locality_query_matches_unrolled_spelling(spark):

@@ -412,3 +412,65 @@ def test_split_reapplication_refines_existing_blocks(spark):
     assert {r["cluster_id"] for r in cents2.collect()} <= {
         c for c, _ in occ1
     }
+
+
+def test_resplit_with_prev_cents_returns_complete_codebook(spark):
+    """Round-9 review finding: re-application renumbers every sub id,
+    so a probe-side codebook must cover ALL blocks under the new
+    numbering — untouched blocks keep their old centroid."""
+    from collections import Counter
+
+    from gerrydb_etl_spark.operators.kmeans import (
+        kmeans_train,
+        split_oversized_cells,
+    )
+
+    emb = _clustered_emb(spark, 1600)
+    assigned = kmeans_train(emb, k=4, iters=2, keep_qv=True)
+    lvl1, cents1 = split_oversized_cells(assigned, per_cell=200)
+    lvl2, cents2 = split_oversized_cells(
+        lvl1, per_cell=30, prev_cents=cents1
+    )
+    blocks = {
+        (r["cluster_id"], r["sub_id"]) for r in lvl2.collect()
+    }
+    book = {(r["cluster_id"], r["sub"]) for r in cents2.collect()}
+    # every SPLIT cell's blocks are covered by the recomposed book
+    # (cells never split at level 1 legitimately have no centroid
+    # rows — they carry the implicit sub 0 handled by the probe's
+    # left join)
+    cents1_cells = {r["cluster_id"] for r in cents1.collect()}
+    split_blocks = {b for b in blocks if b[0] in cents1_cells}
+    missing = split_blocks - book
+    assert not missing, f"codebook misses blocks: {sorted(missing)[:5]}"
+
+
+def test_ivf_one_level_search_ignores_sub_id(spark):
+    """Round-9 review finding: a split assignment searched WITHOUT a
+    sub_model must behave exactly like the unsplit assignment — the
+    corpus side may not key on sub ids the probe cannot produce."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train, ivf_topk
+    from gerrydb_etl_spark.operators.kmeans import (
+        quantize,
+        split_oversized_cells,
+    )
+    from gerrydb_etl_spark.sources import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    quant = quantize(corpus)
+    centroids, assigned = _train(quant, n_cells=4, iters=2)
+    split, subcents = split_oversized_cells(assigned, per_cell=30)
+    assert split.filter("sub_id > 0").count() > 0
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    plain = sorted(map(key, ivf_topk(
+        corpus, queries, k=3, n_cells=4, n_probe=2,
+        model=(assigned, centroids),
+    ).collect()))
+    one_level_on_split = sorted(map(key, ivf_topk(
+        corpus, queries, k=3, n_cells=4, n_probe=2,
+        model=(split, centroids),  # no sub_model
+    ).collect()))
+    assert one_level_on_split == plain
