@@ -62,6 +62,16 @@ _EXPOSURE_PRIORITY = [
     "validation_cross_row_consistency",
     "validation_type_violations",
     "zorder_layout",
+    # NEW in round 9 (never driver-sampled, must sit inside the ~50
+    # window): behavior analytics, the prefix-filtered exact
+    # set-similarity join, quantile feature normalization, and
+    # degree-ordered triangle counting.
+    "cohort_retention",
+    "event_transition_matrix",
+    "time_decayed_engagement",
+    "feature_quantile_norm",
+    "prefix_filter_jaccard",
+    "copurchase_triangles",
     # code touched in (or new in) round 9: the daves_enacted
     # plans-index walk (new query); hierarchical cell splitting
     # above the 512-cell cap touched the kmeans/IVF family

@@ -1,6 +1,7 @@
 """Import all query modules so their @query decorators populate REGISTRY."""
 
 from gerrydb_etl_spark.queries import (  # noqa: F401
+    behavior,
     clustering,
     config_queries,
     corpus_stats,
@@ -21,6 +22,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     resolution,
     retrieval,
     scale_queries,
+    setsim,
     sketches,
     sources_extra,
     store_queries,

@@ -113,6 +113,12 @@ EDGE_QUERIES = [
     "cdc_fuzzy_chunk_match",    # 1-chunk docs; empty-cset filter; twins
     "curriculum_packing",       # all docs fit one pack; empty-text doc
     "bpe_fertility_by_lang",    # 1-doc langs; single-char words
+    # round-9 late additions
+    "cohort_retention",         # all users cohorted on one day: offset 0 only
+    "event_transition_matrix",  # single-event user contributes no transition
+    "time_decayed_engagement",  # age-0 event at the reference instant
+    "feature_quantile_norm",    # 1-doc langs (cnt==1 guard); all-ties lang
+    "prefix_filter_jaccard",    # twin docs (J=1); empty text -> no shingles
 ]
 
 
@@ -213,13 +219,47 @@ def edge_rel_dir(tmp_path_factory):
         }
     )
     pq.write_table(emb, os.path.join(root, "embeddings.parquet"))
+
+    # lineitem: a 4-clique co-purchase graph (orders o1/o2 repeat the
+    # same 4-item basket, so all 6 edges have support 2) with one
+    # duplicated line inside o1 (in-basket dedup), an order whose new
+    # pairs have support 1 only (must be dropped), and a support-2
+    # edge in no triangle (its endpoints must be absent). All clique
+    # degrees tie at 3, exercising the orientation key tie-break.
+    import datetime as dt2
+
+    li_rows = [
+        (1, 1), (1, 1), (1, 2), (1, 3), (1, 4),
+        (2, 1), (2, 2), (2, 3), (2, 4),
+        (3, 1), (3, 2), (3, 5),
+        (4, 6), (4, 7),
+        (5, 6), (5, 7),
+    ]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in li_rows], pa.int64()),
+            "l_suppkey": pa.array([1] * len(li_rows), pa.int64()),
+            "l_linenumber": pa.array(range(1, len(li_rows) + 1), pa.int32()),
+            "l_quantity": pa.array([1.0] * len(li_rows), pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(li_rows), pa.float64()),
+            "l_discount": pa.array([0.0] * len(li_rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(li_rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(li_rows)),
+            "l_linestatus": pa.array(["O"] * len(li_rows)),
+            "l_shipdate": pa.array(
+                [dt2.datetime(2024, 1, 1)] * len(li_rows), pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(lineitem, os.path.join(root, "lineitem.parquet"))
     return root
 
 
 @pytest.fixture(scope="module")
 def edge_rel_duck(edge_rel_dir):
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "embeddings"):
+    for t in ("region", "nation", "customer", "embeddings", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{edge_rel_dir}/{t}.parquet'"
         )
@@ -231,6 +271,7 @@ EDGE_REL_QUERIES = [
     "daves_enacted_assignments",  # customer-less nation's plans vanish
     "locality_hierarchy_paths",   # empty region; single-nation chain
     "hierarchical_cells_assign",  # duplicate head run; exact-threshold cell
+    "copurchase_triangles",       # 4-clique, tied degrees, support-1 drop
 ]
 
 
@@ -239,6 +280,19 @@ def test_edge_rel_inputs_match_oracle(spark, edge_rel_dir, edge_rel_duck, name):
     spec = REGISTRY[name]
     df = spec.spark(spark, edge_rel_dir)
     assert_matches_oracle(df, edge_rel_duck, spec.oracle, f"edge:{name}")
+
+
+def test_edge_triangle_clique_semantics(spark, edge_rel_dir):
+    """Each 4-clique member sits in exactly C(3,2)=3 triangles; the
+    support-1 edges around part 5 close no triangle; the isolated
+    support-2 edge (6,7) contributes no output rows at all."""
+    rows = {
+        r["part"]: r["n_triangles"]
+        for r in REGISTRY["copurchase_triangles"]
+        .spark(spark, edge_rel_dir)
+        .collect()
+    }
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
 def test_edge_split_threshold_is_strict(spark, edge_rel_dir):

@@ -17,6 +17,12 @@ import __spark_entry__ as entry
 NEVER_SAMPLED = [
     "daves_enacted_assignments",
     "hierarchical_cells_assign",
+    "cohort_retention",
+    "event_transition_matrix",
+    "time_decayed_engagement",
+    "feature_quantile_norm",
+    "prefix_filter_jaccard",
+    "copurchase_triangles",
 ]
 
 # The 31 round-5-stale queries that open the round-9 window.
