@@ -94,11 +94,14 @@ def feature_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wr = W.partitionBy("lang").orderBy("n_chars")
     wc = W.partitionBy("lang")
+    # rank() is INT in Spark: the ppm product overflows int32 past
+    # ~2147 rows per language (caught by the sf1 slope harness under
+    # ANSI mode) — widen BEFORE the multiply
     windowed = docs.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.rank().over(wr).alias("rk"),
+        F.rank().over(wr).cast("long").alias("rk"),
         F.count("*").over(wc).alias("cnt"),
     )
     return windowed.select(
