@@ -72,6 +72,8 @@ _EXPOSURE_PRIORITY = [
     "feature_quantile_norm",
     "prefix_filter_jaccard",
     "copurchase_triangles",
+    "join_delta_maintenance",
+    "cluster_safe_split",
     # code touched in (or new in) round 9: the daves_enacted
     # plans-index walk (new query); hierarchical cell splitting
     # above the 512-cell cap touched the kmeans/IVF family
@@ -83,10 +85,14 @@ _EXPOSURE_PRIORITY = [
     # fixtures gained code-derivation tags (touches every staged
     # consumer — the staged writers themselves are value-identical,
     # so the representatives here are the model-staging consumers).
+    # (kmeans_train_assign was listed here until the session-2 new
+    # queries filled the window: its EXECUTED path — staged Lloyd at
+    # explicit k=8 — is unchanged by the round-9 kmeans additions,
+    # which live in split_oversized_cells / cells_for_corpus, neither
+    # of which it calls; it stays locally oracle-swept and r6-green.)
     "daves_enacted_assignments",
     "hierarchical_cells_assign",
     "semantic_dedup_survivors",
-    "kmeans_train_assign",
     "embedding_split_leakage",
     "semantic_decontam",
     "ivf_cosine_topk",

@@ -270,3 +270,84 @@ def cluster_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
+
+
+@query(
+    "cluster_safe_split",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH sh AS (
+            SELECT DISTINCT doc_id AS doc, s AS shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> array_to_string(t[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+        keyed AS (
+            SELECT doc, shingle FROM sh
+            WHERE shingle IN (SELECT shingle FROM sh
+                              GROUP BY shingle HAVING COUNT(*) <= 1000)
+        ),
+        cand AS (
+            SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS common
+            FROM keyed a JOIN keyed b ON a.shingle = b.shingle AND a.doc < b.doc
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2 FROM cand
+        JOIN sizes s1 ON s1.doc = d1 JOIN sizes s2 ON s2.doc = d2
+        WHERE common / (s1.n_sh + s2.n_sh - common) >= 0.8
+    ),
+    edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (SELECT node AS doc, MIN(r) AS cluster_rep FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+           CASE WHEN substr(md5(CAST(COALESCE(c.cluster_rep, d.doc_id)
+                                     AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(CAST(COALESCE(c.cluster_rep, d.doc_id)
+                                     AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+    """,
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash is
+    computed on the near-dup CLUSTER representative, not the doc id,
+    so every member of a Jaccard>=0.8 component lands in the same
+    split — the assignment-side fix for exactly the contamination
+    embedding_split_leakage AUDITS after the fact (a doc-level hash
+    split puts near-identical twins on both sides of the train/eval
+    fence). Same md5-first-hex-char policy as train_val_test_split
+    (<= 'b' train ~ 69%, <= 'd' val ~ 19%, else test), applied at
+    cluster granularity; singletons are their own representative.
+
+    Plan: staged (doc, cluster_rep) assignment left-joined onto the
+    corpus (same staged fixture the survivor-selection and closure
+    queries read — the closure is never recomputed here), then a
+    narrow md5 + CASE map. At 100 TB the join is one shuffle keyed
+    by doc_id, and the split policy stays pure expression — no
+    model state, no collect."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = staged_components(spark, sf_dir).withColumnRenamed(
+        "doc", "doc_id"
+    )
+    rep = F.coalesce("cluster_rep", "doc_id")
+    hc = F.substring(F.md5(rep.cast("string")), 1, 1)
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        rep.alias("cluster_rep"),
+        F.when(hc <= "b", F.lit("train"))
+        .when(hc <= "d", F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

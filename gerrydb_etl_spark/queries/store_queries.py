@@ -315,3 +315,67 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "join_delta_maintenance",
+    oracle=f"""
+    SELECT o_orderkey, l_linenumber, l_extendedprice,
+           CASE WHEN o_orderdate <  TIMESTAMP '{IVM_CUTOFF}'
+                 AND l_shipdate  <  TIMESTAMP '{IVM_CUTOFF}' THEN 'base'
+                WHEN o_orderdate >= TIMESTAMP '{IVM_CUTOFF}'
+                 AND l_shipdate  <  TIMESTAMP '{IVM_CUTOFF}' THEN 'delta_orders'
+                WHEN o_orderdate <  TIMESTAMP '{IVM_CUTOFF}'
+                 AND l_shipdate  >= TIMESTAMP '{IVM_CUTOFF}' THEN 'delta_lineitem'
+                ELSE 'delta_both' END AS term
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance by the delta algebra: with
+    base relations R, S and insert batches ΔR, ΔS,
+
+        Δ(R ⋈ S) = (ΔR ⋈ S) ∪ (R ⋈ ΔS) ∪ (ΔR ⋈ ΔS)
+
+    so refreshing a materialized join view touches delta-sized
+    inputs, never the full base re-join. The query derives the
+    orders⋈lineitem view THROUGH the four-term decomposition (each
+    row tagged with the term that produced it) and the oracle is the
+    monolithic full join with the terms re-derived from the cutoff
+    predicates — row-identical output iff the decomposition is
+    disjoint and exhaustive. This is the join complement of
+    incremental_agg_maintenance (the aggregation IVM above).
+
+    100 TB shape: the three delta terms join a batch-sized side
+    against a base side — broadcast the delta when batch-sized, and
+    with the base bucketed by the join key (store/bucketing.py) the
+    ΔR ⋈ S term is a zero-exchange colocated probe. The 'base' term
+    here exists only to reproduce the full view for the oracle; a
+    real maintainer persists it and computes ONLY the delta union.
+    """
+    cutoff = F.lit(IVM_CUTOFF).cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ob, od = (
+        orders.where(F.col("o_orderdate") < cutoff),
+        orders.where(F.col("o_orderdate") >= cutoff),
+    )
+    lb, ld = (
+        lineitem.where(F.col("l_shipdate") < cutoff),
+        lineitem.where(F.col("l_shipdate") >= cutoff),
+    )
+
+    def term(o: DataFrame, li: DataFrame, tag: str) -> DataFrame:
+        return o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.lit(tag).alias("term"),
+        )
+
+    return (
+        term(ob, lb, "base")
+        .unionByName(term(od, lb, "delta_orders"))
+        .unionByName(term(ob, ld, "delta_lineitem"))
+        .unionByName(term(od, ld, "delta_both"))
+    )

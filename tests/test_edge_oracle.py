@@ -119,6 +119,7 @@ EDGE_QUERIES = [
     "time_decayed_engagement",  # age-0 event at the reference instant
     "feature_quantile_norm",    # 1-doc langs (cnt==1 guard); all-ties lang
     "prefix_filter_jaccard",    # twin docs (J=1); empty text -> no shingles
+    "cluster_safe_split",       # twin docs share a split; singleton reps
 ]
 
 
@@ -228,12 +229,21 @@ def edge_rel_dir(tmp_path_factory):
     # degrees tie at 3, exercising the orientation key tie-break.
     import datetime as dt2
 
+    # shipdates straddle the IVM cutoff (1996-01-01): order 1's lines
+    # are pre-cutoff (base x base), order 2's pre-cutoff lines under a
+    # post-cutoff order (delta_orders), order 4's post-cutoff lines
+    # under a pre-cutoff order (delta_lineitem), order 5 post x post
+    # (delta_both), order 3 mixed — plus one line EXACTLY AT the
+    # cutoff instant (>= rule: delta side).
+    pre = dt2.datetime(1995, 6, 1)
+    post = dt2.datetime(1997, 6, 1)
+    at_cutoff = dt2.datetime(1996, 1, 1)
     li_rows = [
-        (1, 1), (1, 1), (1, 2), (1, 3), (1, 4),
-        (2, 1), (2, 2), (2, 3), (2, 4),
-        (3, 1), (3, 2), (3, 5),
-        (4, 6), (4, 7),
-        (5, 6), (5, 7),
+        (1, 1, pre), (1, 1, pre), (1, 2, pre), (1, 3, pre), (1, 4, pre),
+        (2, 1, pre), (2, 2, pre), (2, 3, pre), (2, 4, pre),
+        (3, 1, pre), (3, 2, at_cutoff), (3, 5, post),
+        (4, 6, post), (4, 7, post),
+        (5, 6, post), (5, 7, post),
     ]
     lineitem = pa.table(
         {
@@ -242,24 +252,51 @@ def edge_rel_dir(tmp_path_factory):
             "l_suppkey": pa.array([1] * len(li_rows), pa.int64()),
             "l_linenumber": pa.array(range(1, len(li_rows) + 1), pa.int32()),
             "l_quantity": pa.array([1.0] * len(li_rows), pa.float64()),
-            "l_extendedprice": pa.array([1.0] * len(li_rows), pa.float64()),
+            "l_extendedprice": pa.array(
+                [float(i) for i in range(1, len(li_rows) + 1)], pa.float64()
+            ),
             "l_discount": pa.array([0.0] * len(li_rows), pa.float64()),
             "l_tax": pa.array([0.0] * len(li_rows), pa.float64()),
             "l_returnflag": pa.array(["N"] * len(li_rows)),
             "l_linestatus": pa.array(["O"] * len(li_rows)),
             "l_shipdate": pa.array(
-                [dt2.datetime(2024, 1, 1)] * len(li_rows), pa.timestamp("us")
+                [r[2] for r in li_rows], pa.timestamp("us")
             ),
         }
     )
     pq.write_table(lineitem, os.path.join(root, "lineitem.parquet"))
+
+    # orders: o2 sits EXACTLY at the cutoff (>= rule puts it in the
+    # delta batch); o1/o4 are base, o3/o5 delta; o6 matches no lines
+    # (inner join must drop it identically in both engines).
+    o_rows = [
+        (1, dt2.datetime(1995, 12, 31)),
+        (2, at_cutoff),
+        (3, dt2.datetime(1997, 1, 1)),
+        (4, dt2.datetime(1995, 1, 1)),
+        (5, dt2.datetime(1996, 6, 1)),
+        (6, dt2.datetime(1995, 3, 1)),
+    ]
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in o_rows], pa.int64()),
+            "o_custkey": pa.array([1] * len(o_rows), pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(o_rows)),
+            "o_totalprice": pa.array([1.0] * len(o_rows), pa.float64()),
+            "o_orderdate": pa.array(
+                [r[1] for r in o_rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(o_rows)),
+        }
+    )
+    pq.write_table(orders, os.path.join(root, "orders.parquet"))
     return root
 
 
 @pytest.fixture(scope="module")
 def edge_rel_duck(edge_rel_dir):
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "embeddings", "lineitem"):
+    for t in ("region", "nation", "customer", "embeddings", "lineitem", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{edge_rel_dir}/{t}.parquet'"
         )
@@ -272,6 +309,7 @@ EDGE_REL_QUERIES = [
     "locality_hierarchy_paths",   # empty region; single-nation chain
     "hierarchical_cells_assign",  # duplicate head run; exact-threshold cell
     "copurchase_triangles",       # 4-clique, tied degrees, support-1 drop
+    "join_delta_maintenance",     # order/line EXACTLY at the cutoff; no-line order
 ]
 
 

@@ -23,6 +23,8 @@ NEVER_SAMPLED = [
     "feature_quantile_norm",
     "prefix_filter_jaccard",
     "copurchase_triangles",
+    "join_delta_maintenance",
+    "cluster_safe_split",
 ]
 
 # The 31 round-5-stale queries that open the round-9 window.
@@ -66,7 +68,9 @@ TOUCHED = [
     "daves_enacted_assignments",
     "hierarchical_cells_assign",
     "semantic_dedup_survivors",
-    "kmeans_train_assign",
+    # kmeans_train_assign: dropped from the window when the session-2
+    # additions filled it — its executed path (staged Lloyd, explicit
+    # k=8) is untouched by the round-9 kmeans changes
     "embedding_split_leakage",
     "semantic_decontam",
     "ivf_cosine_topk",
