@@ -74,6 +74,9 @@ _EXPOSURE_PRIORITY = [
     "copurchase_triangles",
     "join_delta_maintenance",
     "cluster_safe_split",
+    "table_profile_stats",
+    "fk_integrity_audit",
+    "clustering_coefficient",
     # code touched in (or new in) round 9: the daves_enacted
     # plans-index walk (new query); hierarchical cell splitting
     # above the 512-cell cap touched the kmeans/IVF family
@@ -95,12 +98,19 @@ _EXPOSURE_PRIORITY = [
     "semantic_dedup_survivors",
     "embedding_split_leakage",
     "semantic_decontam",
-    "ivf_cosine_topk",
+    # (three more touched-block drops when the session-2 additions
+    # filled the 50-window, each with unchanged-or-unit-covered
+    # executed semantics: ivf_cosine_topk — the r9 IVF-keying change
+    # is oracle-checked through its stronger twin ivf_verify, kept
+    # below, while the production plan's driver check is rows-only
+    # anyway; dsir_importance_weights — staged-tag-only touch,
+    # value-identical restage, the staged-tag change is represented
+    # by the four model-staging consumers above; curriculum_packing —
+    # its ids.py touch is the NULL-weight guard, unreachable for its
+    # never-NULL token-count weights and pinned by unit test.)
     "ivf_verify",
     "bigram_surprisal_filter",
     "geo_union_centroid",
-    "dsir_importance_weights",
-    "curriculum_packing",
     # stalest refill, oldest-first: round-6 rows
     "bm25_scoring",
     "bucketed_colocated_join",

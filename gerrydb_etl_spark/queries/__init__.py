@@ -18,6 +18,7 @@ from gerrydb_etl_spark.queries import (  # noqa: F401
     llm_text,
     lm_quality,
     passages,
+    profiling,
     relational,
     resolution,
     retrieval,

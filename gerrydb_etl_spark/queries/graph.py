@@ -140,13 +140,32 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-way join spells. The per-order pair expansion is bounded by
     items-per-order (≤ 7 in TPC-H shape, bounded in any basket
     model), never a cross-corpus product."""
+    return triangle_counts(_copurchase_edges(spark, sf_dir)).select(
+        F.col("node").alias("part"), "n_triangles"
+    )
+
+
+_EDGES_CTE = f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    )"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-filtered co-purchase edges (u < v). One wide shuffle
+    builds the per-order item sets (collect_list + array_distinct
+    dedups repeat lines in-bucket — no separate distinct shuffle),
+    then the C(n,2) pair explosion is narrow (bucket_pairs' kernel
+    shape, bounded by items-per-order)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    # One wide shuffle builds the per-order item sets (collect_list +
-    # array_distinct dedups repeat lines in-bucket — no separate
-    # distinct shuffle), then the C(n,2) pair explosion is narrow
-    # (bucket_pairs' kernel shape, bounded by items-per-order).
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias(
             "ps"
@@ -161,13 +180,76 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    edges = (
+    return (
         baskets.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= MIN_SUPPORT)
         .select("u", "v")
     )
-    return triangle_counts(edges).select(
-        F.col("node").alias("part"), "n_triangles"
+
+
+@query(
+    "clustering_coefficient",
+    oracle=_EDGES_CTE
+    + """,
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ),
+    t AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tc AS (
+        SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([a, b, c]) AS part FROM t)
+        GROUP BY part
+    )
+    SELECT node AS part, deg,
+           COALESCE(n_triangles, 0) AS n_triangles,
+           CASE WHEN deg < 2 THEN 0
+                ELSE (1000000 * 2 * COALESCE(n_triangles, 0))
+                     // (deg * (deg - 1)) END AS cc_ppm
+    FROM deg LEFT JOIN tc ON node = part
+    """,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part in the support-filtered
+    co-purchase graph: cc = 2T / (deg·(deg−1)) as integer ppm — the
+    'how clique-like is this product's neighborhood' signal basket
+    analysis ranks on, and the per-node companion of the global
+    transitivity ratio. Every node of the graph is reported (zero
+    triangles ⇒ cc 0), unlike copurchase_triangles' triangle-members
+    view. The edge set is localCheckpoint-ed once so the degree
+    count and the triangle operator (which persists internally) both
+    read materialized edges rather than re-running the basket
+    explosion."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    tc = triangle_counts(edges).withColumnRenamed("node", "part")
+    n_tri = F.coalesce("n_triangles", F.lit(0))
+    return (
+        deg.join(tc, deg.node == tc.part, "left")
+        .select(
+            F.col("node").alias("part"),
+            "deg",
+            n_tri.alias("n_triangles"),
+            F.when(F.col("deg") < 2, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(1000000 * 2 * coalesce(n_triangles, 0))"
+                    " div (deg * (deg - 1))"
+                )
+            )
+            .alias("cc_ppm"),
+        )
     )

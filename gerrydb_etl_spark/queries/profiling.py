@@ -1,0 +1,186 @@
+"""Data-profiling / integrity-audit queries: the statistics a table
+loader collects for optimizer CBO feed and load-time QA.
+
+table_profile_stats is the ANALYZE-TABLE shape: per-column null
+counts, exact distinct counts, and canonical min/max — ONE scan of
+the table (the multi-countDistinct compiles to a single Expand +
+aggregate, not one pass per column). fk_integrity_audit is the
+cross-TABLE complement of the §2.11 validation family: referential
+orphan counts for every foreign key in the TPC-H-ish schema, the
+check a versioned-store loader runs before publishing a batch
+(store/wap.py's write-audit-publish audit hook is exactly where it
+would sit).
+
+Float discipline: double min/max are canonicalized to integer cents
+(floor(v*100 + 0.5) — monotone, so min/max commute with the
+mapping) and distinct counts run on the same canonical value, so
+every output cell is integer- or string-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+# (column, kind) — kind picks the canonicalization
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _canon(name: str, kind: str) -> Column:
+    c = F.col(name)
+    if kind == "cents":
+        return F.floor(c * 100 + F.lit(0.5)).cast("long")
+    return c
+
+
+def _fmt(col: Column, kind: str) -> Column:
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    return col.cast("string")
+
+
+def _profile_oracle() -> str:
+    aggs, rows = ["COUNT(*) AS n_rows"], []
+    for i, (name, kind) in enumerate(_PROFILE_COLS):
+        v = (
+            f"CAST(floor({name} * 100 + 0.5) AS BIGINT)"
+            if kind == "cents"
+            else name
+        )
+        mn, mx = f"MIN({v})", f"MAX({v})"
+        if kind == "ts":
+            mn = f"strftime({mn}, '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime({mx}, '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"CAST({mn} AS VARCHAR)", f"CAST({mx} AS VARCHAR)"
+        aggs += [
+            f"COUNT({v}) AS c{i}",
+            f"COUNT(DISTINCT {v}) AS d{i}",
+            f"{mn} AS mn{i}",
+            f"{mx} AS mx{i}",
+        ]
+        rows.append(
+            f"SELECT '{name}' AS column_name, n_rows,"
+            f" n_rows - c{i} AS n_nulls, d{i} AS n_distinct,"
+            f" mn{i} AS min_val, mx{i} AS max_val FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("table_profile_stats", oracle=_profile_oracle())
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of `orders` — null count, EXACT distinct
+    count, canonical min/max — in one scan: the multiple
+    COUNT(DISTINCT) aggregates compile to a single Expand (one
+    projection per distinct column) feeding one aggregation, so the
+    table is read once however many columns are profiled. At 100 TB
+    the exact distinct counts are the expensive term (the Expand
+    multiplies rows by the column count); production profiling swaps
+    them for approx_count_distinct sketches one column at a time —
+    the exact spelling here is what makes the oracle a value-hash
+    gate rather than a tolerance verdict."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, (name, kind) in enumerate(_PROFILE_COLS):
+        v = _canon(name, kind)
+        aggs += [
+            F.count(v).alias(f"c{i}"),
+            F.countDistinct(v).alias(f"d{i}"),
+            _fmt(F.min(v), kind).alias(f"mn{i}"),
+            _fmt(F.max(v), kind).alias(f"mx{i}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', n_rows - c{i}, d{i}, mn{i}, mx{i}"
+        for i, (name, _) in enumerate(_PROFILE_COLS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"
+    )
+
+
+# (relationship tag, child table, child key, parent table, parent key)
+_FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for tag, child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{tag}' AS relationship,
+           COUNT(*) AS n_child_rows,
+           COALESCE(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0)
+               AS n_orphans,
+           COUNT(DISTINCT CASE WHEN p.{pk} IS NULL THEN c.{ck} END)
+               AS n_orphan_keys
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{ck} = p.{pk}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("fk_integrity_audit", oracle=_fk_oracle())
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge in the
+    schema: child row count, orphan row count, and distinct orphan
+    key count per relationship — the pre-publish QA gate a bulk
+    loader runs inside the write-audit-publish transaction. Each
+    edge is one left join of the child's key column against the
+    parent's distinct keys (dimension sides broadcast under AQE;
+    the two fact-side edges shuffle on the key, which is the join
+    the load itself already performs) followed by a single-row
+    aggregate; the six branches union to a 6-row report."""
+    out = None
+    for tag, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("ck"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        orphan = F.col("pk").isNull()
+        branch = (
+            c.join(p, F.col("ck") == F.col("pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.coalesce(
+                    F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias("n_orphans"),
+                F.countDistinct(F.when(orphan, F.col("ck"))).alias(
+                    "n_orphan_keys"
+                ),
+            )
+            .select(
+                F.lit(tag).alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+                "n_orphan_keys",
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -269,34 +269,67 @@ def edge_rel_dir(tmp_path_factory):
     # orders: o2 sits EXACTLY at the cutoff (>= rule puts it in the
     # delta batch); o1/o4 are base, o3/o5 delta; o6 matches no lines
     # (inner join must drop it identically in both engines).
+    # o7 has NULL custkey / NULL totalprice and no lines: profiles
+    # must count the nulls, the FK audit counts a NULL FK as an
+    # orphan ROW but never an orphan KEY (COUNT(DISTINCT NULL) = 0 in
+    # both engines), and the IVM inner join drops it identically.
     o_rows = [
-        (1, dt2.datetime(1995, 12, 31)),
-        (2, at_cutoff),
-        (3, dt2.datetime(1997, 1, 1)),
-        (4, dt2.datetime(1995, 1, 1)),
-        (5, dt2.datetime(1996, 6, 1)),
-        (6, dt2.datetime(1995, 3, 1)),
+        (1, 1, 1.005, dt2.datetime(1995, 12, 31)),
+        (2, 1, 2.0, at_cutoff),
+        (3, 1, 3.0, dt2.datetime(1997, 1, 1)),
+        (4, 1, 4.0, dt2.datetime(1995, 1, 1)),
+        (5, 99, 5.0, dt2.datetime(1996, 6, 1)),
+        (6, 1, 6.0, dt2.datetime(1995, 3, 1)),
+        (7, None, None, dt2.datetime(1995, 3, 1)),
     ]
     orders = pa.table(
         {
             "o_orderkey": pa.array([r[0] for r in o_rows], pa.int64()),
-            "o_custkey": pa.array([1] * len(o_rows), pa.int64()),
+            "o_custkey": pa.array([r[1] for r in o_rows], pa.int64()),
             "o_orderstatus": pa.array(["O"] * len(o_rows)),
-            "o_totalprice": pa.array([1.0] * len(o_rows), pa.float64()),
+            "o_totalprice": pa.array(
+                [r[2] for r in o_rows], pa.float64()
+            ),
             "o_orderdate": pa.array(
-                [r[1] for r in o_rows], pa.timestamp("us")
+                [r[3] for r in o_rows], pa.timestamp("us")
             ),
             "o_orderpriority": pa.array(["1-URGENT"] * len(o_rows)),
         }
     )
     pq.write_table(orders, os.path.join(root, "orders.parquet"))
+
+    # supplier 2 only: every lineitem references supplier 1 -> all 16
+    # child rows orphaned but just ONE distinct orphan key. parts
+    # 1..5: lineitem parts 6/7 orphaned. customer 99 (order 5) is an
+    # orphan custkey.
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([2], pa.int64()),
+            "s_name": pa.array(["s2"]),
+            "s_nationkey": pa.array([0], pa.int32()),
+            "s_acctbal": pa.array([0.0], pa.float64()),
+        }
+    )
+    pq.write_table(supplier, os.path.join(root, "supplier.parquet"))
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "p_name": pa.array([f"p{i}" for i in range(1, 6)]),
+            "p_brand": pa.array(["B"] * 5),
+            "p_type": pa.array(["T"] * 5),
+            "p_size": pa.array([1] * 5, pa.int32()),
+            "p_retailprice": pa.array([1.0] * 5, pa.float64()),
+        }
+    )
+    pq.write_table(part, os.path.join(root, "part.parquet"))
     return root
 
 
 @pytest.fixture(scope="module")
 def edge_rel_duck(edge_rel_dir):
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "embeddings", "lineitem", "orders"):
+    for t in ("region", "nation", "customer", "embeddings", "lineitem",
+              "orders", "supplier", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{edge_rel_dir}/{t}.parquet'"
         )
@@ -310,6 +343,9 @@ EDGE_REL_QUERIES = [
     "hierarchical_cells_assign",  # duplicate head run; exact-threshold cell
     "copurchase_triangles",       # 4-clique, tied degrees, support-1 drop
     "join_delta_maintenance",     # order/line EXACTLY at the cutoff; no-line order
+    "table_profile_stats",        # NULL custkey/totalprice; sub-cent boundary
+    "fk_integrity_audit",         # orphan rows vs orphan keys; NULL-FK row
+    "clustering_coefficient",     # 4-clique cc=1e6; degree-1 pair cc=0
 ]
 
 
