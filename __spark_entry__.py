@@ -77,6 +77,8 @@ _EXPOSURE_PRIORITY = [
     "table_profile_stats",
     "fk_integrity_audit",
     "clustering_coefficient",
+    "scd2_pointintime_join",
+    "bucket_checksum_diff",
     # code touched in (or new in) round 9: the daves_enacted
     # plans-index walk (new query); hierarchical cell splitting
     # above the 512-cell cap touched the kmeans/IVF family
@@ -97,7 +99,13 @@ _EXPOSURE_PRIORITY = [
     "hierarchical_cells_assign",
     "semantic_dedup_survivors",
     "embedding_split_leakage",
-    "semantic_decontam",
+    # (semantic_decontam and geo_union_centroid yielded their slots
+    # to the last session-2 additions: semantic_decontam consumes the
+    # SAME staged-IVF probe machinery as embedding_split_leakage,
+    # kept below, and geo_union_centroid's round-9 change is an
+    # error-path overlap guard plus an opt-in dissolve — the
+    # registered query's output is value-identical and the new paths
+    # are pinned by the tests/test_geo.py overlap battery.)
     # (three more touched-block drops when the session-2 additions
     # filled the 50-window, each with unchanged-or-unit-covered
     # executed semantics: ivf_cosine_topk — the r9 IVF-keying change
@@ -110,7 +118,6 @@ _EXPOSURE_PRIORITY = [
     # never-NULL token-count weights and pinned by unit test.)
     "ivf_verify",
     "bigram_surprisal_filter",
-    "geo_union_centroid",
     # stalest refill, oldest-first: round-6 rows
     "bm25_scoring",
     "bucketed_colocated_join",

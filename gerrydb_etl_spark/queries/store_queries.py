@@ -9,7 +9,7 @@ re-priced open orders at v2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.queries.base import query
@@ -378,4 +378,197 @@ def join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(term(od, lb, "delta_orders"))
         .unionByName(term(ob, ld, "delta_lineitem"))
         .unionByName(term(od, ld, "delta_both"))
+    )
+
+
+@query(
+    "scd2_pointintime_join",
+    oracle="""
+    WITH f AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(1 + l_linenumber % 2 AS BIGINT) AS as_of_version
+        FROM lineitem
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.as_of_version,
+           CAST(CASE WHEN f.as_of_version = 2 AND o_orderstatus = 'O'
+                     THEN 2 ELSE 1 END AS BIGINT) AS dim_version,
+           CAST(CASE WHEN f.as_of_version = 2 AND o_orderstatus = 'O'
+                     THEN o_totalprice + 100.0
+                     ELSE o_totalprice END AS DOUBLE) AS price
+    FROM f JOIN orders ON o_orderkey = f.l_orderkey
+    """,
+)
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (bitemporal) fact→dimension lookup: each fact
+    row carries an as-of version and must see the dimension row
+    whose [valid_from, valid_to) interval covers it — THE warehouse
+    join over an SCD-2 dimension. Spelled as the union-and-carry
+    as-of join (operators/asof.py): one shuffle on (key, version),
+    never a per-fact interval probe — because SCD-2 rows tile the
+    version axis per key, "covering interval" ≡ "greatest
+    valid_from ≤ as_of", which is exactly as-of semantics. Facts
+    alternate as-of 1/2 by line number so both the original and the
+    re-priced dimension versions are exercised; the oracle states
+    the lookup in closed form from the base table. At 100 TB the
+    dimension's version rows ride the same key-partitioned shuffle
+    as the facts — no broadcast of a version table, no range join
+    explosion."""
+    state1 = scd2_merge(
+        empty_versioned(_batch1(spark, sf_dir)),
+        _batch1(spark, sf_dir),
+        ["o_orderkey"],
+        version=1,
+    )
+    dim = scd2_merge(state1, _batch2(spark, sf_dir), ["o_orderkey"], version=2)
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        (1 + F.col("l_linenumber") % 2).cast("long").alias("as_of_version"),
+    )
+    from gerrydb_etl_spark.operators.asof import asof_join
+
+    joined = asof_join(
+        facts,
+        dim.select(
+            "o_orderkey",
+            F.col("valid_from").alias("as_of_version"),
+            "price",
+            F.col("valid_from").alias("dim_version"),
+        ),
+        key="o_orderkey",
+        ts="as_of_version",
+        right_value_cols=["price", "dim_version"],
+        how="inner",
+    )
+    return joined.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "l_linenumber",
+        "as_of_version",
+        F.col("asof_dim_version").cast("long").alias("dim_version"),
+        F.col("asof_price").alias("price"),
+    )
+
+
+CHECKSUM_BUCKETS = 512
+_DEL_MOD, _UPD_MOD = 97, 211
+_HASH_MASK_31 = (1 << 31) - 1
+
+
+def _row_sig(key: Column, cents: Column) -> Column:
+    """62-bit engine-portable row signature over 'key|cents' (the
+    portable polynomial family of operators/dedup.py, inlined over a
+    derived string rather than a token column)."""
+    s = F.concat_ws(
+        "|", key.cast("string"), F.coalesce(cents, F.lit(-1)).cast("string")
+    )
+    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        codes,
+        F.struct(zero.alias("a1"), zero.alias("a2")),
+        lambda acc, c: F.struct(
+            (acc["a1"] * 131 + c).bitwiseAND(F.lit(_HASH_MASK_31)).alias("a1"),
+            (acc["a2"] * 137 + c).bitwiseAND(F.lit(_HASH_MASK_31)).alias("a2"),
+        ),
+        lambda acc: acc["a1"] * (1 << 31) + acc["a2"],
+    )
+
+
+def _checksum_oracle() -> str:
+    sig = (
+        "list_reduce(list_transform(range(length(s)),"
+        " i -> ascii(s[i+1])::BIGINT),"
+        f" (a,c) -> (a*131+c) & {_HASH_MASK_31})"
+        f" * {1 << 31} + "
+        "list_reduce(list_transform(range(length(s)),"
+        " i -> ascii(s[i+1])::BIGINT),"
+        f" (a,c) -> (a*137+c) & {_HASH_MASK_31})"
+    )
+    row = (
+        "SELECT o_orderkey % {nb} AS bucket, concat_ws('|',"
+        " CAST(o_orderkey AS VARCHAR), CAST(COALESCE("
+        "CAST(floor((o_totalprice {price}) * 100 + 0.5) AS BIGINT), -1)"
+        " AS VARCHAR)) AS s FROM orders {where}"
+    )
+    v1 = row.format(nb=CHECKSUM_BUCKETS, price="", where="")
+    v2 = row.format(
+        nb=CHECKSUM_BUCKETS,
+        price=f"+ CASE WHEN o_orderkey % {_UPD_MOD} = 0 THEN 100.0"
+        " ELSE 0.0 END",
+        where=f"WHERE o_orderkey % {_DEL_MOD} != 0",
+    )
+    return f"""
+    WITH b1 AS (
+        SELECT bucket, COUNT(*) AS n_base, bit_xor({sig}) AS x_base
+        FROM ({v1}) GROUP BY bucket
+    ),
+    b2 AS (
+        SELECT bucket, COUNT(*) AS n_new, bit_xor({sig}) AS x_new
+        FROM ({v2}) GROUP BY bucket
+    )
+    SELECT bucket,
+           COALESCE(n_base, 0) AS n_base, COALESCE(n_new, 0) AS n_new,
+           NOT (COALESCE(n_base, 0) = COALESCE(n_new, 0)
+                AND COALESCE(x_base, 0) = COALESCE(x_new, 0)) AS is_dirty
+    FROM b1 FULL OUTER JOIN b2 USING (bucket)
+    """
+
+
+@query("bucket_checksum_diff", oracle=_checksum_oracle())
+def bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy table diff: two snapshot versions
+    (the new one re-prices every {UPD_MOD}-th order and deletes every
+    {DEL_MOD}-th) are each reduced to O(buckets) (count, XOR of a
+    62-bit portable row signature) pairs, and only the compared
+    CHECKSUMS cross the wire — the replication-repair primitive that
+    finds which key ranges of a 100 TB replica diverged without
+    shipping or row-joining either side. XOR is the right fold:
+    order-insensitive, overflow-free, and incrementally maintainable
+    (a row update is two XORs). Dirty buckets then recurse (or hand
+    off to the row-level snapshot_diff, registered above). The
+    per-version plan is one map-side-combined groupBy on a derived
+    bucket id; the final full-outer join is buckets-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    upd = F.floor(
+        (F.col("o_totalprice")
+         + F.when(F.col("o_orderkey") % _UPD_MOD == 0, F.lit(100.0))
+         .otherwise(F.lit(0.0))) * 100 + F.lit(0.5)
+    ).cast("long")
+
+    def digest(df: DataFrame, cents_col: Column, n_name: str, x_name: str):
+        return (
+            df.select(
+                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+                _row_sig(F.col("o_orderkey"), cents_col).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                F.expr("bit_xor(h)").alias(x_name),
+            )
+        )
+
+    b1 = digest(orders, cents, "n_base", "x_base")
+    b2 = digest(
+        orders.where(F.col("o_orderkey") % _DEL_MOD != 0),
+        upd,
+        "n_new",
+        "x_new",
+    )
+    n_base = F.coalesce("n_base", F.lit(0).cast("long"))
+    n_new = F.coalesce("n_new", F.lit(0).cast("long"))
+    return b1.join(b2, "bucket", "full").select(
+        "bucket",
+        n_base.alias("n_base"),
+        n_new.alias("n_new"),
+        (
+            ~(
+                (n_base == n_new)
+                & (
+                    F.coalesce("x_base", F.lit(0))
+                    == F.coalesce("x_new", F.lit(0))
+                )
+            )
+        ).alias("is_dirty"),
     )

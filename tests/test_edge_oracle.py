@@ -346,6 +346,8 @@ EDGE_REL_QUERIES = [
     "table_profile_stats",        # NULL custkey/totalprice; sub-cent boundary
     "fk_integrity_audit",         # orphan rows vs orphan keys; NULL-FK row
     "clustering_coefficient",     # 4-clique cc=1e6; degree-1 pair cc=0
+    "scd2_pointintime_join",      # every fact version against a tiny dim
+    "bucket_checksum_diff",       # NULL-price row exercises the sentinel
 ]
 
 

@@ -28,6 +28,8 @@ NEVER_SAMPLED = [
     "table_profile_stats",
     "fk_integrity_audit",
     "clustering_coefficient",
+    "scd2_pointintime_join",
+    "bucket_checksum_diff",
 ]
 
 # The 31 round-5-stale queries that open the round-9 window.
@@ -75,15 +77,14 @@ TOUCHED = [
     # additions filled it — its executed path (staged Lloyd, explicit
     # k=8) is untouched by the round-9 kmeans changes
     "embedding_split_leakage",
-    "semantic_decontam",
-    # ivf_cosine_topk / dsir_importance_weights / curriculum_packing:
+    # semantic_decontam / geo_union_centroid (late) and ivf_cosine_topk
+    # / dsir_importance_weights / curriculum_packing:
     # dropped from the window when the session-2 additions filled it
     # (see the rationale block in __spark_entry__.py) — the IVF change
     # is oracle-checked through ivf_verify; the other two touches are
     # value-identical restages / unreachable-guard fixes, unit-pinned.
     "ivf_verify",
     "bigram_surprisal_filter",
-    "geo_union_centroid",
     "locality_hierarchy_paths",
 ]
 
