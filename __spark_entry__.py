@@ -79,6 +79,7 @@ _EXPOSURE_PRIORITY = [
     "clustering_coefficient",
     "scd2_pointintime_join",
     "bucket_checksum_diff",
+    "orders_stream_checksum",
     # code touched in (or new in) round 9: the daves_enacted
     # plans-index walk (new query); hierarchical cell splitting
     # above the 512-cell cap touched the kmeans/IVF family
@@ -117,7 +118,12 @@ _EXPOSURE_PRIORITY = [
     # its ids.py touch is the NULL-weight guard, unreachable for its
     # never-NULL token-count weights and pinned by unit test.)
     "ivf_verify",
-    "bigram_surprisal_filter",
+    # (bigram_surprisal_filter yielded the final slot to
+    # orders_stream_checksum: its round-9 change is the automatic
+    # broadcast-vs-salted selection, which at every driver scale
+    # resolves to the SAME broadcast plan it ran green in r8 — the
+    # salted path it can newly choose is pinned row-identical by
+    # test_bigram_salted_prefix_join_matches_unsalted.)
     # stalest refill, oldest-first: round-6 rows
     "bm25_scoring",
     "bucketed_colocated_join",

@@ -455,23 +455,16 @@ _HASH_MASK_31 = (1 << 31) - 1
 
 
 def _row_sig(key: Column, cents: Column) -> Column:
-    """62-bit engine-portable row signature over 'key|cents' (the
-    portable polynomial family of operators/dedup.py, inlined over a
-    derived string rather than a token column)."""
+    """62-bit engine-portable row signature over 'key|cents' — the
+    portable polynomial fold of operators/dedup.py
+    (portable_token_hash works on any string column) applied to a
+    derived row string rather than a token."""
+    from gerrydb_etl_spark.operators.dedup import portable_token_hash
+
     s = F.concat_ws(
         "|", key.cast("string"), F.coalesce(cents, F.lit(-1)).cast("string")
     )
-    codes = F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long"))
-    zero = F.lit(0).cast("long")
-    return F.aggregate(
-        codes,
-        F.struct(zero.alias("a1"), zero.alias("a2")),
-        lambda acc, c: F.struct(
-            (acc["a1"] * 131 + c).bitwiseAND(F.lit(_HASH_MASK_31)).alias("a1"),
-            (acc["a2"] * 137 + c).bitwiseAND(F.lit(_HASH_MASK_31)).alias("a2"),
-        ),
-        lambda acc: acc["a1"] * (1 << 31) + acc["a2"],
-    )
+    return portable_token_hash(s)
 
 
 def _checksum_oracle() -> str:
@@ -572,3 +565,70 @@ def bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_dirty"),
     )
+
+
+def _checksum_base_oracle() -> str:
+    sig = (
+        "list_reduce(list_transform(range(length(s)),"
+        " i -> ascii(s[i+1])::BIGINT),"
+        f" (a,c) -> (a*131+c) & {_HASH_MASK_31})"
+        f" * {1 << 31} + "
+        "list_reduce(list_transform(range(length(s)),"
+        " i -> ascii(s[i+1])::BIGINT),"
+        f" (a,c) -> (a*137+c) & {_HASH_MASK_31})"
+    )
+    return f"""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor({sig}) AS checksum
+    FROM (
+        SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+               concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                   CAST(COALESCE(CAST(floor(o_totalprice * 100 + 0.5)
+                                      AS BIGINT), -1) AS VARCHAR)) AS s
+        FROM orders
+    )
+    GROUP BY bucket
+    """
+
+
+@query("orders_stream_checksum", oracle=_checksum_base_oracle())
+def orders_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the anti-entropy bucket checksums
+    (streaming/stream.py run_stream_checksum): orders arrive in four
+    deterministic key-range micro-batches; each epoch reduces its
+    rows to per-bucket (count, XOR-of-row-signature) partials under
+    an epoch-idempotent commit, and the table state is the
+    bucket-wise merge of committed partials. Matching the
+    batch-computed oracle bit for bit proves the checksum pair
+    (COUNT, XOR) is losslessly mergeable across micro-batches — the
+    incremental-maintenance property the batch bucket_checksum_diff
+    relies on. Epoch partials are O(buckets) rows; no data row is
+    ever re-read."""
+    import shutil
+    import tempfile
+
+    def digest(batch_df: DataFrame) -> DataFrame:
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        )
+        return (
+            batch_df.select(
+                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+                _row_sig(F.col("o_orderkey"), cents).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+            )
+        )
+
+    from gerrydb_etl_spark.streaming.stream import run_stream_checksum
+
+    root = tempfile.mkdtemp(prefix="orders_checksum_stream_")
+    try:
+        out = run_stream_checksum(spark, sf_dir, root, digest)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -999,3 +999,127 @@ def run_stream_vector_index(
     return reduce(
         DataFrame.unionByName, [spark.read.parquet(d) for d in committed]
     )
+
+
+def _stage_orders_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Stage the orders table as ``n_batches`` single-file parquets
+    holding ascending o_orderkey ranges with ascending mtimes — the
+    deterministic micro-batch recipe of _stage_emb_batches. Caller
+    owns cleanup."""
+    import glob
+    import time
+
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo0, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    if hi is None:
+        raise ValueError(
+            f"orders table is empty — no micro-batches to stage from {sf_dir!r}"
+        )
+    width = max(1, (hi - lo0 + n_batches) // n_batches)
+    stage = tempfile.mkdtemp(prefix="orders_stream_")
+    t0 = time.time() - 3600
+    for i in range(n_batches):
+        lo = lo0 + i * width
+        up = lo0 + (i + 1) * width if i < n_batches - 1 else hi + 1
+        tmp = tempfile.mkdtemp(prefix="orders_batch_")
+        (
+            orders.where(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < up)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, f"b{i:03d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dest, (t0 + i, t0 + i))
+    return stage
+
+
+def run_stream_checksum(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    digest: Callable[[DataFrame], DataFrame],
+    n_batches: int = 4,
+) -> DataFrame:
+    """Streaming anti-entropy checksum maintenance: order rows arrive
+    in micro-batches; each epoch reduces ITS rows to per-bucket
+    (n, xor-of-row-signature) partials via ``digest`` and commits
+    them under an epoch-idempotent marker (replayed batch = no-op,
+    restart resumes). The running table state is the bucket-wise
+    merge of all committed partials — XOR and COUNT are the
+    mergeable-sketch pair that makes the checksum INCREMENTALLY
+    maintainable, which is the property bucket_checksum_diff's
+    docstring claims and this stream proves: the merged streamed
+    checksums must equal the batch-computed ones bit for bit.
+
+    100 TB: per-epoch work is one narrow map + a buckets-sized
+    partial aggregate; the merge reads O(epochs x buckets) partial
+    rows, never any data row twice. A production deployment compacts
+    partials exactly like _compact_index compacts the dedup index."""
+    stage = os.path.join(work_dir, "stage")
+    if not os.path.isdir(stage):
+        staged = _stage_orders_batches(spark, sf_dir, n_batches)
+        shutil.move(staged, stage)
+    ckpt = os.path.join(work_dir, "ckpt")
+    parts_root = os.path.join(work_dir, "partials")
+    os.makedirs(parts_root, exist_ok=True)
+
+    schema = spark.read.parquet(os.path.join(stage, "b000.parquet")).schema
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        edir = os.path.join(parts_root, f"epoch-{batch_id:06d}")
+        marker = edir + ".committed"
+        if os.path.exists(marker):  # replayed epoch -> no-op
+            return
+        digest(batch_df).write.mode("overwrite").parquet(edir)
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    committed = sorted(
+        os.path.join(parts_root, m[: -len(".committed")])
+        for m in os.listdir(parts_root)
+        if m.endswith(".committed")
+    )
+    if not committed:
+        raise ValueError(
+            "no micro-batches were committed — the orders stream "
+            f"produced no data under {stage!r}"
+        )
+    from functools import reduce
+
+    partials = reduce(
+        DataFrame.unionByName, [spark.read.parquet(d) for d in committed]
+    )
+    return (
+        partials.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.expr("bit_xor(x)").alias("checksum"),
+        )
+    )

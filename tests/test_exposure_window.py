@@ -30,6 +30,7 @@ NEVER_SAMPLED = [
     "clustering_coefficient",
     "scd2_pointintime_join",
     "bucket_checksum_diff",
+    "orders_stream_checksum",
 ]
 
 # The 31 round-5-stale queries that open the round-9 window.
@@ -84,7 +85,9 @@ TOUCHED = [
     # is oracle-checked through ivf_verify; the other two touches are
     # value-identical restages / unreachable-guard fixes, unit-pinned.
     "ivf_verify",
-    "bigram_surprisal_filter",
+    # bigram_surprisal_filter: yielded the final slot (its r9 change
+    # resolves to the identical broadcast plan at driver scales; the
+    # salted path is unit-pinned row-identical)
     "locality_hierarchy_paths",
 ]
 

@@ -473,3 +473,75 @@ def test_stream_vector_index_restart_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert rows2 == batch
+
+
+def test_stream_checksum_restart_is_idempotent(spark, tmp_path):
+    """Streaming checksum maintenance across restarts: a second run
+    with the SAME work_dir replays committed epochs as no-ops (no
+    new markers), and the merged streamed checksums equal the
+    batch-computed per-bucket (count, xor) pairs exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.queries.store_queries import (
+        CHECKSUM_BUCKETS,
+        _row_sig,
+    )
+    from gerrydb_etl_spark.sources.registry import load_table
+    from gerrydb_etl_spark.streaming.stream import run_stream_checksum
+    from tests.conftest import SF_SMOKE
+
+    def digest(b):
+        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        )
+        return (
+            b.select(
+                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+                _row_sig(F.col("o_orderkey"), cents).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+            )
+        )
+
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    out1 = run_stream_checksum(spark, SF_SMOKE, work, digest, n_batches=3)
+    rows1 = {(r.bucket, r.n_rows, r.checksum) for r in out1.collect()}
+    markers1 = sorted(
+        m for m in os.listdir(os.path.join(work, "partials"))
+        if m.endswith(".committed")
+    )
+    assert len(markers1) == 3
+
+    out2 = run_stream_checksum(spark, SF_SMOKE, work, digest, n_batches=3)
+    markers2 = sorted(
+        m for m in os.listdir(os.path.join(work, "partials"))
+        if m.endswith(".committed")
+    )
+    assert markers2 == markers1, "restart must not create new epochs"
+    assert {(r.bucket, r.n_rows, r.checksum) for r in out2.collect()} == rows1
+
+    # streamed == batch-computed (the mergeability property)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    batch = {
+        (r.bucket, r.n_rows, r.checksum)
+        for r in (
+            load_table(spark, SF_SMOKE, "orders")
+            .select(
+                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+                _row_sig(F.col("o_orderkey"), cents).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").alias("checksum"),
+            )
+            .collect()
+        )
+    }
+    assert rows1 == batch
