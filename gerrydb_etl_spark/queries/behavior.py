@@ -160,6 +160,11 @@ def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy on (user, type)."""
     events = load_table(spark, sf_dir, "events")
     ref_us = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    if ref_us is None:
+        raise ValueError(
+            f"events table is empty — no reference instant to decay "
+            f"against in {sf_dir!r}"
+        )
     weight = F.expr(
         f"{PPM} div (1 + ({ref_us} - unix_micros(ts)) div {US_PER_HOUR})"
     )
