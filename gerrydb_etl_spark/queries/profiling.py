@@ -2,9 +2,10 @@
 loader collects for optimizer CBO feed and load-time QA.
 
 table_profile_stats is the ANALYZE-TABLE shape: per-column null
-counts, exact distinct counts, and canonical min/max — ONE scan of
-the table (the multi-countDistinct compiles to a single Expand +
-aggregate, not one pass per column). fk_integrity_audit is the
+counts, exact distinct counts, and canonical min/max — two narrow
+passes (a plain count/min/max aggregate plus a distinct-only Expand
+aggregate; see the function docstring for why a combined aggregate
+is 3× slower). fk_integrity_audit is the
 cross-TABLE complement of the §2.11 validation family: referential
 orphan counts for every foreign key in the TPC-H-ish schema, the
 check a versioned-store loader runs before publishing a batch

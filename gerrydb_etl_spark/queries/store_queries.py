@@ -329,6 +329,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND l_shipdate  >= TIMESTAMP '{IVM_CUTOFF}' THEN 'delta_lineitem'
                 ELSE 'delta_both' END AS term
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate IS NOT NULL AND l_shipdate IS NOT NULL
     """,
 )
 def join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +346,14 @@ def join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates — row-identical output iff the decomposition is
     disjoint and exhaustive. This is the join complement of
     incremental_agg_maintenance (the aggregation IVM above).
+
+    NULL partition dates: a row whose cutoff column is NULL belongs
+    to NEITHER the base nor the delta batch (both < and >= are
+    null-false), so it is excluded from the maintained view — the
+    oracle states the same exclusion explicitly. A real loader
+    guarantees the partition timestamp non-null at ingest; this
+    spelling makes the decomposition's precondition visible instead
+    of silently diverging from a naive monolithic join.
 
     100 TB shape: the three delta terms join a batch-sized side
     against a base side — broadcast the delta when batch-sized, and
@@ -467,16 +476,47 @@ def _row_sig(key: Column, cents: Column) -> Column:
     return portable_token_hash(s)
 
 
-def _checksum_oracle() -> str:
-    sig = (
-        "list_reduce(list_transform(range(length(s)),"
-        " i -> ascii(s[i+1])::BIGINT),"
-        f" (a,c) -> (a*131+c) & {_HASH_MASK_31})"
-        f" * {1 << 31} + "
-        "list_reduce(list_transform(range(length(s)),"
-        " i -> ascii(s[i+1])::BIGINT),"
-        f" (a,c) -> (a*137+c) & {_HASH_MASK_31})"
+# The DuckDB spelling of the same 62-bit fold over a column named
+# ``s`` — ONE definition shared by every checksum oracle so the
+# signature can never silently diverge between the batch diff and
+# the streaming-maintenance oracle.
+_SIG_SQL = (
+    "list_reduce(list_transform(range(length(s)),"
+    " i -> ascii(s[i+1])::BIGINT),"
+    f" (a,c) -> (a*131+c) & {_HASH_MASK_31})"
+    f" * {1 << 31} + "
+    "list_reduce(list_transform(range(length(s)),"
+    " i -> ascii(s[i+1])::BIGINT),"
+    f" (a,c) -> (a*137+c) & {_HASH_MASK_31})"
+)
+
+
+def order_cents(price_col: Column) -> Column:
+    """Canonical integer-cents of an order price (monotone)."""
+    return F.floor(price_col * 100 + F.lit(0.5)).cast("long")
+
+
+def bucket_digest(
+    df: DataFrame, cents_col: Column, n_name: str, x_name: str
+) -> DataFrame:
+    """Per-bucket (count, XOR-of-row-signature) digest of order rows
+    — the ONE digest implementation shared by the batch diff, the
+    streaming maintenance sink, and the parity tests."""
+    return (
+        df.select(
+            (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
+            _row_sig(F.col("o_orderkey"), cents_col).alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.expr("bit_xor(h)").alias(x_name),
+        )
     )
+
+
+def _checksum_oracle() -> str:
+    sig = _SIG_SQL
     row = (
         "SELECT o_orderkey % {nb} AS bucket, concat_ws('|',"
         " CAST(o_orderkey AS VARCHAR), CAST(COALESCE("
@@ -522,28 +562,14 @@ def bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-version plan is one map-side-combined groupBy on a derived
     bucket id; the final full-outer join is buckets-sized."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    upd = F.floor(
-        (F.col("o_totalprice")
-         + F.when(F.col("o_orderkey") % _UPD_MOD == 0, F.lit(100.0))
-         .otherwise(F.lit(0.0))) * 100 + F.lit(0.5)
-    ).cast("long")
-
-    def digest(df: DataFrame, cents_col: Column, n_name: str, x_name: str):
-        return (
-            df.select(
-                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
-                _row_sig(F.col("o_orderkey"), cents_col).alias("h"),
-            )
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias(n_name),
-                F.expr("bit_xor(h)").alias(x_name),
-            )
-        )
-
-    b1 = digest(orders, cents, "n_base", "x_base")
-    b2 = digest(
+    cents = order_cents(F.col("o_totalprice"))
+    upd = order_cents(
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % _UPD_MOD == 0, F.lit(100.0))
+        .otherwise(F.lit(0.0))
+    )
+    b1 = bucket_digest(orders, cents, "n_base", "x_base")
+    b2 = bucket_digest(
         orders.where(F.col("o_orderkey") % _DEL_MOD != 0),
         upd,
         "n_new",
@@ -568,15 +594,7 @@ def bucket_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _checksum_base_oracle() -> str:
-    sig = (
-        "list_reduce(list_transform(range(length(s)),"
-        " i -> ascii(s[i+1])::BIGINT),"
-        f" (a,c) -> (a*131+c) & {_HASH_MASK_31})"
-        f" * {1 << 31} + "
-        "list_reduce(list_transform(range(length(s)),"
-        " i -> ascii(s[i+1])::BIGINT),"
-        f" (a,c) -> (a*137+c) & {_HASH_MASK_31})"
-    )
+    sig = _SIG_SQL
     return f"""
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -609,19 +627,8 @@ def orders_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     def digest(batch_df: DataFrame) -> DataFrame:
-        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-            "long"
-        )
-        return (
-            batch_df.select(
-                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
-                _row_sig(F.col("o_orderkey"), cents).alias("h"),
-            )
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(h)").alias("x"),
-            )
+        return bucket_digest(
+            batch_df, order_cents(F.col("o_totalprice")), "n", "x"
         )
 
     from gerrydb_etl_spark.streaming.stream import run_stream_checksum

@@ -565,36 +565,41 @@ def run_stream_to_versioned_store(
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def _stage_docs_batches(
-    spark: SparkSession, sf_dir: str, n_batches: int = 4
+def _stage_key_range_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    prefix: str,
+    n_batches: int = 4,
 ) -> str:
-    """Stage the documents table as ``n_batches`` single-file
-    parquets holding ascending doc_id ranges, with ascending mtimes
-    AND ascending path names — the file stream source orders pending
-    files by (modification time, path), so maxFilesPerTrigger=1
-    delivers deterministic micro-batches in doc_id order. Caller owns
-    cleanup of the returned directory."""
+    """Stage ``table`` as ``n_batches`` single-file parquets holding
+    ascending ``key_col`` ranges, with ascending mtimes AND ascending
+    path names — the file stream source orders pending files by
+    (modification time, path), so maxFilesPerTrigger=1 delivers
+    deterministic micro-batches in key order. Caller owns cleanup of
+    the returned directory."""
     import glob as _glob
     import time
 
     from gerrydb_etl_spark.sources.registry import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
-    lo0, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    df = load_table(spark, sf_dir, table)
+    lo0, hi = df.agg(F.min(key_col), F.max(key_col)).first()
     if hi is None:
         raise ValueError(
-            "documents table is empty — no micro-batches to stage "
+            f"{table} table is empty — no micro-batches to stage "
             f"from {sf_dir!r}"
         )
     width = max(1, (hi - lo0 + n_batches) // n_batches)
-    stage = tempfile.mkdtemp(prefix="docs_stream_")
+    stage = tempfile.mkdtemp(prefix=f"{prefix}_stream_")
     t0 = time.time() - 3600
     for i in range(n_batches):
         lo = lo0 + i * width
         up = lo0 + (i + 1) * width if i < n_batches - 1 else hi + 1
-        tmp = tempfile.mkdtemp(prefix="docs_batch_")
+        tmp = tempfile.mkdtemp(prefix=f"{prefix}_batch_")
         (
-            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+            df.where((F.col(key_col) >= lo) & (F.col(key_col) < up))
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(tmp)
@@ -605,6 +610,15 @@ def _stage_docs_batches(
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dest, (t0 + i, t0 + i))
     return stage
+
+
+def _stage_docs_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """documents in ascending doc_id micro-batches (shared recipe)."""
+    return _stage_key_range_batches(
+        spark, sf_dir, "documents", "doc_id", "docs", n_batches
+    )
 
 
 # Loose per-epoch index files are folded into one bucketed compact
@@ -869,41 +883,10 @@ def run_docs_dedup_ingest(
 def _stage_emb_batches(
     spark: SparkSession, sf_dir: str, n_batches: int = 4
 ) -> str:
-    """Stage the embeddings table as ``n_batches`` single-file
-    parquets holding ascending vec_id ranges with ascending mtimes —
-    the same deterministic micro-batch recipe as
-    _stage_docs_batches. Caller owns cleanup."""
-    import glob as _glob
-    import time
-
-    from gerrydb_etl_spark.sources.registry import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    lo0, hi = emb.agg(F.min("vec_id"), F.max("vec_id")).first()
-    if hi is None:
-        raise ValueError(
-            "embeddings table is empty — no micro-batches to stage "
-            f"from {sf_dir!r}"
-        )
-    width = max(1, (hi - lo0 + n_batches) // n_batches)
-    stage = tempfile.mkdtemp(prefix="emb_stream_")
-    t0 = time.time() - 3600
-    for i in range(n_batches):
-        lo = lo0 + i * width
-        up = lo0 + (i + 1) * width if i < n_batches - 1 else hi + 1
-        tmp = tempfile.mkdtemp(prefix="emb_batch_")
-        (
-            emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < up))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(stage, f"b{i:03d}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dest, (t0 + i, t0 + i))
-    return stage
+    """embeddings in ascending vec_id micro-batches (shared recipe)."""
+    return _stage_key_range_batches(
+        spark, sf_dir, "embeddings", "vec_id", "emb", n_batches
+    )
 
 
 def run_stream_vector_index(
@@ -1004,42 +987,10 @@ def run_stream_vector_index(
 def _stage_orders_batches(
     spark: SparkSession, sf_dir: str, n_batches: int = 4
 ) -> str:
-    """Stage the orders table as ``n_batches`` single-file parquets
-    holding ascending o_orderkey ranges with ascending mtimes — the
-    deterministic micro-batch recipe of _stage_emb_batches. Caller
-    owns cleanup."""
-    import glob
-    import time
-
-    from gerrydb_etl_spark.sources.registry import load_table
-
-    orders = load_table(spark, sf_dir, "orders")
-    lo0, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
-    if hi is None:
-        raise ValueError(
-            f"orders table is empty — no micro-batches to stage from {sf_dir!r}"
-        )
-    width = max(1, (hi - lo0 + n_batches) // n_batches)
-    stage = tempfile.mkdtemp(prefix="orders_stream_")
-    t0 = time.time() - 3600
-    for i in range(n_batches):
-        lo = lo0 + i * width
-        up = lo0 + (i + 1) * width if i < n_batches - 1 else hi + 1
-        tmp = tempfile.mkdtemp(prefix="orders_batch_")
-        (
-            orders.where(
-                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < up)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dest = os.path.join(stage, f"b{i:03d}.parquet")
-        shutil.move(part, dest)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dest, (t0 + i, t0 + i))
-    return stage
+    """orders in ascending o_orderkey micro-batches (shared recipe)."""
+    return _stage_key_range_batches(
+        spark, sf_dir, "orders", "o_orderkey", "orders", n_batches
+    )
 
 
 def run_stream_checksum(

@@ -238,12 +238,17 @@ def edge_rel_dir(tmp_path_factory):
     pre = dt2.datetime(1995, 6, 1)
     post = dt2.datetime(1997, 6, 1)
     at_cutoff = dt2.datetime(1996, 1, 1)
+    # the None shipdate below (and order 8's None orderdate) pin the
+    # IVM NULL rule: a row whose cutoff column is NULL joins NEITHER
+    # batch and is excluded from the maintained view in both engines.
     li_rows = [
         (1, 1, pre), (1, 1, pre), (1, 2, pre), (1, 3, pre), (1, 4, pre),
         (2, 1, pre), (2, 2, pre), (2, 3, pre), (2, 4, pre),
         (3, 1, pre), (3, 2, at_cutoff), (3, 5, post),
         (4, 6, post), (4, 7, post),
         (5, 6, post), (5, 7, post),
+        (3, 5, None),
+        (8, 1, pre),
     ]
     lineitem = pa.table(
         {
@@ -281,6 +286,7 @@ def edge_rel_dir(tmp_path_factory):
         (5, 99, 5.0, dt2.datetime(1996, 6, 1)),
         (6, 1, 6.0, dt2.datetime(1995, 3, 1)),
         (7, None, None, dt2.datetime(1995, 3, 1)),
+        (8, 1, 8.0, None),
     ]
     orders = pa.table(
         {
@@ -369,6 +375,19 @@ def test_edge_triangle_clique_semantics(spark, edge_rel_dir):
         .collect()
     }
     assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_edge_ivm_null_dates_are_excluded(spark, edge_rel_dir):
+    """The (3,5,NULL-shipdate) line and order 8's NULL orderdate must
+    be absent from the maintained join view (NULL joins neither the
+    base nor the delta batch), while their non-NULL twins remain."""
+    rows = REGISTRY["join_delta_maintenance"].spark(
+        spark, edge_rel_dir
+    ).collect()
+    keys = {(r["o_orderkey"], r["l_linenumber"]) for r in rows}
+    assert (3, 17) not in keys        # the NULL-shipdate line
+    assert all(k != 8 for k, _ in keys)  # the NULL-orderdate order
+    assert (3, 12) in keys            # its non-NULL twin line
 
 
 def test_edge_split_threshold_is_strict(spark, edge_rel_dir):

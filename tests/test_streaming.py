@@ -485,28 +485,15 @@ def test_stream_checksum_restart_is_idempotent(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from gerrydb_etl_spark.queries.store_queries import (
-        CHECKSUM_BUCKETS,
-        _row_sig,
+        bucket_digest,
+        order_cents,
     )
     from gerrydb_etl_spark.sources.registry import load_table
     from gerrydb_etl_spark.streaming.stream import run_stream_checksum
     from tests.conftest import SF_SMOKE
 
     def digest(b):
-        cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
-            "long"
-        )
-        return (
-            b.select(
-                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
-                _row_sig(F.col("o_orderkey"), cents).alias("h"),
-            )
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(h)").alias("x"),
-            )
-        )
+        return bucket_digest(b, order_cents(F.col("o_totalprice")), "n", "x")
 
     work = str(tmp_path / "work")
     os.makedirs(work)
@@ -527,21 +514,13 @@ def test_stream_checksum_restart_is_idempotent(spark, tmp_path):
     assert {(r.bucket, r.n_rows, r.checksum) for r in out2.collect()} == rows1
 
     # streamed == batch-computed (the mergeability property)
-    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     batch = {
-        (r.bucket, r.n_rows, r.checksum)
-        for r in (
-            load_table(spark, SF_SMOKE, "orders")
-            .select(
-                (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
-                _row_sig(F.col("o_orderkey"), cents).alias("h"),
-            )
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.expr("bit_xor(h)").alias("checksum"),
-            )
-            .collect()
-        )
+        (r.bucket, r.n, r.x)
+        for r in bucket_digest(
+            load_table(spark, SF_SMOKE, "orders"),
+            order_cents(F.col("o_totalprice")),
+            "n",
+            "x",
+        ).collect()
     }
     assert rows1 == batch
