@@ -118,6 +118,14 @@ _EXPOSURE_PRIORITY = [
     # its ids.py touch is the NULL-weight guard, unreachable for its
     # never-NULL token-count weights and pinned by unit test.)
     "ivf_verify",
+    # ROUND-10 OPENERS: the three late additions below sit
+    # immediately after the 50-window so the round-10 driver samples
+    # them first (never-sampled first); locally oracle-swept at both
+    # scales in the meantime (tests/test_exposure_window.py
+    # R10_OPENERS tracks them).
+    "collocation_phrase_match",
+    "join_fanout_skew_report",
+    "customer_rfm_segments",
     # (bigram_surprisal_filter yielded the final slot to
     # orders_stream_checksum: its round-9 change is the automatic
     # broadcast-vs-salted selection, which at every driver scale

@@ -1,6 +1,7 @@
 """Import all query modules so their @query decorators populate REGISTRY."""
 
 from gerrydb_etl_spark.queries import (  # noqa: F401
+    analytics_extra,
     behavior,
     clustering,
     config_queries,

@@ -1,0 +1,262 @@
+"""Late round-9 analytics heads: collocation-driven positional
+phrase search, pre-join fan-out skew diagnosis, and RFM customer
+segmentation. All integer-exact, all registered as round-10 window
+openers (tests/test_exposure_window.py R10_OPENERS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from gerrydb_etl_spark.queries.base import query
+from gerrydb_etl_spark.sources import load_table
+
+TOPK_FANOUT = 20
+PPM = 1_000_000
+
+
+@query(
+    "collocation_phrase_match",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.w AS w, CAST(u.pos AS BIGINT) AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(ws)),
+                       i -> {'w': ws[i], 'pos': i})) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents)
+        )
+        WHERE u.w <> ''
+    ),
+    big AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    top1 AS (
+        SELECT w1, w2 FROM big
+        ORDER BY c DESC, w1, w2 LIMIT 1
+    )
+    SELECT a.doc_id,
+           a.pos AS match_pos,
+           a.w || ' ' || b.w AS phrase
+    FROM tok a
+    JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN top1 ON a.w = top1.w1 AND b.w = top1.w2
+    """,
+)
+def collocation_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval primitive: (1) extract the corpus's top
+    word collocation (most frequent adjacent bigram, lexicographic
+    tie-break) from the positional token index; (2) run a POSITIONAL
+    phrase search for it — postings of the two terms equi-joined on
+    (doc, pos+1), the classic positional-inverted-index phrase plan
+    that touches only the phrase terms' postings, never the corpus.
+    The winning bigram is one (w1, w2) pair of MODEL STATE collected
+    and folded as literals (a 1-row join would compile to the banned
+    BroadcastNestedLoopJoin); the oracle re-derives it in SQL with
+    the same tie-break, so the whole two-stage pipeline is
+    value-hash gated. At 100 TB stage 1 is one map-side-combined
+    bigram count and stage 2 filters the token index to two terms
+    BEFORE its self-join — both shuffles carry term-filtered rows
+    only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode_outer(F.split("text", " ")).alias("pos0", "w"),
+    ).where(F.col("w") != "")
+    # 1-indexed to match the oracle's struct positions
+    tok = tok.select(
+        "doc_id", "w", (F.col("pos0") + 1).cast("long").alias("pos")
+    )
+    nxt = tok.select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("w").alias("w2"),
+        F.col("pos").alias("pos2"),
+    )
+    bigrams = (
+        tok.join(
+            nxt,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    w1, w2 = (
+        bigrams.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+        .collect()[0][:2]
+    )
+    p1 = tok.where(F.col("w") == w1)
+    p2 = nxt.where(F.col("w2") == w2)
+    return (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").alias("match_pos"),
+            F.concat_ws(" ", F.lit(w1), F.lit(w2)).alias("phrase"),
+        )
+    )
+
+
+@query(
+    "join_fanout_skew_report",
+    oracle=f"""
+    WITH l AS (SELECT o_custkey AS k, COUNT(*) AS n_left
+               FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    r AS (SELECT l_suppkey AS k, COUNT(*) AS n_right
+          FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1)
+    (SELECT 'orders.o_custkey' AS side_key, k,
+           n_left AS n_rows,
+           CAST((1000000 * n_left) // (SELECT MAX(n_left) FROM l)
+                AS BIGINT) AS share_of_max_ppm
+     FROM l ORDER BY n_left DESC, k LIMIT {TOPK_FANOUT})
+    UNION ALL
+    (SELECT 'lineitem.l_suppkey', k, n_right,
+           CAST((1000000 * n_right) // (SELECT MAX(n_right) FROM r)
+                AS BIGINT)
+     FROM r ORDER BY n_right DESC, k LIMIT {TOPK_FANOUT})
+    """,
+)
+def join_fanout_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis: the per-key row counts whose product
+    is the join's per-key output size — the report an engine (or an
+    engineer) reads to decide salting, broadcast, or AQE skew-join
+    hints BEFORE running a big join. Reports the top-20 hottest keys
+    on each side of the orders⋈lineitem-by-customer/supplier pair
+    with each key's integer-ppm share of the hottest key. Both
+    sides are one map-side-combined count + a distributed top-k
+    (TakeOrderedAndProject — k rows per partition cross the wire,
+    never the key histogram); the max for the ppm share is a single
+    scalar folded from the same top-k head."""
+    out = None
+    for tag, table, key in (
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ):
+        # NULL keys are excluded: they are not join keys (a NULL
+        # never matches) and the two engines order NULL tie-breaks
+        # differently, so keeping them would make the top-k
+        # boundary engine-dependent.
+        counts = (
+            load_table(spark, sf_dir, table)
+            .where(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count("*").alias("n_rows"))
+        )
+        top = counts.orderBy(F.desc("n_rows"), F.asc("k")).limit(
+            TOPK_FANOUT
+        ).localCheckpoint(eager=True)
+        mx = top.agg(F.max("n_rows")).collect()[0][0]
+        branch = top.select(
+            F.lit(tag).alias("side_key"),
+            "k",
+            "n_rows",
+            F.expr(f"({PPM} * n_rows) div {mx}").alias("share_of_max_ppm"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT MAX(o_orderdate) FROM orders))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS monetary_cents
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT *,
+               rank() OVER (ORDER BY recency_days, o_custkey) AS rr,
+               rank() OVER (ORDER BY frequency DESC, o_custkey) AS rf,
+               rank() OVER (ORDER BY monetary_cents DESC, o_custkey) AS rm,
+               COUNT(*) OVER () AS n
+        FROM base
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           1 + ((rr - 1) * 4) // n AS r_quartile,
+           1 + ((rf - 1) * 4) // n AS f_quartile,
+           1 + ((rm - 1) * 4) // n AS m_quartile
+    FROM ranked
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic behavioral feature triple
+    (Recency in days vs the corpus max order date, Frequency, and
+    Monetary in exact cents) with integer quartile codes per
+    dimension (best = 1). Quartiles come from rank arithmetic
+    1 + ((rank-1)*4) // n with o_custkey tie-breaks — deterministic
+    in both engines, unlike ntile whose tie placement is
+    order-dependent; ranks are BIGINT in Spark only after an
+    explicit cast (the INT32 ppm-overflow lesson, see
+    feature_quantile_norm). The global rank windows are the honest
+    cost: at 100 TB swap them for the two-phase distributed
+    histogram rank (operators/ids.py) — the per-customer aggregate
+    underneath is one map-side-combined groupBy either way. The
+    corpus max date is one scalar folded as a literal."""
+    # keyless or dateless rows carry no RFM signal, and NULL
+    # tie-break ordering differs between engines — excluded in both.
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    ref = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    if ref is None:
+        raise ValueError(
+            f"orders table is empty — no reference date in {sf_dir!r}"
+        )
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(ref), F.max("o_orderdate"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("monetary_cents"),
+    )
+    n = F.count("*").over(W.partitionBy())
+    ranked = base.select(
+        "*",
+        F.rank()
+        .over(W.orderBy("recency_days", "o_custkey"))
+        .cast("long")
+        .alias("rr"),
+        F.rank()
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("rf"),
+        F.rank()
+        .over(W.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("rm"),
+        n.cast("long").alias("n"),
+    )
+    q = lambda r: (1 + F.expr(f"(({r} - 1) * 4) div n")).alias(
+        f"{r[1]}_quartile"
+    )
+    return ranked.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        q("rr"),
+        q("rf"),
+        q("rm"),
+    )

@@ -120,6 +120,7 @@ EDGE_QUERIES = [
     "feature_quantile_norm",    # 1-doc langs (cnt==1 guard); all-ties lang
     "prefix_filter_jaccard",    # twin docs (J=1); empty text -> no shingles
     "cluster_safe_split",       # twin docs share a split; singleton reps
+    "collocation_phrase_match", # twin docs + a cross-doc repeat decide top-1
 ]
 
 
@@ -354,6 +355,8 @@ EDGE_REL_QUERIES = [
     "clustering_coefficient",     # 4-clique cc=1e6; degree-1 pair cc=0
     "scd2_pointintime_join",      # every fact version against a tiny dim
     "bucket_checksum_diff",       # NULL-price row exercises the sentinel
+    "join_fanout_skew_report",    # corpus smaller than k; NULL key dropped
+    "customer_rfm_segments",      # NULL custkey/orderdate excluded; 1-order users
 ]
 
 
