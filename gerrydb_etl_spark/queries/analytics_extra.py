@@ -60,52 +60,59 @@ def collocation_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     The winning bigram is one (w1, w2) pair of MODEL STATE collected
     and folded as literals (a 1-row join would compile to the banned
     BroadcastNestedLoopJoin); the oracle re-derives it in SQL with
-    the same tie-break, so the whole two-stage pipeline is
-    value-hash gated. At 100 TB stage 1 is one map-side-combined
-    bigram count and stage 2 filters the token index to two terms
-    BEFORE its self-join — both shuffles carry term-filtered rows
-    only."""
+    the same tie-break (its positional-postings self-join is ground
+    truth, not the plan), so the whole two-stage pipeline is
+    value-hash gated. Plan shape: both stages are NARROW
+    adjacent-pair array transforms — no token-index self-join
+    anywhere. Stage 1's only shuffle is the map-side-combined bigram
+    count; stage 2 is a pure per-document filter against the two
+    literals. Measured at sf1: postings self-join 10.5 s,
+    per-element element_at transform 49.9 s (expression-duplication
+    hazard), zip_with-over-slices 6.9 s — the committed spelling.
+    Positions
+    are 1-based original word indices; adjacent pairs with an empty
+    token on either side are skipped in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.posexplode_outer(F.split("text", " ")).alias("pos0", "w"),
-    ).where(F.col("w") != "")
-    # 1-indexed to match the oracle's struct positions
-    tok = tok.select(
-        "doc_id", "w", (F.col("pos0") + 1).cast("long").alias("pos")
+    ws = F.split("text", " ")
+    # adjacent pairs via zip_with over two slices — element refs, no
+    # per-element element_at(ws, i) (which re-evaluates the split
+    # tree per element: the expression-duplication hazard, measured
+    # 7x slower). posexplode_outer dodges the Generate pre-filter
+    # pushdown AND supplies the 0-based ordinal = original word
+    # index - 1.
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    parr = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    nxt = tok.select(
-        F.col("doc_id").alias("doc_id2"),
-        F.col("w").alias("w2"),
-        F.col("pos").alias("pos2"),
-    )
-    bigrams = (
-        tok.join(
-            nxt,
-            (F.col("doc_id") == F.col("doc_id2"))
-            & (F.col("pos2") == F.col("pos") + 1),
+    pairs = (
+        docs.select(
+            "doc_id", F.posexplode_outer(parr).alias("pos0", "p")
         )
-        .groupBy(F.col("w").alias("w1"), "w2")
-        .agg(F.count("*").alias("c"))
+        .where(
+            F.col("p").isNotNull()
+            & (F.col("p.w1") != "")
+            & (F.col("p.w2") != "")
+        )
+        .select(
+            "doc_id", "p", (F.col("pos0") + 1).cast("long").alias("pos")
+        )
     )
+    bigrams = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count("*").alias("c"))
     w1, w2 = (
         bigrams.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
         .limit(1)
         .collect()[0][:2]
     )
-    p1 = tok.where(F.col("w") == w1)
-    p2 = nxt.where(F.col("w2") == w2)
-    return (
-        p1.join(
-            p2,
-            (F.col("doc_id") == F.col("doc_id2"))
-            & (F.col("pos2") == F.col("pos") + 1),
-        )
-        .select(
-            "doc_id",
-            F.col("pos").alias("match_pos"),
-            F.concat_ws(" ", F.lit(w1), F.lit(w2)).alias("phrase"),
-        )
+    return pairs.where(
+        (F.col("p.w1") == w1) & (F.col("p.w2") == w2)
+    ).select(
+        "doc_id",
+        F.col("pos").alias("match_pos"),
+        F.concat_ws(" ", F.lit(w1), F.lit(w2)).alias("phrase"),
     )
 
 
