@@ -53,10 +53,10 @@ PPM = 1_000_000
 def collocation_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval primitive: (1) extract the corpus's top
     word collocation (most frequent adjacent bigram, lexicographic
-    tie-break) from the positional token index; (2) run a POSITIONAL
-    phrase search for it — postings of the two terms equi-joined on
-    (doc, pos+1), the classic positional-inverted-index phrase plan
-    that touches only the phrase terms' postings, never the corpus.
+    tie-break); (2) run a POSITIONAL phrase search for it, returning
+    every (doc, word-position) occurrence — the lookup a positional
+    inverted index answers with a postings equi-join on (doc,
+    pos+1), which is exactly how the oracle spells it.
     The winning bigram is one (w1, w2) pair of MODEL STATE collected
     and folded as literals (a 1-row join would compile to the banned
     BroadcastNestedLoopJoin); the oracle re-derives it in SQL with
