@@ -126,6 +126,7 @@ _EXPOSURE_PRIORITY = [
     "collocation_phrase_match",
     "join_fanout_skew_report",
     "customer_rfm_segments",
+    "event_cusum_changepoints",
     # (bigram_surprisal_filter yielded the final slot to
     # orders_stream_checksum: its round-9 change is the automatic
     # broadcast-vs-salted selection, which at every driver scale

@@ -205,3 +205,83 @@ def session_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("new_session").over(run).cast("long").alias("session_idx"),
     )
+
+
+CUSUM_ALARM_MULT = 2
+
+
+@query(
+    "event_cusum_changepoints",
+    oracle=f"""
+    WITH RECURSIVE h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    hr AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY hour_ts
+        ) AS rn FROM h
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS tot
+        FROM h GROUP BY 1
+    ),
+    rec(event_type, rn, hour_ts, x, cusum) AS (
+        SELECT hr.event_type, rn, hour_ts, x,
+               GREATEST(0, s.n * x - s.tot)
+        FROM hr JOIN s USING (event_type) WHERE rn = 1
+        UNION ALL
+        SELECT hr.event_type, hr.rn, hr.hour_ts, hr.x,
+               GREATEST(0, rec.cusum + s.n * hr.x - s.tot)
+        FROM rec
+        JOIN hr ON hr.event_type = rec.event_type
+               AND hr.rn = rec.rn + 1
+        JOIN s ON s.event_type = hr.event_type
+    )
+    SELECT rec.event_type, rec.hour_ts, rec.x AS n_events, rec.cusum,
+           rec.cusum > {CUSUM_ALARM_MULT} * s.tot AS is_alarm
+    FROM rec JOIN s ON s.event_type = rec.event_type
+    """,
+)
+def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided integer CUSUM change-point detection over hourly
+    event rates: cusum_t = max(0, cusum_{{t-1}} + (n·x_t − total)),
+    alarming when the accumulated positive drift exceeds
+    {CUSUM_ALARM_MULT}× the per-type total — deviations are the same
+    exact n·x − Σx integer scaling event_rate_anomaly uses, so the
+    whole detector is BIGINT end to end. The max-with-zero reset is
+    a NON-LINEAR scan no window aggregate expresses: this is the
+    repo's one batch applyInPandas operator (operators/cusum.py),
+    the documented custom-operator tier — everything before and
+    after the per-type Arrow scan (hourly rollup, per-type moments,
+    threshold join) stays JVM-side, and the oracle replays the
+    recursion as a DuckDB recursive CTE stepping rn → rn + 1.
+    Scale: parallelism is type-cardinality; per-group state is O(1)
+    and each series streams through Arrow once (two-phase chunk +
+    carry merge is the >1-task-per-series extension, not needed at
+    tested scales)."""
+    from gerrydb_etl_spark.operators.cusum import cusum_scan
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_events").alias("tot"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour_ts",
+        "n_events",
+        (F.col("n") * F.col("n_events") - F.col("tot")).alias("dev"),
+        (F.lit(CUSUM_ALARM_MULT) * F.col("tot")).alias("threshold"),
+    )
+    out = cusum_scan(
+        j, ["event_type"], "hour_ts", "dev", "threshold"
+    )
+    return out.select(
+        "event_type", "hour_ts", "n_events", "cusum", "is_alarm"
+    )

@@ -121,6 +121,7 @@ EDGE_QUERIES = [
     "prefix_filter_jaccard",    # twin docs (J=1); empty text -> no shingles
     "cluster_safe_split",       # twin docs share a split; singleton reps
     "collocation_phrase_match", # twin docs + a cross-doc repeat decide top-1
+    "event_cusum_changepoints", # 1-hour series: dev 0, cusum 0, no alarm
 ]
 
 

@@ -123,6 +123,7 @@ R10_OPENERS: list[str] = [
     "collocation_phrase_match",
     "join_fanout_skew_report",
     "customer_rfm_segments",
+    "event_cusum_changepoints",
 ]
 
 

@@ -34,6 +34,12 @@ EXACT_BASELINE_QUERIES = {
 
 # vectorized (Arrow) pandas UDFs are allowed only here: WKB geometry
 # kernels and LSH/IVF signature matmuls
+# grouped applyInPandas (FlatMapGroupsInPandas) whitelist
+GROUPED_PANDAS_QUERIES = {
+    "event_cusum_changepoints",
+    "geo_union_centroid",
+}
+
 ARROW_UDF_QUERIES = {
     "geo_point_roundtrip",
     "geo_union_centroid",
@@ -66,6 +72,14 @@ def test_plan_has_no_scale_antipatterns(spark, name):
         assert "ArrowEvalPython" not in plan, (
             f"{name}: unexpected Python UDF — this query is expected "
             "to stay entirely JVM-side"
+        )
+    if name not in GROUPED_PANDAS_QUERIES:
+        # applyInPandas is reserved for operators whose semantics no
+        # JVM expression can spell (the non-linear CUSUM scan; the
+        # grouped WKB geometry union) — anything else growing this
+        # node is a regression
+        assert "FlatMapGroupsInPandas" not in plan, (
+            f"{name}: unexpected applyInPandas operator"
         )
 
 
