@@ -127,6 +127,8 @@ _EXPOSURE_PRIORITY = [
     "join_fanout_skew_report",
     "customer_rfm_segments",
     "event_cusum_changepoints",
+    "embedding_drift_monitor",
+    "golden_record_merge",
     # (bigram_surprisal_filter yielded the final slot to
     # orders_stream_checksum: its round-9 change is the automatic
     # broadcast-vs-salted selection, which at every driver scale

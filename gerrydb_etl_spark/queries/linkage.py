@@ -122,3 +122,108 @@ def fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("probe_key") == F.col("matched_key")).alias("is_correct"),
         )
     )
+
+
+@query(
+    "golden_record_merge",
+    oracle="""
+    WITH variants AS (
+        SELECT c_custkey, 1 AS priority,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END
+                   AS name,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL
+                    ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END
+                   AS acctbal_cents,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END
+                   AS segment
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 2,
+               c_name || ' (crm)',
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+               c_mktsegment
+        FROM customer
+    ),
+    filled AS (
+        SELECT c_custkey,
+               first_value(name IGNORE NULLS) OVER w AS name,
+               first_value(acctbal_cents IGNORE NULLS) OVER w
+                   AS acctbal_cents,
+               first_value(segment IGNORE NULLS) OVER w AS segment,
+               COUNT(*) OVER (PARTITION BY c_custkey) AS n_sources,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_custkey ORDER BY priority
+               ) AS rn
+        FROM variants
+        WINDOW w AS (
+            PARTITION BY c_custkey ORDER BY priority
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT c_custkey, name, acctbal_cents, segment,
+           CAST(n_sources AS BIGINT) AS n_sources
+    FROM filled WHERE rn = 1
+    """,
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM survivorship (golden-record assembly): matched records
+    from two sources merge into one canonical row by PER-FIELD
+    precedence — each field takes the highest-priority source that
+    actually has it (first non-null by priority), not whole-row
+    last-wins (current_version_per_order) and not append-only
+    versioning (SCD-2). The fixture derives the two sources
+    deterministically from customer: source 1 (authoritative) with
+    field gaps on modular keys, source 2 (a CRM feed) complete but
+    lower priority with a decorated name — so every output field
+    pattern (gap filled from below, gap everywhere, no gap) occurs.
+    Per-field survivorship is first(ignorenulls) over the
+    priority-ordered per-key window — one shuffle keyed by the
+    entity id, exactly the merge shape at 100 TB (the window is
+    per-entity over n_sources rows, never corpus-wide)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("priority"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+            F.col("c_name")
+        ).alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(cents)
+        .alias("acctbal_cents"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("segment"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.lit(2).alias("priority"),
+        F.concat(F.col("c_name"), F.lit(" (crm)")).alias("name"),
+        cents.alias("acctbal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    variants = v1.unionByName(v2)
+    w = (
+        W.partitionBy("c_custkey")
+        .orderBy("priority")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    filled = variants.select(
+        "c_custkey",
+        F.first("name", ignorenulls=True).over(w).alias("g_name"),
+        F.first("acctbal_cents", ignorenulls=True).over(w).alias(
+            "g_cents"
+        ),
+        F.first("segment", ignorenulls=True).over(w).alias("g_segment"),
+        F.count("*").over(W.partitionBy("c_custkey")).alias("n_sources"),
+        F.row_number()
+        .over(W.partitionBy("c_custkey").orderBy("priority"))
+        .alias("rn"),
+    )
+    return filled.where("rn = 1").select(
+        "c_custkey",
+        F.col("g_name").alias("name"),
+        F.col("g_cents").alias("acctbal_cents"),
+        F.col("g_segment").alias("segment"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+    )

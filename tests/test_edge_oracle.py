@@ -358,6 +358,8 @@ EDGE_REL_QUERIES = [
     "bucket_checksum_diff",       # NULL-price row exercises the sentinel
     "join_fanout_skew_report",    # corpus smaller than k; NULL key dropped
     "customer_rfm_segments",      # NULL custkey/orderdate excluded; 1-order users
+    "embedding_drift_monitor",    # duplicate head run split across halves
+    "golden_record_merge",        # custkey 0: every field gapped, CRM fills all
 ]
 
 

@@ -124,6 +124,8 @@ R10_OPENERS: list[str] = [
     "join_fanout_skew_report",
     "customer_rfm_segments",
     "event_cusum_changepoints",
+    "embedding_drift_monitor",
+    "golden_record_merge",
 ]
 
 
