@@ -253,3 +253,107 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cc_ppm"),
         )
     )
+
+
+@query(
+    "association_rules",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+    item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY pk),
+    pair AS (
+        SELECT a.pk AS u, b.pk AS v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    both_dirs AS (
+        SELECT u AS antecedent, v AS consequent, support FROM pair
+        UNION ALL
+        SELECT v, u, support FROM pair
+    )
+    SELECT antecedent, consequent, support,
+           (1000000 * support) // ia.n_item AS conf_ppm,
+           (1000000 * support * n.n_orders)
+               // (ia.n_item * ic.n_item) AS lift_x1e6
+    FROM both_dirs
+    JOIN item ia ON ia.pk = antecedent
+    JOIN item ic ON ic.pk = consequent
+    CROSS JOIN n
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the support-filtered
+    co-purchase pairs: for each directed rule u→v, integer-ppm
+    confidence support(u,v)/n(u) and integer lift
+    support·N / (n(u)·n(v)) in 1e-6 units — the apriori decision
+    metrics, exact (lift > 1e6 ⇔ positively associated). The pair
+    supports come from the same single-shuffle basket explosion as
+    the triangle family; item counts are one map-side-combined
+    groupBy joined onto the (few, support-filtered) rules, and the
+    corpus order count is one scalar folded as a literal (a 1-row
+    cross join would compile to the banned
+    BroadcastNestedLoopJoin). The min-support filter is what keeps
+    the rule set — and therefore every join here — sparse at 100 TB;
+    it is applied BEFORE any per-item join, so no unfiltered pair
+    ever shuffles twice."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    )
+    baskets = li.groupBy("ok").agg(
+        F.sort_array(F.array_distinct(F.collect_list("pk"))).alias("ps")
+    )
+    n_orders = baskets.count()
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    pair = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= MIN_SUPPORT)
+    )
+    item = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n_item"))
+    )
+    both = pair.select(
+        F.col("u").alias("antecedent"),
+        F.col("v").alias("consequent"),
+        "support",
+    ).unionByName(
+        pair.select(
+            F.col("v").alias("antecedent"),
+            F.col("u").alias("consequent"),
+            "support",
+        )
+    )
+    ia = item.select(
+        F.col("pk").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ic = item.select(
+        F.col("pk").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        both.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.expr("(1000000 * support) div n_a").alias("conf_ppm"),
+            F.expr(
+                f"(1000000 * support * {n_orders}) div (n_a * n_c)"
+            ).alias("lift_x1e6"),
+        )
+    )

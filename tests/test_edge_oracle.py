@@ -360,6 +360,7 @@ EDGE_REL_QUERIES = [
     "customer_rfm_segments",      # NULL custkey/orderdate excluded; 1-order users
     "embedding_drift_monitor",    # duplicate head run split across halves
     "golden_record_merge",        # custkey 0: every field gapped, CRM fills all
+    "association_rules",          # clique rules; support-1 pairs dropped
 ]
 
 

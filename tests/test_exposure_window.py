@@ -126,6 +126,7 @@ R10_OPENERS: list[str] = [
     "event_cusum_changepoints",
     "embedding_drift_monitor",
     "golden_record_merge",
+    "association_rules",
 ]
 
 
