@@ -285,3 +285,87 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "hour_ts", "n_events", "cusum", "is_alarm"
     )
+
+
+@query(
+    "trend_slope_per_type",
+    oracle="""
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    hx AS (
+        SELECT event_type, y,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY hour_ts
+               ) AS BIGINT) AS x
+        FROM h
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM hx GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (1000000 * (n * sxy - sx * sy))
+                     // (n * sxx - sx * sx) END AS slope_x1e6,
+           n * sxy - sx * sy > 0 AS is_increasing
+    FROM s
+    """,
+)
+def trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of hourly event rates: the exact OLS
+    slope numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) over
+    integer hour ordinals and counts, reported as an integer 1e-6
+    slope plus the sign flag the numerator alone decides. Negative
+    slopes divide on the ABSOLUTE numerator and reapply the sign:
+    Spark's div truncates toward zero while DuckDB's // floors, so a
+    raw negative division would diverge between the engines —
+    magnitude-then-sign makes both truncate identically. A
+    single-hour series has zero denominator → NULL slope, not a
+    division error. One per-type ordinal window (keyed, bounded by
+    hours) and one map-side-combined moment aggregation — the same
+    exact-integer-moments discipline as event_rate_anomaly, so a
+    trend detector at 100 TB is one pass over the pre-aggregated
+    hourly rollup, never the raw events twice."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").alias("y"))
+    x = (
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("hour_ts"))
+        .cast("long")
+    )
+    hx = hourly.select("event_type", "y", x.alias("x"))
+    s = hx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.when(den == 0, F.lit(None).cast("long"))
+        .when(
+            num < 0,
+            -F.expr(
+                "(1000000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx)"
+            ),
+        )
+        .otherwise(F.expr(
+            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+        ))
+        .alias("slope_x1e6"),
+        (num > 0).alias("is_increasing"),
+    )

@@ -122,6 +122,7 @@ EDGE_QUERIES = [
     "cluster_safe_split",       # twin docs share a split; singleton reps
     "collocation_phrase_match", # twin docs + a cross-doc repeat decide top-1
     "event_cusum_changepoints", # 1-hour series: dev 0, cusum 0, no alarm
+    "trend_slope_per_type",     # 1-hour series: zero denominator -> NULL slope
 ]
 
 

@@ -127,6 +127,7 @@ R10_OPENERS: list[str] = [
     "embedding_drift_monitor",
     "golden_record_merge",
     "association_rules",
+    "trend_slope_per_type",
 ]
 
 
