@@ -32,3 +32,12 @@ def dec(c: str | Column, scale: int = 2) -> Column:
 def dsum(expr: Column) -> Column:
     """Exact sum of a decimal expression, surfaced as double."""
     return F.sum(expr).cast("double")
+
+
+def cents(c: str | Column) -> Column:
+    """Canonical integer cents of a price: floor(v*100 + 0.5) as
+    BIGINT — monotone (min/max commute with it) and half-up, the ONE
+    spelling every cents-canonicalizing query and oracle mirrors
+    (`CAST(floor(x * 100 + 0.5) AS BIGINT)` on the DuckDB side)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")

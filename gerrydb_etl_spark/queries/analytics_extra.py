@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from gerrydb_etl_spark.functions.numeric import cents
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
 
@@ -102,11 +103,17 @@ def collocation_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = pairs.groupBy(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     ).agg(F.count("*").alias("c"))
-    w1, w2 = (
+    head = (
         bigrams.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
         .limit(1)
-        .collect()[0][:2]
+        .collect()
     )
+    if not head:
+        raise ValueError(
+            f"documents yield no adjacent word bigrams — no "
+            f"collocation to search for in {sf_dir!r}"
+        )
+    w1, w2 = head[0][:2]
     return pairs.where(
         (F.col("p.w1") == w1) & (F.col("p.w2") == w2)
     ).select(
@@ -165,6 +172,11 @@ def join_fanout_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             TOPK_FANOUT
         ).localCheckpoint(eager=True)
         mx = top.agg(F.max("n_rows")).collect()[0][0]
+        if mx is None:
+            raise ValueError(
+                f"{table} has no non-null {key} rows — nothing to "
+                f"report in {sf_dir!r}"
+            )
         branch = top.select(
             F.lit(tag).alias("side_key"),
             "k",
@@ -181,7 +193,9 @@ def join_fanout_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT o_custkey,
                date_diff('day', MAX(o_orderdate),
-                         (SELECT MAX(o_orderdate) FROM orders))
+                         (SELECT MAX(o_orderdate) FROM orders
+                          WHERE o_custkey IS NOT NULL
+                            AND o_orderdate IS NOT NULL))
                    AS recency_days,
                COUNT(*) AS frequency,
                SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
@@ -234,9 +248,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recency_days"),
         F.count("*").alias("frequency"),
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        ).alias("monetary_cents"),
+        F.sum(cents("o_totalprice")).alias("monetary_cents"),
     )
     n = F.count("*").over(W.partitionBy())
     ranked = base.select(

@@ -303,9 +303,13 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     )
+    # three consumers (order count, pair supports, item counts) share
+    # the basket build — persist it and checkpoint the small rule
+    # output so the cache can be released (pagerank/triangles
+    # lifecycle contract)
     baskets = li.groupBy("ok").agg(
         F.sort_array(F.array_distinct(F.collect_list("pk"))).alias("ps")
-    )
+    ).persist()
     n_orders = baskets.count()
     pairs_expr = F.flatten(
         F.transform(
@@ -344,16 +348,20 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = item.select(
         F.col("pk").alias("consequent"), F.col("n_item").alias("n_c")
     )
-    return (
-        both.join(ia, "antecedent")
-        .join(ic, "consequent")
-        .select(
-            "antecedent",
-            "consequent",
-            "support",
-            F.expr("(1000000 * support) div n_a").alias("conf_ppm"),
-            F.expr(
-                f"(1000000 * support * {n_orders}) div (n_a * n_c)"
-            ).alias("lift_x1e6"),
+    try:
+        return (
+            both.join(ia, "antecedent")
+            .join(ic, "consequent")
+            .select(
+                "antecedent",
+                "consequent",
+                "support",
+                F.expr("(1000000 * support) div n_a").alias("conf_ppm"),
+                F.expr(
+                    f"(1000000 * support * {n_orders}) div (n_a * n_c)"
+                ).alias("lift_x1e6"),
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        baskets.unpersist()

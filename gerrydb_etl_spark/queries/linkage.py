@@ -180,8 +180,10 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority-ordered per-key window — one shuffle keyed by the
     entity id, exactly the merge shape at 100 TB (the window is
     per-entity over n_sources rows, never corpus-wide)."""
+    from gerrydb_etl_spark.functions.numeric import cents
+
     cust = load_table(spark, sf_dir, "customer")
-    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    acct_cents = cents("c_acctbal")
     v1 = cust.select(
         "c_custkey",
         F.lit(1).alias("priority"),
@@ -189,7 +191,7 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name")
         ).alias("name"),
         F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("long"))
-        .otherwise(cents)
+        .otherwise(acct_cents)
         .alias("acctbal_cents"),
         F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
             F.col("c_mktsegment")
@@ -199,7 +201,7 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.lit(2).alias("priority"),
         F.concat(F.col("c_name"), F.lit(" (crm)")).alias("name"),
-        cents.alias("acctbal_cents"),
+        acct_cents.alias("acctbal_cents"),
         F.col("c_mktsegment").alias("segment"),
     )
     variants = v1.unionByName(v2)

@@ -38,10 +38,11 @@ _PROFILE_COLS = [
 
 
 def _canon(name: str, kind: str) -> Column:
-    c = F.col(name)
+    from gerrydb_etl_spark.functions.numeric import cents
+
     if kind == "cents":
-        return F.floor(c * 100 + F.lit(0.5)).cast("long")
-    return c
+        return cents(name)
+    return F.col(name)
 
 
 def _fmt(col: Column, kind: str) -> Column:

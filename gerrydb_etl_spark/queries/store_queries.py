@@ -400,6 +400,7 @@ def join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.l_orderkey, f.l_linenumber, f.as_of_version,
            CAST(CASE WHEN f.as_of_version = 2 AND o_orderstatus = 'O'
+                          AND o_totalprice IS NOT NULL
                      THEN 2 ELSE 1 END AS BIGINT) AS dim_version,
            CAST(CASE WHEN f.as_of_version = 2 AND o_orderstatus = 'O'
                      THEN o_totalprice + 100.0
@@ -418,7 +419,11 @@ def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_from ≤ as_of", which is exactly as-of semantics. Facts
     alternate as-of 1/2 by line number so both the original and the
     re-priced dimension versions are exercised; the oracle states
-    the lookup in closed form from the base table. At 100 TB the
+    the lookup in closed form from the base table — including the
+    skip-unchanged subtlety that a NULL price re-prices to NULL
+    (NULL + 100.0), which scd2_merge's null-safe equality treats as
+    unchanged, so such orders keep dim_version 1 (pinned by the edge
+    fixture's NULL-price order, which now carries a line). At 100 TB the
     dimension's version rows ride the same key-partitioned shuffle
     as the facts — no broadcast of a version table, no range join
     explosion."""
@@ -492,8 +497,11 @@ _SIG_SQL = (
 
 
 def order_cents(price_col: Column) -> Column:
-    """Canonical integer-cents of an order price (monotone)."""
-    return F.floor(price_col * 100 + F.lit(0.5)).cast("long")
+    """Canonical integer-cents of an order price (the shared
+    functions/numeric.py `cents` spelling)."""
+    from gerrydb_etl_spark.functions.numeric import cents
+
+    return cents(price_col)
 
 
 def bucket_digest(

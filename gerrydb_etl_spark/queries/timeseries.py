@@ -127,9 +127,7 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate), safe to ~3e9 hour-rate product — bucket coarser or use
     DECIMAL beyond that."""
     events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.count("*").alias("n_events"))
+    hourly = _hourly_counts(events, "n_events")
     stats = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("n_events").alias("s1"),
@@ -146,6 +144,15 @@ def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+def _hourly_counts(events: DataFrame, count_name: str) -> DataFrame:
+    """Per-(type, hour) event counts — the rollup shared by the rate
+    anomaly, CUSUM, and trend detectors (ONE spelling so the three
+    stay in sync)."""
+    return events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.count("*").alias(count_name))
 
 
 SESSION_GAP_MIN = 30
@@ -265,9 +272,7 @@ def event_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gerrydb_etl_spark.operators.cusum import cusum_scan
 
     events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.count("*").alias("n_events"))
+    hourly = _hourly_counts(events, "n_events")
     stats = hourly.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("n_events").alias("tot"),
@@ -323,11 +328,13 @@ def trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type linear trend of hourly event rates: the exact OLS
     slope numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) over
     integer hour ordinals and counts, reported as an integer 1e-6
-    slope plus the sign flag the numerator alone decides. Negative
-    slopes divide on the ABSOLUTE numerator and reapply the sign:
-    Spark's div truncates toward zero while DuckDB's // floors, so a
-    raw negative division would diverge between the engines —
-    magnitude-then-sign makes both truncate identically. A
+    slope plus the sign flag the numerator alone decides.
+    Negative-numerator portability was checked explicitly: BOTH
+    engines truncate integer division toward zero (Spark div and
+    DuckDB // agree on -7/2 = -3; it is PYTHON's // that floors —
+    don't port that intuition into reference implementations), so
+    the raw signed division replays exactly and is property-tested
+    against Fraction-exact OLS on descending series. A
     single-hour series has zero denominator → NULL slope, not a
     division error. One per-type ordinal window (keyed, bounded by
     hours) and one map-side-combined moment aggregation — the same
@@ -335,9 +342,7 @@ def trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend detector at 100 TB is one pass over the pre-aggregated
     hourly rollup, never the raw events twice."""
     events = load_table(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.count("*").alias("y"))
+    hourly = _hourly_counts(events, "y")
     x = (
         F.row_number()
         .over(W.partitionBy("event_type").orderBy("hour_ts"))
@@ -357,12 +362,6 @@ def trend_slope_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n").alias("n_hours"),
         F.when(den == 0, F.lit(None).cast("long"))
-        .when(
-            num < 0,
-            -F.expr(
-                "(1000000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx)"
-            ),
-        )
         .otherwise(F.expr(
             "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
         ))

@@ -252,6 +252,7 @@ def edge_rel_dir(tmp_path_factory):
         (5, 6, post), (5, 7, post),
         (3, 5, None),
         (8, 1, pre),
+        (7, 1, pre),
     ]
     lineitem = pa.table(
         {
@@ -288,7 +289,12 @@ def edge_rel_dir(tmp_path_factory):
         (4, 1, 4.0, dt2.datetime(1995, 1, 1)),
         (5, 99, 5.0, dt2.datetime(1996, 6, 1)),
         (6, 1, 6.0, dt2.datetime(1995, 3, 1)),
-        (7, None, None, dt2.datetime(1995, 3, 1)),
+        # order 7: NULL custkey AND NULL price, 'O' status, carries a
+        # line, and holds the CORPUS-MAX order date — pinning (a) the
+        # SCD-2 skip-unchanged rule (NULL re-prices to NULL => v2
+        # suppressed => dim_version 1), and (b) that the RFM
+        # reference date excludes NULL-custkey rows in BOTH engines.
+        (7, None, None, dt2.datetime(1998, 7, 1)),
         (8, 1, 8.0, None),
     ]
     orders = pa.table(
