@@ -131,6 +131,7 @@ _EXPOSURE_PRIORITY = [
     "golden_record_merge",
     "association_rules",
     "trend_slope_per_type",
+    "session_path_topk",
     # (bigram_surprisal_filter yielded the final slot to
     # orders_stream_checksum: its round-9 change is the automatic
     # broadcast-vs-salted selection, which at every driver scale

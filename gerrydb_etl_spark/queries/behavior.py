@@ -172,3 +172,106 @@ def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(weight).alias("decayed_score"),
     )
+
+
+SESSION_GAP_MIN = 30
+PATH_LEN = 3
+PATH_TOPK = 10
+
+
+@query(
+    "session_path_topk",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                    WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > {SESSION_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_idx
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, session_idx, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id, session_idx
+                   ORDER BY ts, event_id
+               ) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_idx,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {PATH_LEN}
+        GROUP BY user_id, session_idx
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOPK}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session OPENING PATHS: the first 3 event types of
+    each 30-minute-gap session, joined with '>' —
+    the clickstream n-gram analysis between funnel_conversion_stages
+    (fixed stage order) and event_transition_matrix (first-order
+    pairs): it surfaces the empirically dominant multi-step entry
+    sequences. Sessionization reuses the strictly-greater gap rule
+    of session_id_assignment (ts, event_id total order); the path
+    assembles per session from a sorted struct collect (bounded by
+    the path length after the window filter), and the final top-k is
+    TakeOrderedAndProject — k rows per partition, never the path
+    histogram. Every shuffle is keyed by user or (user, session);
+    the path count is one map-side-combined aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull(), 0)
+        .when(gap_us > SESSION_GAP_MIN * 60 * 1_000_000, 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(run).alias("session_idx"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    )
+    head = sess.select(
+        "user_id", "session_idx", "event_type", rn.alias("rn")
+    ).where(F.col("rn") <= PATH_LEN)
+    paths = head.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOPK)
+    )

@@ -123,6 +123,7 @@ EDGE_QUERIES = [
     "collocation_phrase_match", # twin docs + a cross-doc repeat decide top-1
     "event_cusum_changepoints", # 1-hour series: dev 0, cusum 0, no alarm
     "trend_slope_per_type",     # 1-hour series: zero denominator -> NULL slope
+    "session_path_topk",        # exact-gap boundary sessions; 1-event paths
 ]
 
 

@@ -128,6 +128,7 @@ R10_OPENERS: list[str] = [
     "golden_record_merge",
     "association_rules",
     "trend_slope_per_type",
+    "session_path_topk",
 ]
 
 
