@@ -8,9 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
-
 from gerrydb_etl_spark.functions.numeric import cents
+from gerrydb_etl_spark.operators.ids import assign_dense_ids
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
 
@@ -198,8 +197,8 @@ def join_fanout_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o_orderdate IS NOT NULL))
                    AS recency_days,
                COUNT(*) AS frequency,
-               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                   AS monetary_cents
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS monetary_cents
         FROM orders
         WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
         GROUP BY o_custkey
@@ -226,13 +225,17 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (best = 1). Quartiles come from rank arithmetic
     1 + ((rank-1)*4) // n with o_custkey tie-breaks — deterministic
     in both engines, unlike ntile whose tie placement is
-    order-dependent; ranks are BIGINT in Spark only after an
-    explicit cast (the INT32 ppm-overflow lesson, see
-    feature_quantile_norm). The global rank windows are the honest
-    cost: at 100 TB swap them for the two-phase distributed
-    histogram rank (operators/ids.py) — the per-customer aggregate
-    underneath is one map-side-combined groupBy either way. The
-    corpus max date is one scalar folded as a literal."""
+    order-dependent. Because the tie-break key is unique per row,
+    rank() == row_number(), so each of the three ranks is a dense
+    0-based ID + 1 and can run through the two-phase distributed
+    assigner (operators/ids.py assign_dense_ids: one range shuffle
+    + in-partition sort per dimension, all partitions in parallel,
+    bounded per-partition counts to the driver) instead of a global
+    unpartitioned rank window — the single-reducer sort this repo
+    eliminated everywhere else (dense_id_assignment,
+    curriculum_packing). Descending dimensions rank on the negated
+    column. The corpus max date and the customer count n are single
+    scalars folded as literals."""
     # keyless or dateless rows carry no RFM signal, and NULL
     # tie-break ordering differs between engines — excluded in both.
     orders = load_table(spark, sf_dir, "orders").where(
@@ -250,32 +253,30 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(cents("o_totalprice")).alias("monetary_cents"),
     )
-    n = F.count("*").over(W.partitionBy())
-    ranked = base.select(
-        "*",
-        F.rank()
-        .over(W.orderBy("recency_days", "o_custkey"))
-        .cast("long")
-        .alias("rr"),
-        F.rank()
-        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("rf"),
-        F.rank()
-        .over(W.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
-        .cast("long")
-        .alias("rm"),
-        n.cast("long").alias("n"),
+    # descending rank == ascending rank on the negated column;
+    # frequency/monetary are non-null longs so negation is total.
+    base = base.withColumn("_negf", -F.col("frequency")).withColumn(
+        "_negm", -F.col("monetary_cents")
     )
-    q = lambda r: (1 + F.expr(f"(({r} - 1) * 4) div n")).alias(
-        f"{r[1]}_quartile"
+    ranked = assign_dense_ids(base, ["recency_days", "o_custkey"], "_rr")
+    ranked = assign_dense_ids(ranked, ["_negf", "o_custkey"], "_rf")
+    ranked = assign_dense_ids(ranked, ["_negm", "o_custkey"], "_rm")
+    # every stage above is internally checkpointed, so this count is
+    # one narrow pass — and it folds n into the quartile expressions
+    # as a literal rather than a COUNT(*) OVER () global window.
+    n = ranked.count()
+    if n == 0:
+        raise ValueError(f"no RFM-eligible orders in {sf_dir!r}")
+    # dense ids are 0-based: rank-1 == id, so 1 + (id*4) // n.
+    q = lambda r: (1 + F.expr(f"({r} * 4) div {n}")).alias(
+        f"{r[2]}_quartile"
     )
     return ranked.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        q("rr"),
-        q("rf"),
-        q("rm"),
+        q("_rr"),
+        q("_rf"),
+        q("_rm"),
     )

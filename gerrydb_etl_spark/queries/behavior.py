@@ -141,8 +141,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
     SELECT user_id, event_type,
            COUNT(*) AS n_events,
-           SUM({PPM} // (1 + (ref_us - epoch_us(ts)) // {US_PER_HOUR}))
-               AS decayed_score
+           CAST(SUM({PPM} // (1 + (ref_us - epoch_us(ts)) // {US_PER_HOUR}))
+               AS BIGINT) AS decayed_score
     FROM events CROSS JOIN ref
     GROUP BY user_id, event_type
     """,

@@ -158,8 +158,8 @@ def _fk_oracle() -> str:
         parts.append(f"""
     SELECT '{tag}' AS relationship,
            COUNT(*) AS n_child_rows,
-           COALESCE(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0)
-               AS n_orphans,
+           CAST(COALESCE(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_orphans,
            COUNT(DISTINCT CASE WHEN p.{pk} IS NULL THEN c.{ck} END)
                AS n_orphan_keys
     FROM {child} c

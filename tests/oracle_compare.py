@@ -10,6 +10,7 @@ container types compare equal while real value differences fail.
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import hashlib
 import math
 from typing import Any
@@ -22,6 +23,12 @@ def _canon(v: Any) -> str:
         if math.isnan(v):
             return "nan"
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # DuckDB HUGEINT/DECIMAL surfaces as decimal128 through Arrow
+        # and renders as float64 in the driver's canonicalizer — mimic
+        # that so an uncast SUM(...) oracle mismatches int64 Spark
+        # output LOCALLY the same way it does in the driver.
+        return repr(float(v))
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):
@@ -51,9 +58,15 @@ def spark_digest(df) -> tuple[int, list[str], str]:
 
 
 def duck_digest(con, sql: str) -> tuple[int, list[str], str]:
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return table_digest(cols, cur.fetchall())
+    # Fetch through Arrow, not fetchall(): the driver's comparator
+    # reads the oracle result through Arrow, where HUGEINT becomes
+    # decimal128 (→ float64 rendering) instead of a lossless Python
+    # int. Going through the same path makes oracle-SQL type bugs
+    # (uncast SUMs) visible locally instead of only in the driver.
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return table_digest(cols, rows)
 
 
 def assert_matches_oracle(df, con, sql: str, name: str = "?") -> None:
