@@ -246,9 +246,16 @@ def _rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
 
 
 def _is_convex(ring: np.ndarray) -> bool:
-    """All turns the same way (zeros allowed for collinear runs)."""
+    """All turns the same way (zeros allowed for collinear runs).
+    The closing turn at vertex 0 — between the last edge and the
+    first — must be checked too: pairing each edge with np.roll's
+    successor covers every vertex, where the naive v[:-1]/v[1:]
+    pairing skips the wrap-around and classifies a ring concave
+    ONLY at its first vertex as convex (which would route
+    interiors_overlap onto the convex-only SAT fast path)."""
     v = np.diff(ring, axis=0)
-    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    w = np.roll(v, -1, axis=0)
+    cross = v[:, 0] * w[:, 1] - v[:, 1] * w[:, 0]
     return bool((cross >= 0.0).all() or (cross <= 0.0).all())
 
 

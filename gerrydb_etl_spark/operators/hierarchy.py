@@ -43,16 +43,28 @@ def expand_paths(
     parent_col: str = "parent_id",
     label_col: str = "label",
     broadcast_frontier: bool = False,
+    require_complete: bool = False,
 ) -> DataFrame:
-    """(id, path, depth) for every node in a self-referencing edge
-    table: roots are rows whose ``parent_col`` IS NULL (their path is
-    their label, depth 0); every other node appends '/' + label to
-    its parent's path. Runs as one WITH RECURSIVE query — the engine
-    iterates level joins until the frontier is empty. Any path
-    reaching MAX_DEPTH raises at execution time (``raise_error`` in
-    the projection, no extra pass): silent truncation of an over-deep
-    tree — or of a cycle reachable from a root — is exactly the
-    failure mode this operator exists to remove.
+    """(id, path, depth) for every node REACHABLE FROM A ROOT in a
+    self-referencing edge table: roots are rows whose ``parent_col``
+    IS NULL (their path is their label, depth 0); every other node
+    appends '/' + label to its parent's path. Runs as one WITH
+    RECURSIVE query — the engine iterates level joins until the
+    frontier is empty. Any path reaching MAX_DEPTH raises at
+    execution time (``raise_error`` in the projection, no extra
+    pass): silent truncation of an over-deep tree — or of a cycle
+    reachable from a root — is exactly the failure mode this operator
+    exists to remove.
+
+    Dropped-node semantics: a node whose parent chain never reaches a
+    root — a dangling ``parent_col`` pointing at a non-existent id,
+    or a cycle NOT reachable from any root — is simply absent from
+    the output (the recursion never visits it). Pass
+    ``require_complete=True`` to turn that silence into a ValueError
+    naming sample unreachable ids: one extra distinct-id anti-join
+    over the edge table, worth it whenever the input is not already
+    FK-validated (see queries/profiling.py fk_integrity_audit for the
+    standing audit).
 
     ``broadcast_frontier`` forces a BROADCAST hint on the frontier of
     every recursion step (~30% faster per level at bench scale).
@@ -65,12 +77,13 @@ def expand_paths(
     spark = edges.sparkSession
     view = f"hierarchy_edges_input_{next(_VIEW_SEQ)}"
     hint = "/*+ BROADCAST(p) */ " if broadcast_frontier else ""
-    edges.select(
+    nodes = edges.select(
         F.col(id_col).alias("id"),
         F.col(parent_col).alias("parent"),
         F.col(label_col).alias("label"),
-    ).createOrReplaceTempView(view)
-    return spark.sql(
+    )
+    nodes.createOrReplaceTempView(view)
+    out = spark.sql(
         f"""
         WITH RECURSIVE paths (id, path, depth) AS (
             SELECT id, label, 0 FROM {view} WHERE parent IS NULL
@@ -92,3 +105,20 @@ def expand_paths(
         FROM paths
         """
     )
+    if require_complete:
+        missing = (
+            nodes.select("id")
+            .distinct()
+            .join(out.select("id").distinct(), "id", "left_anti")
+            .limit(6)
+            .collect()
+        )
+        if missing:
+            sample = ", ".join(str(r["id"]) for r in missing[:5])
+            more = " (and more)" if len(missing) > 5 else ""
+            raise ValueError(
+                "expand_paths: nodes unreachable from any root — "
+                "dangling parent ids or a root-less cycle: "
+                f"{sample}{more}"
+            )
+    return out

@@ -148,9 +148,18 @@ def ivf_topk(
         # silently drop every sub_id>0 corpus row from the search, so
         # a split assignment searched one-level ignores its sub_id
         # (blocking refinement never affects WHO is searchable)
+        if two_level and "sub_id" not in assigned.columns:
+            # the inverse mismatch is NOT ignorable: probes would rank
+            # sub>0 subcells while every corpus row sits pinned at
+            # sub=0, silently dropping candidates from probed subcells
+            raise ValueError(
+                "sub_model passed but the assignment has no sub_id "
+                "column — pair the subcentroid table with the "
+                "split_oversized_cells assignment it was trained from"
+            )
         sub_col = (
             F.coalesce(F.col("sub_id"), F.lit(0))
-            if two_level and "sub_id" in assigned.columns
+            if two_level
             else F.lit(0)
         )
         corpus_cells = assigned.select(

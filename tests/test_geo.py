@@ -328,3 +328,44 @@ def test_sat_convex_exactness_samples():
     # nudge the twin into the triangle
     moved = [twin[0] - np.array([0.25, 0.25])]
     assert wkb.interiors_overlap(tri, moved)
+
+
+def test_is_convex_checks_wraparound_turn_at_vertex_zero():
+    """Regression (ADVICE r10, medium): the cross-product scan
+    skipped the closing turn between the last edge and the first, so
+    an arrowhead ring concave ONLY at its first vertex passed as
+    convex and interiors_overlap could take the convex-only SAT path
+    on a concave polygon. Every rotation of the ring must classify
+    identically."""
+    import numpy as np
+
+    # arrowhead: reflex turn at (1,1); rotations put it at each index
+    pts = [(1.0, 1.0), (2.0, 2.0), (0.0, 1.0), (2.0, 0.0)]
+    for shift in range(len(pts)):
+        rot = pts[shift:] + pts[:shift]
+        ring = np.array(rot + [rot[0]])
+        assert not wkb._is_convex(ring), f"reflex missed at shift {shift}"
+    # convexity of genuinely convex rings is rotation-invariant too
+    sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    for shift in range(len(sq)):
+        rot = sq[shift:] + sq[:shift]
+        ring = np.array(rot + [rot[0]])
+        assert wkb._is_convex(ring), f"square misclassified at shift {shift}"
+
+
+def test_interiors_overlap_arrowhead_first_vertex_reflex():
+    """The concave-at-vertex-0 arrowhead must NOT be SAT-classified:
+    a square sitting inside the arrowhead's notch (outside the
+    polygon, inside its convex hull) does not overlap, while the SAT
+    path on the hull would claim it does."""
+    import numpy as np
+
+    arrow = [np.array([
+        [1.0, 1.0], [2.0, 2.0], [0.0, 1.0], [2.0, 0.0], [1.0, 1.0]
+    ])]
+    notch_sq = [_square(1.6, 1.0, 0.15)]  # in the notch cavity
+    assert not wkb.interiors_overlap(arrow, notch_sq)
+    assert not wkb.interiors_overlap(notch_sq, arrow)
+    inside_sq = [_square(0.45, 0.95, 0.08)]  # genuinely interior
+    assert wkb.interiors_overlap(arrow, inside_sq)
+    assert wkb.interiors_overlap(inside_sq, arrow)

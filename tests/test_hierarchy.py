@@ -179,3 +179,36 @@ def test_broadcast_frontier_hint_is_value_identical(spark):
         map(key, expand_paths(edges, broadcast_frontier=True).collect())
     )
     assert plain == hinted
+
+
+def test_require_complete_raises_on_orphans_and_rootless_cycles(spark):
+    """require_complete=True turns the documented dropped-node
+    semantics into an error naming the unreachable ids (ADVICE r10):
+    dangling parents and root-less cycles both trip it; a clean tree
+    passes unchanged."""
+    import pytest
+
+    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+
+    dirty = spark.createDataFrame(
+        [
+            ("r", None, "root"),
+            ("a", "r", "a"),
+            ("orphan", "nowhere", "lost"),
+            ("y", "z", "y"),
+            ("z", "y", "z"),
+        ],
+        "node_id string, parent_id string, label string",
+    )
+    with pytest.raises(ValueError, match="unreachable from any root"):
+        expand_paths(dirty, require_complete=True)
+    # default stays the documented silent-drop semantics
+    got = {r["id"] for r in expand_paths(dirty).collect()}
+    assert got == {"r", "a"}
+
+    clean = spark.createDataFrame(
+        [("r", None, "root"), ("a", "r", "a"), ("b", "a", "b")],
+        "node_id string, parent_id string, label string",
+    )
+    rows = expand_paths(clean, require_complete=True).collect()
+    assert {r["id"] for r in rows} == {"r", "a", "b"}

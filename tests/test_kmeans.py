@@ -474,3 +474,31 @@ def test_ivf_one_level_search_ignores_sub_id(spark):
         model=(split, centroids),  # no sub_model
     ).collect()))
     assert one_level_on_split == plain
+
+
+def test_ivf_two_level_requires_sub_id_on_assignment(spark):
+    """ADVICE r10 (low): sub_model paired with an assignment that
+    lacks sub_id would pin every corpus row at sub=0 while the probe
+    ranks sub>0 subcells — silently dropping candidates. Must raise
+    instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train, ivf_topk
+    from gerrydb_etl_spark.operators.kmeans import (
+        quantize,
+        split_oversized_cells,
+    )
+    from gerrydb_etl_spark.sources import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    quant = quantize(corpus)
+    centroids, assigned = _train(quant, n_cells=4, iters=2)
+    _, subcents = split_oversized_cells(assigned, per_cell=30)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    with pytest.raises(ValueError, match="no sub_id"):
+        ivf_topk(
+            corpus, queries, k=3, n_cells=4, n_probe=2,
+            model=(assigned, centroids),  # unsplit: no sub_id column
+            sub_model=subcents,
+        )
