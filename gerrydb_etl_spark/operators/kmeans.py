@@ -375,6 +375,7 @@ def split_oversized_cells(
     iters: int = 2,
     split_factor: int = SPLIT_FACTOR,
     prev_cents: DataFrame | None = None,
+    max_levels: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Subdivide every cell of a (vec_id, cluster_id, qv) assignment
     that holds more than ``split_factor * per_cell`` vectors, using a
@@ -392,29 +393,81 @@ def split_oversized_cells(
     top-level cluster_id, so any consumer keyed on (cluster_id,
     sub_id) blocks strictly within the original cells.
 
+    RECURSION: one Lloyd pass does not guarantee balanced subcells —
+    a skewed cell (duplicate runs, a dominant natural clump) can
+    leave one subcell still above the threshold. Each pass therefore
+    probes the resulting block occupancy (one O(blocks)
+    map-side-combined count) and re-splits any block still over
+    ``split_factor * per_cell``, up to ``max_levels`` total passes,
+    with the codebook recomposed level over level. Unsplittable
+    blocks (e.g. one value duplicated past the threshold — no
+    centroid pair can separate identical vectors) stop refining and
+    the loop exits when a pass leaves the oversized count unchanged,
+    so max_levels is a guard, not a target; pass ``max_levels=1`` to
+    pin the single-pass behavior.
+
     RE-APPLICATION: an input already carrying ``sub_id`` (a prior
     split's output) is refined at the (cluster_id, sub_id) block
-    level — new sub ids compose collision-free with the old ones, so
-    a pathologically skewed subcell can be split again. Pass the
-    prior level's subcentroids as ``prev_cents`` to get a COMPLETE
-    recomposed codebook back (untouched blocks keep their old
-    centroid under the new numbering) — required if the result feeds
-    ivf_topk's ``sub_model``; without it the returned codebook covers
-    only the re-split blocks and must not be used as a probe side.
-    Note the block-count collect is O(existing blocks) there (vs <= k
-    at the first level); intended for the diagnosed-skew case, not as
-    a routine extra level."""
-    from pyspark.sql.window import Window as W
-
+    level — new sub ids compose collision-free with the old ones.
+    Pass the prior level's subcentroids as ``prev_cents`` to get a
+    COMPLETE recomposed codebook back (untouched blocks keep their
+    old centroid under the new numbering) — required if the result
+    feeds ivf_topk's ``sub_model``; without it the returned codebook
+    covers only the re-split blocks and must not be used as a probe
+    side. Note the block-count collect is O(existing blocks) there
+    (vs <= k at the first level)."""
+    if max_levels < 1:
+        raise ValueError(f"max_levels must be >= 1, got {max_levels}")
     if "sub_id" in assigned.columns:
-        return _resplit_blocks(
+        out, cents = _resplit_blocks(
             assigned, per_cell, iters, split_factor, prev_cents
         )
-    if prev_cents is not None:
-        raise ValueError(
-            "prev_cents only applies when re-splitting an assignment "
-            "that already carries sub_id"
+    else:
+        if prev_cents is not None:
+            raise ValueError(
+                "prev_cents only applies when re-splitting an "
+                "assignment that already carries sub_id"
+            )
+        out, cents = _split_once(assigned, per_cell, iters, split_factor)
+
+    threshold = split_factor * per_cell
+    prev_sig = None
+    for _ in range(max_levels - 1):
+        # bounded probe: one map-side-combined count over blocks,
+        # reduced to (how many blocks are oversized, how many rows
+        # they hold) — two scalars to the driver
+        row = (
+            out.groupBy("cluster_id", "sub_id")
+            .count()
+            .filter(F.col("count") > threshold)
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.coalesce(F.sum("count"), F.lit(0)).alias("n_rows"),
+            )
+            .first()
         )
+        sig = (row["n_blocks"], row["n_rows"])
+        if sig[0] == 0 or sig == prev_sig:
+            # converged, or stuck on unsplittable duplicate blocks —
+            # another pass would recompute the identical partition
+            break
+        prev_sig = sig
+        out, cents = _resplit_blocks(
+            out, per_cell, iters, split_factor, prev_cents=cents
+        )
+    return out, cents
+
+
+def _split_once(
+    assigned: DataFrame,
+    per_cell: int,
+    iters: int,
+    split_factor: int,
+) -> tuple[DataFrame, DataFrame]:
+    """One grouped-Lloyd split pass over a (vec_id, cluster_id, qv)
+    assignment without sub_id — the level-1 engine behind
+    split_oversized_cells."""
+    from pyspark.sql.window import Window as W
 
     spark = assigned.sparkSession
     counts = assigned.groupBy("cluster_id").count().collect()  # <= k rows
@@ -495,9 +548,7 @@ def _resplit_blocks(
         .alias("cluster_id"),
         "qv",
     )
-    out, cents = split_oversized_cells(
-        re_keyed, per_cell=per_cell, iters=iters, split_factor=split_factor
-    )
+    out, cents = _split_once(re_keyed, per_cell, iters, split_factor)
     max_new = cents.agg(F.max("sub")).first()[0]
     nmult = int(max_new or 0) + 1
     blk = F.col("cluster_id")

@@ -502,3 +502,92 @@ def test_ivf_two_level_requires_sub_id_on_assignment(spark):
             model=(assigned, centroids),  # unsplit: no sub_id column
             sub_model=subcents,
         )
+
+
+def _skewed_cell(spark, per_cell=20):
+    """One cell crafted so ONE Lloyd pass leaves two oversized
+    subcells: every level-1 strided seed position holds the duplicate
+    value 50 (collapsing the near clump into sub 0) except the last,
+    which seeds the far clump. n=420, per_cell=20 -> threshold 80;
+    level 1 yields blocks of ~272 and ~148 rows, both > 80, both
+    splittable at level 2 (values inside each clump are distinct)."""
+    import pyspark.sql.functions as F
+
+    n = 420
+    is_seed = (F.col("id") % 20 == 0) & (F.col("id") < 400)
+    is_far_seed = F.col("id") == 400
+    is_far = (F.col("id") % 20).isin(1, 3, 5, 7, 9, 11, 13)
+    val = (
+        F.when(is_seed, F.lit(50.0))
+        .when(is_far_seed | is_far, 990.0 + (F.col("id") % 21))
+        .otherwise((F.col("id") % 101).cast("double"))
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit(1).alias("cluster_id"),
+        F.array(
+            (val * 1_000_000).cast("long"),
+            (val * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+
+
+def test_recursive_resplit_bounds_block_occupancy(spark):
+    """VERDICT r10 item 8: a subcell that outgrows the threshold
+    after the first pass must be split again. Single-pass
+    (max_levels=1) leaves oversized blocks on the skewed fixture;
+    the default recursion brings every block at-or-under the
+    threshold, keeps the partition a refinement, and recomposes a
+    complete codebook for every split block."""
+    from collections import Counter
+
+    from gerrydb_etl_spark.operators.kmeans import split_oversized_cells
+
+    per_cell = 20
+    threshold = 4 * per_cell
+    assigned = _skewed_cell(spark, per_cell)
+
+    one, _ = split_oversized_cells(
+        assigned, per_cell=per_cell, max_levels=1
+    )
+    occ1 = Counter(
+        (r["cluster_id"], r["sub_id"]) for r in one.collect()
+    )
+    assert max(occ1.values()) > threshold, (
+        "fixture must leave an oversized subcell after one pass: "
+        f"{occ1.most_common(3)}"
+    )
+
+    out, cents = split_oversized_cells(assigned, per_cell=per_cell)
+    rows = out.collect()
+    occ = Counter((r["cluster_id"], r["sub_id"]) for r in rows)
+    assert max(occ.values()) <= threshold, occ.most_common(3)
+    # refinement: same rows, same top-level cell
+    assert sorted(r["vec_id"] for r in rows) == list(range(420))
+    assert all(r["cluster_id"] == 1 for r in rows)
+    # complete codebook over every populated block of the split cell
+    book = {(r["cluster_id"], r["sub"]) for r in cents.collect()}
+    assert set(occ) <= book, sorted(set(occ) - book)[:5]
+
+
+def test_recursion_stops_on_unsplittable_duplicates(spark):
+    """A block of identical vectors can never be separated — the
+    loop must detect the stuck signature and exit instead of
+    burning max_levels passes (and must still return the dup block
+    intact)."""
+    import pyspark.sql.functions as F
+    from collections import Counter
+
+    from gerrydb_etl_spark.operators.kmeans import split_oversized_cells
+
+    dup = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.lit(1).alias("cluster_id"),
+        F.array(F.lit(7_000_000), F.lit(7_000_000)).alias("qv"),
+    )
+    out, _ = split_oversized_cells(dup, per_cell=20, max_levels=8)
+    occ = Counter((r["cluster_id"], r["sub_id"]) for r in out.collect())
+    assert sum(occ.values()) == 300
+    # all duplicates collapse into one block, still oversized — the
+    # loop exits on the unchanged signature rather than erroring
+    assert max(occ.values()) == 300
