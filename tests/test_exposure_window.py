@@ -10,85 +10,78 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# Round 9: no never-sampled queries remain except this round's one
-# addition; the window-opening block is instead the 31 queries whose
-# last driver row is round 5 (VERDICT r8 item 1) — after this round
-# every query's latest driver check is r8 or newer.
+# Round 11 window, Block A: every query with NO driver row in any
+# recorded round — the nine round-10 openers that sat just past the
+# 50-cut for two rounds, plus this round's new depth-4 hierarchy
+# query. Never-sampled queries lead the window unconditionally.
 NEVER_SAMPLED = [
-    "daves_enacted_assignments",
-    "hierarchical_cells_assign",
-    "cohort_retention",
-    "event_transition_matrix",
+    "collocation_phrase_match",
+    "join_fanout_skew_report",
+    "customer_rfm_segments",
+    "event_cusum_changepoints",
+    "embedding_drift_monitor",
+    "golden_record_merge",
+    "association_rules",
+    "trend_slope_per_type",
+    "session_path_topk",
+    "order_hierarchy_paths",
+]
+
+# Block B: the two round-9/10 driver reds whose oracle SQL was fixed
+# this round (HUGEINT -> BIGINT casts) — must re-sample green.
+FIXED_REDS = [
     "time_decayed_engagement",
-    "feature_quantile_norm",
-    "prefix_filter_jaccard",
-    "copurchase_triangles",
-    "join_delta_maintenance",
-    "cluster_safe_split",
-    "table_profile_stats",
     "fk_integrity_audit",
-    "clustering_coefficient",
-    "scd2_pointintime_join",
-    "bucket_checksum_diff",
-    "orders_stream_checksum",
 ]
 
-# The 31 round-5-stale queries that open the round-9 window.
-STALE_R5 = [
-    "eav_pivot_roundtrip",
-    "events_stream_dedup",
-    "events_stream_session",
-    "events_stream_sliding",
-    "events_stream_user_totals",
-    "format_roundtrip_json_csv",
-    "hll_overlap_estimate",
-    "hll_sketch_rollup",
-    "locality_hierarchy_paths",
-    "medsl_config_projection",
-    "observed_load_metrics",
-    "partition_pruned_read",
-    "rename_normalizations",
-    "repetition_quality",
-    "salted_holistic_collect",
-    "scd2_current_view",
-    "scd2_double_load",
-    "scd2_idempotent_reload",
-    "schema_evolution_read",
-    "sequence_packing",
-    "skew_replicated_join",
-    "snapshot_diff",
-    "source_mix_rebalance",
-    "stratified_sample_quota",
-    "trailing_window_features",
-    "train_val_test_split",
-    "validation_collision_ceiling",
-    "validation_count_reconciliation",
-    "validation_cross_row_consistency",
-    "validation_type_violations",
-    "zorder_layout",
-]
-
-# Queries whose implementation was touched in (or is new in) round 9
-# — they need a fresh driver row and must stay inside the window.
+# Block C: queries whose implementation was touched in round 11 and
+# not already covered above — the kmeans recursive re-split family,
+# the _is_convex wrap-around fix (geometry overlap verdict), and the
+# expand_paths completeness guard.
 TOUCHED = [
-    "daves_enacted_assignments",
     "hierarchical_cells_assign",
     "semantic_dedup_survivors",
-    # kmeans_train_assign: dropped from the window when the session-2
-    # additions filled it — its executed path (staged Lloyd, explicit
-    # k=8) is untouched by the round-9 kmeans changes
     "embedding_split_leakage",
-    # semantic_decontam / geo_union_centroid (late) and ivf_cosine_topk
-    # / dsir_importance_weights / curriculum_packing:
-    # dropped from the window when the session-2 additions filled it
-    # (see the rationale block in __spark_entry__.py) — the IVF change
-    # is oracle-checked through ivf_verify; the other two touches are
-    # value-identical restages / unreachable-guard fixes, unit-pinned.
-    "ivf_verify",
-    # bigram_surprisal_filter: yielded the final slot (its r9 change
-    # resolves to the identical broadcast plan at driver scales; the
-    # salted path is unit-pinned row-identical)
+    "geo_union_centroid",
     "locality_hierarchy_paths",
+]
+
+# Block D: the stalest refill — all 33 queries whose latest driver
+# row is round 6. After round 11 no query's latest row predates r7.
+STALE_R6 = [
+    "bm25_scoring",
+    "bucketed_colocated_join",
+    "cms_heavy_hitters",
+    "current_version_per_order",
+    "dense_id_assignment",
+    "doc_chunking",
+    "event_rate_anomaly",
+    "events_stream_join_attribution",
+    "events_stream_tumbling",
+    "events_tumbling_hourly",
+    "filters_membership",
+    "funnel_conversion_stages",
+    "fuzzy_blocked_match",
+    "gopher_quality_rules",
+    "group_median_discrete",
+    "incremental_exact_dedup",
+    "ivf_cosine_topk",
+    "kmeans_train_assign",
+    "local_supplier_volume",
+    "order_gap_days",
+    "pii_redaction",
+    "pricing_summary",
+    "rank_dense_ntile",
+    "robust_length_filter",
+    "running_revenue_per_customer",
+    "session_id_assignment",
+    "shingle_novelty",
+    "string_keys",
+    "tfidf_top_terms",
+    "timeline_gap_fill",
+    "token_count_bpe",
+    "topk_expensive_items",
+    "topk_orders_per_customer",
 ]
 
 
@@ -99,56 +92,43 @@ def test_priority_names_all_registered():
     assert len(qs) >= 100
 
 
-def test_stale_r5_queries_open_the_window():
-    assert list(entry.queries())[: len(STALE_R5)] == STALE_R5
-
-
-def test_never_sampled_queries_inside_the_window():
+def test_window_is_exactly_the_four_blocks():
     window = list(entry.queries())[:50]
-    missing = [n for n in NEVER_SAMPLED if n not in window]
-    assert not missing, f"never-sampled queries outside window: {missing}"
+    want = NEVER_SAMPLED + FIXED_REDS + TOUCHED + STALE_R6
+    assert len(want) == 50, len(want)
+    assert window == want
 
 
-def test_touched_queries_inside_the_window():
-    window = list(entry.queries())[:50]
-    missing = [n for n in TOUCHED if n not in window]
-    assert not missing, f"code-touched queries fell out of window: {missing}"
+def test_never_sampled_queries_lead_the_window():
+    assert list(entry.queries())[: len(NEVER_SAMPLED)] == NEVER_SAMPLED
 
 
-# Late round-9 additions that no longer fit the full 50-window: they
-# are deliberately parked IMMEDIATELY after position 50 so they open
-# the round-10 window (never-sampled first), and each is locally
-# oracle-swept at both scales in the meantime.
-R10_OPENERS: list[str] = [
-    "collocation_phrase_match",
-    "join_fanout_skew_report",
-    "customer_rfm_segments",
-    "event_cusum_changepoints",
-    "embedding_drift_monitor",
-    "golden_record_merge",
-    "association_rules",
-    "trend_slope_per_type",
-    "session_path_topk",
-]
+def test_never_sampled_block_is_complete():
+    """Every registered query without a driver row in ANY recorded
+    CORRECTNESS round must be in NEVER_SAMPLED (inside the window) —
+    deferred_never_verified must hit 0 this round."""
+    sampled = set()
+    for p in sorted(
+        pathlib.Path(__file__).parents[1].glob("CORRECTNESS_r*.json")
+    ):
+        sampled.update(json.loads(p.read_text()))
+    never = [n for n in entry.queries() if n not in sampled]
+    assert sorted(never) == sorted(NEVER_SAMPLED), (
+        sorted(set(never) ^ set(NEVER_SAMPLED))
+    )
 
 
 def test_window_has_no_unverified_stragglers():
-    """Every registered query outside the ~50-sample window must have
-    a green row in some prior CORRECTNESS_r*.json (VERDICT r5 item 2)
-    — except the tracked R10_OPENERS, which must sit contiguously at
-    the very front of the beyond-window tail so the round-10 driver
-    samples them first."""
+    """Every registered query outside the 50-sample window must have
+    a green row in some prior CORRECTNESS_r*.json (VERDICT r5 item
+    2); nothing never-sampled may sit past the cut this round."""
     sampled = set()
-    for p in sorted(pathlib.Path(__file__).parents[1].glob("CORRECTNESS_r*.json")):
+    for p in sorted(
+        pathlib.Path(__file__).parents[1].glob("CORRECTNESS_r*.json")
+    ):
         sampled.update(json.loads(p.read_text()))
-    ordered = list(entry.queries())
-    beyond = ordered[50:]
-    assert beyond[: len(R10_OPENERS)] == R10_OPENERS, (
-        "R10 openers must lead the beyond-window tail"
-    )
-    never = [
-        n for n in beyond[len(R10_OPENERS):] if n not in sampled
-    ]
+    beyond = list(entry.queries())[50:]
+    never = [n for n in beyond if n not in sampled]
     assert not never, f"never-verified queries pushed past the window: {never}"
 
 
@@ -165,4 +145,7 @@ def test_oracles_cover_registry():
         "embedding_neardup",
     }
     for name in rows_only:
-        assert any(v.startswith(name.split("_")[0]) and v.endswith("_verify") for v in qs), name
+        assert any(
+            v.startswith(name.split("_")[0]) and v.endswith("_verify")
+            for v in qs
+        ), name
