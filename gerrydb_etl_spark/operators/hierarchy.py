@@ -75,6 +75,17 @@ def expand_paths(
     The default lets the planner pick shuffle vs broadcast per level,
     which is the scale-safe plan."""
     spark = edges.sparkSession
+    # Spark guards recursive CTEs with a 1M-row accumulator limit
+    # (spark.sql.cteRecursionRowLimit) — a runaway-query backstop
+    # that a legitimate hierarchy outgrows as soon as the edge table
+    # passes 1M rows (found at the natural-10x corpus: 1.5M order
+    # leaves). The expansion's output is bounded by the INPUT size
+    # (one path row per reachable node, every level strictly smaller
+    # than its parent level's fan-out), and runaway recursion is
+    # already guarded by the MAX_DEPTH raise_error, so the row
+    # backstop is disabled for this session. Level limit (100) stays:
+    # it is above MAX_DEPTH and never binds first.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     view = f"hierarchy_edges_input_{next(_VIEW_SEQ)}"
     hint = "/*+ BROADCAST(p) */ " if broadcast_frontier else ""
     nodes = edges.select(

@@ -212,3 +212,28 @@ def test_require_complete_raises_on_orphans_and_rootless_cycles(spark):
     )
     rows = expand_paths(clean, require_complete=True).collect()
     assert {r["id"] for r in rows} == {"r", "a", "b"}
+
+
+def test_million_row_hierarchy_does_not_hit_cte_row_backstop(spark):
+    """Found at the natural-10x corpus: Spark's recursive-CTE 1M-row
+    accumulator backstop (spark.sql.cteRecursionRowLimit) aborts a
+    legitimate >1M-node hierarchy. expand_paths disables the backstop
+    (output is input-bounded; cycles are guarded by MAX_DEPTH), so a
+    1.2M-leaf tree must expand completely."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+
+    n = 1_200_000
+    root = spark.range(1).select(
+        F.lit("r").alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("root").alias("label"),
+    )
+    leaves = spark.range(n).select(
+        F.concat(F.lit("x"), F.col("id")).alias("node_id"),
+        F.lit("r").alias("parent_id"),
+        F.col("id").cast("string").alias("label"),
+    )
+    out = expand_paths(root.unionByName(leaves))
+    assert out.count() == n + 1
