@@ -419,7 +419,7 @@ def split_oversized_cells(
     if max_levels < 1:
         raise ValueError(f"max_levels must be >= 1, got {max_levels}")
     if "sub_id" in assigned.columns:
-        out, cents = _resplit_blocks(
+        out, cents, did_split = _resplit_blocks(
             assigned, per_cell, iters, split_factor, prev_cents
         )
     else:
@@ -428,11 +428,25 @@ def split_oversized_cells(
                 "prev_cents only applies when re-splitting an "
                 "assignment that already carries sub_id"
             )
-        out, cents = _split_once(assigned, per_cell, iters, split_factor)
+        out, cents, did_split = _split_once(
+            assigned, per_cell, iters, split_factor
+        )
 
     threshold = split_factor * per_cell
     prev_sig = None
     for _ in range(max_levels - 1):
+        if not did_split:
+            # nothing was over the threshold this pass (driver-known
+            # from the pass's own cell counts) — no block can be
+            # oversized, so skip the occupancy probe entirely: the
+            # common nothing-to-split call costs zero extra jobs
+            break
+        # pin the pass output before probing: the probe and every
+        # downstream consumer (the next pass, or the caller) reuse
+        # the materialized blocks instead of re-running the Lloyd
+        # pipeline once per reader — same localCheckpoint contract
+        # as the pass-internal rows/cents pins
+        out = out.localCheckpoint(eager=False)
         # bounded probe: one map-side-combined count over blocks,
         # reduced to (how many blocks are oversized, how many rows
         # they hold) — two scalars to the driver
@@ -452,7 +466,7 @@ def split_oversized_cells(
             # another pass would recompute the identical partition
             break
         prev_sig = sig
-        out, cents = _resplit_blocks(
+        out, cents, did_split = _resplit_blocks(
             out, per_cell, iters, split_factor, prev_cents=cents
         )
     return out, cents
@@ -463,10 +477,13 @@ def _split_once(
     per_cell: int,
     iters: int,
     split_factor: int,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, bool]:
     """One grouped-Lloyd split pass over a (vec_id, cluster_id, qv)
     assignment without sub_id — the level-1 engine behind
-    split_oversized_cells."""
+    split_oversized_cells. Third element: whether any cell exceeded
+    the threshold (driver-known from the pass's own cell counts) —
+    False means the output is the input with sub_id pinned to 0 and
+    no block can need further refinement."""
     from pyspark.sql.window import Window as W
 
     spark = assigned.sparkSession
@@ -482,7 +499,7 @@ def _split_once(
         [], "cluster_id int, sub int, cv array<double>"
     )
     if not split_cells:
-        return base.withColumn("sub_id", F.lit(0)), empty_cents
+        return base.withColumn("sub_id", F.lit(0)), empty_cents, False
 
     # seeds are STRIDED through the cell's id order (every
     # ceil(n_c/m_c)-th vector), not the first m_c: runs of duplicate
@@ -522,7 +539,7 @@ def _split_once(
     out = keep.withColumn("sub_id", F.lit(0)).unionByName(
         sub_assigned.select("vec_id", "cluster_id", "qv", "sub_id")
     )
-    return out, cents
+    return out, cents, True
 
 
 def _resplit_blocks(
@@ -531,14 +548,14 @@ def _resplit_blocks(
     iters: int,
     split_factor: int,
     prev_cents: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, bool]:
     """Refine an existing (cluster_id, sub_id) split: re-key each
     block to a composite single id, run the level-1 machinery on it,
     then decompose — new sub ids are old_sub * (max_new_sub + 1) +
     new_sub, collision-free and deterministic. With ``prev_cents``
     the returned codebook is COMPLETE: blocks this pass did not
     re-split keep their previous centroid at new sub
-    old_sub * nmult + 0."""
+    old_sub * nmult + 0. Third element as in _split_once."""
     max_sub = assigned.agg(F.max("sub_id")).first()[0] or 0
     mult = int(max_sub) + 1
     re_keyed = assigned.select(
@@ -548,7 +565,9 @@ def _resplit_blocks(
         .alias("cluster_id"),
         "qv",
     )
-    out, cents = _split_once(re_keyed, per_cell, iters, split_factor)
+    out, cents, did_split = _split_once(
+        re_keyed, per_cell, iters, split_factor
+    )
     max_new = cents.agg(F.max("sub")).first()[0]
     nmult = int(max_new or 0) + 1
     blk = F.col("cluster_id")
@@ -579,7 +598,7 @@ def _resplit_blocks(
             "cv",
         )
         cents2 = kept.unionByName(cents2)
-    return out2, cents2
+    return out2, cents2, did_split
 
 
 def needs_cell_split(n_vecs: int, per_cell: int = 250, cap: int = 512) -> bool:
