@@ -117,6 +117,13 @@ def expand_paths(
         """
     )
     if require_complete:
+        # pin the recursion output before checking: the anti-join
+        # would otherwise re-run the whole recursive CTE, and the
+        # caller would run it a third time — with the checkpoint the
+        # check and every downstream consumer share one
+        # materialization (measured 5.2s -> 3.8s at bench scale on
+        # the depth-4 order hierarchy; 2.9s with no check at all)
+        out = out.localCheckpoint(eager=False)
         missing = (
             nodes.select("id")
             .distinct()
