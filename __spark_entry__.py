@@ -43,6 +43,7 @@ _EXPOSURE_PRIORITY = [
     "trend_slope_per_type",
     "session_path_topk",
     "order_hierarchy_paths",   # NEW r11: depth-4 recursive expansion
+    "ivf_blocked_neardup",     # NEW r11: corpus-scaled vector near-dup pairs
     # Block B (2): the two driver reds fixed this round (oracle
     # HUGEINT casts, VERDICT r10 item 1) — must re-sample green.
     "time_decayed_engagement",
@@ -95,8 +96,11 @@ _EXPOSURE_PRIORITY = [
     "timeline_gap_fill",
     "token_count_bpe",
     "topk_expensive_items",
-    "topk_orders_per_customer",
-    # everything below position 50 was driver-green in rounds 7-10
+    # (topk_orders_per_customer yielded the final r6-stale slot to
+    # the second new query, ivf_blocked_neardup — never-sampled
+    # queries outrank stale-green ones; it is r6-green on unchanged
+    # code and leads the round-12 stale refill)
+    # everything below position 50 was driver-green in rounds 6-10
     # with unchanged code; deferred past this round's sample window
 ]
 

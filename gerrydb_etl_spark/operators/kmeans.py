@@ -220,6 +220,22 @@ def semantic_dedup(
             emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
             keep_qv=True,
         )
+    qd, cell_cols = _blocked_qd(assigned)
+    dropped = (
+        _same_cell_pairs(qd, cell_cols, tau)
+        .select(F.col("d2").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        qd.select("vec_id", "cluster_id")
+        .join(dropped, "vec_id", "left_anti")
+    )
+
+
+def _blocked_qd(assigned: DataFrame) -> tuple[DataFrame, list[str]]:
+    """(qd, cell_cols): the checkpointed per-row pairing base —
+    (vec_id, cell key, quantized-double vector, norm) — shared by
+    semantic_dedup and cell_blocked_pairs."""
     # the blocking key: the refined subcell when the hierarchy is
     # active, else the top-level cell
     cell_cols = ["cluster_id"] + (
@@ -235,14 +251,21 @@ def semantic_dedup(
         dv.alias("dv"),
         F.sqrt(fold_sum(F.transform(dv, lambda x: x * x))).alias("nrm"),
     )
-    # three plan branches consume the assignment (a side, b side,
+    # multiple plan branches consume the assignment (a side, b side,
     # survivor base); localCheckpoint materializes it once to
     # executor storage and truncates the literal-centroid lineage
     # so the caller's action doesn't re-run scan+quantize+assign
     # per branch. Storage is one (id, cell, vector, norm) row per
     # corpus row — the same footprint the pair shuffle moves
     # anyway — and the blocks free with the DataFrame.
-    qd = qd.localCheckpoint(eager=True)
+    return qd.localCheckpoint(eager=True), cell_cols
+
+
+def _same_cell_pairs(
+    qd: DataFrame, cell_cols: list[str], tau: float
+) -> DataFrame:
+    """(d1 < d2, cell key, cosine) for every same-cell pair at or
+    above ``tau``, cosine folded over the quantized doubles."""
     # the join key is cluster_id — only k distinct values, so
     # an unsalted shuffle caps parallelism at k tasks. Salt
     # the b side by row hash and replicate the a side over
@@ -263,16 +286,51 @@ def semantic_dedup(
         F.col("nrm").alias("b_nrm"),
     ).withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
     dot_ab = fold_sum(F.zip_with(F.col("a_dv"), F.col("b_dv"), lambda x, y: x * y))
-    dropped = (
+    return (
         a.join(b, [*cell_cols, "__salt"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(dot_ab / (F.col("a_nrm") * F.col("b_nrm")) >= F.lit(tau))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
+        .select(
+            F.col("a_id").alias("d1"),
+            F.col("b_id").alias("d2"),
+            *cell_cols,
+            (dot_ab / (F.col("a_nrm") * F.col("b_nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(tau))
     )
-    return (
-        qd.select("vec_id", "cluster_id")
-        .join(dropped, "vec_id", "left_anti")
+
+
+def cell_blocked_pairs(
+    emb: DataFrame,
+    tau: float,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Cell-blocked near-duplicate PAIRS: (d1 < d2, cluster_id,
+    cosine) for every same-cell pair with cosine >= tau — the
+    pair-emitting sibling of semantic_dedup and the corpus-scaled
+    answer to all-pairs vector near-dup (the SCALE_r11 embedding_
+    neardup note): candidate volume is sum(n_c^2) over cells, held
+    linear by cells_for_corpus-scaled k, never corpus^2 and never a
+    fixed-signature-domain bucket blowup. Cosine folds over the
+    quantized doubles so the whole pipeline replays bitwise in SQL.
+    Recall contract: pairs whose endpoints quantize into DIFFERENT
+    cells are not candidates — the SemDeDup tradeoff (Abbas et al.
+    2023); the measured floor is pinned by
+    tests/test_kmeans.py::test_cell_blocked_pairs_recall.
+    ``assigned`` as in semantic_dedup (e.g. the session-staged
+    model); with a sub_id column pairing blocks on the refined
+    subcell and the output keeps the top-level cluster_id only."""
+    if assigned is None:
+        assigned = kmeans_train(
+            emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+            keep_qv=True,
+        )
+    qd, cell_cols = _blocked_qd(assigned)
+    return _same_cell_pairs(qd, cell_cols, tau).select(
+        "d1", "d2", "cluster_id", "cosine"
     )
 
 

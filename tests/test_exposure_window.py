@@ -25,6 +25,7 @@ NEVER_SAMPLED = [
     "trend_slope_per_type",
     "session_path_topk",
     "order_hierarchy_paths",
+    "ivf_blocked_neardup",
 ]
 
 # Block B: the two round-9/10 driver reds whose oracle SQL was fixed
@@ -46,8 +47,10 @@ TOUCHED = [
     "locality_hierarchy_paths",
 ]
 
-# Block D: the stalest refill — all 33 queries whose latest driver
-# row is round 6. After round 11 no query's latest row predates r7.
+# Block D: the stalest refill — the round-6 queries, minus
+# topk_orders_per_customer, which yielded the final slot to the
+# second new query (never-sampled outranks stale-green; it leads the
+# round-12 refill).
 STALE_R6 = [
     "bm25_scoring",
     "bucketed_colocated_join",
@@ -81,7 +84,6 @@ STALE_R6 = [
     "timeline_gap_fill",
     "token_count_bpe",
     "topk_expensive_items",
-    "topk_orders_per_customer",
 ]
 
 

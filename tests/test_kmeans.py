@@ -591,3 +591,67 @@ def test_recursion_stops_on_unsplittable_duplicates(spark):
     # all duplicates collapse into one block, still oversized — the
     # loop exits on the unchanged signature rather than erroring
     assert max(occ.values()) == 300
+
+
+def test_cell_blocked_pairs_recall(spark):
+    """Recall contract of the cell-blocked pair generator vs the
+    exact all-pairs truth at the registered threshold: the blocker
+    only proposes same-cell pairs, so moderate-similarity
+    cross-cluster pairs are out of scope by design (deterministic —
+    the measured floor is exact, pinned with margin), while planted
+    true near-dups (cosine ~ 1) co-quantize and must be recovered
+    COMPLETELY."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.kmeans import cell_blocked_pairs
+    from gerrydb_etl_spark.queries.clustering import BLOCKED_TAU, ITERS, K
+    from gerrydb_etl_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pydict()
+    ids = np.array(t["vec_id"])
+    V = np.array([
+        np.round(np.array(v, dtype=np.float64) * 1e6) for v in t["embedding"]
+    ])
+    nrm = np.sqrt((V * V).sum(1))
+    C = (V @ V.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if C[i, j] >= BLOCKED_TAU
+    }
+    emb = load_table(spark, sf, "embeddings")
+    got = {
+        (r["d1"], r["d2"])
+        for r in cell_blocked_pairs(
+            emb, tau=BLOCKED_TAU, k=K, iters=ITERS
+        ).collect()
+    }
+    assert got <= exact, "blocked pairs must be a subset of the truth"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.30, f"recall {recall:.3f} fell below the floor"
+
+    # planted twins: duplicates of existing vectors (cosine exactly 1)
+    # quantize into the same cell unconditionally — 100% recall
+    base_max = int(ids.max())
+    emb = emb.select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + base_max + 1).alias("vec_id"), "embedding"
+    )
+    n_twins = twins.count()
+    assert n_twins > 0
+    planted = {
+        (int(r["vec_id"]), int(r["vec_id"]) + base_max + 1)
+        for r in emb.filter(F.col("vec_id") % 50 == 0).collect()
+    }
+    got2 = {
+        (r["d1"], r["d2"])
+        for r in cell_blocked_pairs(
+            emb.unionByName(twins), tau=BLOCKED_TAU, k=K, iters=ITERS
+        ).collect()
+    }
+    missed = planted - got2
+    assert not missed, f"planted twins missed: {sorted(missed)[:5]}"
