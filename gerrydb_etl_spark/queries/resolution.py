@@ -158,12 +158,16 @@ def order_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered fixture rather than only in unit tests. Orders with a
     NULL customer key carry no position in the tree and would
     otherwise surface as bogus roots, so they are excluded in both
-    engines; require_complete=True turns any dangling FK into an
-    error instead of a silent drop (the fixture is FK-clean per
-    fk_integrity_audit). Scale shape: one equi-join per level
-    against the shrinking frontier — the leaf level joins orders
-    once on its natural key, the same join any order→customer
-    denormalization performs."""
+    engines. Dangling FKs (an order whose customer does not exist)
+    DROP in both engines — the recursion never reaches them and the
+    oracle's inner-join chain filters them identically, a parity the
+    edge battery pins on a deliberately orphaned fixture; a pipeline
+    wanting hard failure instead passes require_complete=True
+    (opt-in, unit-gated — an erroring query can never hash-match an
+    oracle, so the registered contract is the drop). Scale shape:
+    one equi-join per level against the shrinking frontier — the
+    leaf level joins orders once on its natural key, the same join
+    any order→customer denormalization performs."""
     from gerrydb_etl_spark.operators.hierarchy import expand_paths
 
     region = load_table(spark, sf_dir, "region")
@@ -205,7 +209,7 @@ def order_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(customers)
         .unionByName(order_lvl)
     )
-    paths = expand_paths(edges, require_complete=True)
+    paths = expand_paths(edges)
     return paths.filter(F.col("id").startswith("o:")).select(
         F.substring(F.col("id"), 3, 100).cast("bigint").alias("node_key"),
         F.col("path").alias("canonical_path"),

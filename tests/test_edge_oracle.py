@@ -369,6 +369,13 @@ EDGE_REL_QUERIES = [
     "embedding_drift_monitor",    # duplicate head run split across halves
     "golden_record_merge",        # custkey 0: every field gapped, CRM fills all
     "association_rules",          # clique rules; support-1 pairs dropped
+    # round-11 additions
+    "order_hierarchy_paths",      # orphan custkey 99 drops in BOTH engines
+    #   (recursion never reaches it; oracle inner-join filters it);
+    #   NULL-custkey order excluded, NULL-orderdate order kept
+    "ivf_blocked_neardup",        # 20-way duplicate head run: twin pairs
+    #   at cosine exactly 1; threshold cell boundary shared with
+    #   hierarchical_cells_assign
 ]
 
 
