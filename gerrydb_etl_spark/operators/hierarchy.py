@@ -75,17 +75,6 @@ def expand_paths(
     The default lets the planner pick shuffle vs broadcast per level,
     which is the scale-safe plan."""
     spark = edges.sparkSession
-    # Spark guards recursive CTEs with a 1M-row accumulator limit
-    # (spark.sql.cteRecursionRowLimit) — a runaway-query backstop
-    # that a legitimate hierarchy outgrows as soon as the edge table
-    # passes 1M rows (found at the natural-10x corpus: 1.5M order
-    # leaves). The expansion's output is bounded by the INPUT size
-    # (one path row per reachable node, every level strictly smaller
-    # than its parent level's fan-out), and runaway recursion is
-    # already guarded by the MAX_DEPTH raise_error, so the row
-    # backstop is disabled for this session. Level limit (100) stays:
-    # it is above MAX_DEPTH and never binds first.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     view = f"hierarchy_edges_input_{next(_VIEW_SEQ)}"
     hint = "/*+ BROADCAST(p) */ " if broadcast_frontier else ""
     nodes = edges.select(
@@ -94,6 +83,31 @@ def expand_paths(
         F.col(label_col).alias("label"),
     )
     nodes.createOrReplaceTempView(view)
+    # Spark guards recursive CTEs with a 1M-row accumulator limit
+    # (spark.sql.cteRecursionRowLimit) — a runaway-query backstop
+    # that a legitimate hierarchy outgrows as soon as the edge table
+    # passes 1M rows (found at the natural-10x corpus: 1.5M order
+    # leaves). With UNIQUE node ids the expansion's output is bounded
+    # by the input (one path row per reachable node), so the backstop
+    # is RAISED to an input-proportional bound — 2n + margin — rather
+    # than disabled (VERDICT r11 item 4: -1 outlived the call and
+    # stripped the guard from every later recursive CTE in the
+    # session; and duplicate (id,parent) edge rows multiply paths per
+    # level WITHOUT tripping the MAX_DEPTH guard, which is exactly
+    # the runaway this backstop catches). The bound must outlive this
+    # function — the recursion runs at the CONSUMER's action — so it
+    # is set monotonically (never lowered below a concurrent caller's
+    # bound) instead of save/restored. A session where the user
+    # explicitly disabled the backstop (-1) is left alone. The
+    # one-job count is the price of the bound; the recursion itself
+    # re-scans the same view once per level, so it is marginal.
+    n_nodes = nodes.count()
+    prior = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
+    if prior != -1:
+        bound = max(prior, 2 * n_nodes + 10_000)
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
+    # Level limit (100) stays: it is above MAX_DEPTH and never binds
+    # first.
     out = spark.sql(
         f"""
         WITH RECURSIVE paths (id, path, depth) AS (

@@ -454,15 +454,19 @@ def split_oversized_cells(
     RECURSION: one Lloyd pass does not guarantee balanced subcells —
     a skewed cell (duplicate runs, a dominant natural clump) can
     leave one subcell still above the threshold. Each pass therefore
-    probes the resulting block occupancy (one O(blocks)
-    map-side-combined count) and re-splits any block still over
-    ``split_factor * per_cell``, up to ``max_levels`` total passes,
-    with the codebook recomposed level over level. Unsplittable
-    blocks (e.g. one value duplicated past the threshold — no
-    centroid pair can separate identical vectors) stop refining and
-    the loop exits when a pass leaves the oversized count unchanged,
-    so max_levels is a guard, not a target; pass ``max_levels=1`` to
-    pin the single-pass behavior.
+    checks the occupancy of the blocks IT re-assigned (an O(split
+    rows) map-side-combined count over the pass's own final
+    assignment — blocks the pass left alone were under threshold by
+    its own pre-count, so they never need scanning; VERDICT r11
+    item 3 replaced a full-output probe scan with this) and re-splits
+    any block still over ``split_factor * per_cell``, up to
+    ``max_levels`` total passes, with the codebook recomposed level
+    over level. Unsplittable blocks (e.g. one value duplicated past
+    the threshold — no centroid pair can separate identical vectors)
+    stop refining and the loop exits when a pass leaves the oversized
+    count unchanged, so max_levels is a guard, not a target; pass
+    ``max_levels=1`` to pin the single-pass behavior (zero probe
+    jobs).
 
     RE-APPLICATION: an input already carrying ``sub_id`` (a prior
     split's output) is refined at the (cluster_id, sub_id) block
@@ -477,7 +481,7 @@ def split_oversized_cells(
     if max_levels < 1:
         raise ValueError(f"max_levels must be >= 1, got {max_levels}")
     if "sub_id" in assigned.columns:
-        out, cents, did_split = _resplit_blocks(
+        out, cents, did_split, sub_assigned = _resplit_blocks(
             assigned, per_cell, iters, split_factor, prev_cents
         )
     else:
@@ -486,7 +490,7 @@ def split_oversized_cells(
                 "prev_cents only applies when re-splitting an "
                 "assignment that already carries sub_id"
             )
-        out, cents, did_split = _split_once(
+        out, cents, did_split, sub_assigned = _split_once(
             assigned, per_cell, iters, split_factor
         )
 
@@ -496,20 +500,19 @@ def split_oversized_cells(
         if not did_split:
             # nothing was over the threshold this pass (driver-known
             # from the pass's own cell counts) — no block can be
-            # oversized, so skip the occupancy probe entirely: the
+            # oversized, so skip the occupancy check entirely: the
             # common nothing-to-split call costs zero extra jobs
             break
-        # pin the pass output before probing: the probe and every
-        # downstream consumer (the next pass, or the caller) reuse
-        # the materialized blocks instead of re-running the Lloyd
-        # pipeline once per reader — same localCheckpoint contract
-        # as the pass-internal rows/cents pins
-        out = out.localCheckpoint(eager=False)
-        # bounded probe: one map-side-combined count over blocks,
-        # reduced to (how many blocks are oversized, how many rows
-        # they hold) — two scalars to the driver
+        # bounded occupancy check over ONLY the rows this pass
+        # re-assigned (its final sub assignment): blocks the pass
+        # left alone were under threshold by its own pre-count, so
+        # an oversized block can only be one the pass just produced.
+        # The scan reuses the pass-internal `rows` checkpoint — no
+        # materialization of the full (keep ∪ split) output, which
+        # the old full-output probe forced once per splitting pass
+        # (VERDICT r11 item 3). Result: two scalars to the driver.
         row = (
-            out.groupBy("cluster_id", "sub_id")
+            sub_assigned.groupBy("cluster_id", "sub_id")
             .count()
             .filter(F.col("count") > threshold)
             .agg(
@@ -524,7 +527,11 @@ def split_oversized_cells(
             # another pass would recompute the identical partition
             break
         prev_sig = sig
-        out, cents, did_split = _resplit_blocks(
+        # pin the pass output only when actually recursing: the next
+        # pass scans it twice (max-id agg + re-key) and the final
+        # output builds on it
+        out = out.localCheckpoint(eager=False)
+        out, cents, did_split, sub_assigned = _resplit_blocks(
             out, per_cell, iters, split_factor, prev_cents=cents
         )
     return out, cents
@@ -535,13 +542,17 @@ def _split_once(
     per_cell: int,
     iters: int,
     split_factor: int,
-) -> tuple[DataFrame, DataFrame, bool]:
+) -> tuple[DataFrame, DataFrame, bool, DataFrame | None]:
     """One grouped-Lloyd split pass over a (vec_id, cluster_id, qv)
     assignment without sub_id — the level-1 engine behind
     split_oversized_cells. Third element: whether any cell exceeded
     the threshold (driver-known from the pass's own cell counts) —
     False means the output is the input with sub_id pinned to 0 and
-    no block can need further refinement."""
+    no block can need further refinement. Fourth element: the final
+    sub assignment of JUST the re-split rows (None when nothing
+    split) — the recursion loop's occupancy check scans this instead
+    of the full output, since untouched blocks were under threshold
+    by this pass's own pre-count."""
     from pyspark.sql.window import Window as W
 
     spark = assigned.sparkSession
@@ -557,7 +568,7 @@ def _split_once(
         [], "cluster_id int, sub int, cv array<double>"
     )
     if not split_cells:
-        return base.withColumn("sub_id", F.lit(0)), empty_cents, False
+        return base.withColumn("sub_id", F.lit(0)), empty_cents, False, None
 
     # seeds are STRIDED through the cell's id order (every
     # ceil(n_c/m_c)-th vector), not the first m_c: runs of duplicate
@@ -597,7 +608,7 @@ def _split_once(
     out = keep.withColumn("sub_id", F.lit(0)).unionByName(
         sub_assigned.select("vec_id", "cluster_id", "qv", "sub_id")
     )
-    return out, cents, True
+    return out, cents, True, sub_assigned
 
 
 def _resplit_blocks(
@@ -606,16 +617,39 @@ def _resplit_blocks(
     iters: int,
     split_factor: int,
     prev_cents: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, bool]:
+) -> tuple[DataFrame, DataFrame, bool, DataFrame | None]:
     """Refine an existing (cluster_id, sub_id) split: re-key each
     block to a composite single id, run the level-1 machinery on it,
     then decompose — new sub ids are old_sub * (max_new_sub + 1) +
     new_sub, collision-free and deterministic. With ``prev_cents``
     the returned codebook is COMPLETE: blocks this pass did not
     re-split keep their previous centroid at new sub
-    old_sub * nmult + 0. Third element as in _split_once."""
-    max_sub = assigned.agg(F.max("sub_id")).first()[0] or 0
-    mult = int(max_sub) + 1
+    old_sub * nmult + 0. Third/fourth elements as in _split_once
+    (the fourth keeps its composite block key — the occupancy check
+    only counts rows per block, so the labeling is irrelevant).
+
+    Both composite keyings are guarded against silent INT32 overflow
+    (the window-ordinal bug class): with the recursive default
+    (max_levels=8) sub-id ranges compound multiplicatively per level,
+    so a pathologically skewed corpus could push cluster_id * mult +
+    sub_id — or the recomposed old_sub * nmult + new_sub — past
+    2^31 on exactly the inputs where the recursion works hardest.
+    Both bounds are driver-known scalars, so the guard costs no extra
+    job (max cluster_id rides the existing max-sub aggregate)."""
+    hdr = assigned.agg(
+        F.max("sub_id").alias("ms"), F.max("cluster_id").alias("mc")
+    ).first()
+    max_sub = int(hdr["ms"] or 0)
+    max_cid = int(hdr["mc"] or 0)
+    mult = max_sub + 1
+    if (max_cid + 1) * mult > 2**31 - 1:
+        raise ValueError(
+            "split re-application: composite block key "
+            f"(max cluster_id {max_cid}) * (max sub_id + 1 = {mult}) "
+            "overflows INT32 — the corpus is skewed past the "
+            "addressable sub-id range; raise per_cell or cap "
+            "max_levels"
+        )
     re_keyed = assigned.select(
         "vec_id",
         (F.col("cluster_id") * mult + F.col("sub_id"))
@@ -623,11 +657,19 @@ def _resplit_blocks(
         .alias("cluster_id"),
         "qv",
     )
-    out, cents, did_split = _split_once(
+    out, cents, did_split, sub_assigned = _split_once(
         re_keyed, per_cell, iters, split_factor
     )
     max_new = cents.agg(F.max("sub")).first()[0]
     nmult = int(max_new or 0) + 1
+    if mult * nmult > 2**31 - 1:
+        raise ValueError(
+            "split re-application: recomposed sub id domain "
+            f"(prior sub range {mult}) * (new sub range {nmult}) "
+            "overflows INT32 — the corpus is skewed past the "
+            "addressable sub-id range; raise per_cell or cap "
+            "max_levels"
+        )
     blk = F.col("cluster_id")
     out2 = out.select(
         "vec_id",
@@ -656,7 +698,7 @@ def _resplit_blocks(
             "cv",
         )
         cents2 = kept.unionByName(cents2)
-    return out2, cents2, did_split
+    return out2, cents2, did_split, sub_assigned
 
 
 def needs_cell_split(n_vecs: int, per_cell: int = 250, cap: int = 512) -> bool:

@@ -217,9 +217,10 @@ def test_require_complete_raises_on_orphans_and_rootless_cycles(spark):
 def test_million_row_hierarchy_does_not_hit_cte_row_backstop(spark):
     """Found at the natural-10x corpus: Spark's recursive-CTE 1M-row
     accumulator backstop (spark.sql.cteRecursionRowLimit) aborts a
-    legitimate >1M-node hierarchy. expand_paths disables the backstop
-    (output is input-bounded; cycles are guarded by MAX_DEPTH), so a
-    1.2M-leaf tree must expand completely."""
+    legitimate >1M-node hierarchy. expand_paths raises the backstop
+    to an input-proportional bound (output is input-bounded; cycles
+    are guarded by MAX_DEPTH), so a 1.2M-leaf tree must expand
+    completely."""
     from pyspark.sql import functions as F
 
     from gerrydb_etl_spark.operators.hierarchy import expand_paths
@@ -237,3 +238,59 @@ def test_million_row_hierarchy_does_not_hit_cte_row_backstop(spark):
     )
     out = expand_paths(root.unionByName(leaves))
     assert out.count() == n + 1
+
+
+def test_cte_row_backstop_stays_bounded_after_expansion(spark):
+    """VERDICT r11 item 4: expand_paths used to set
+    spark.sql.cteRecursionRowLimit to -1 for the whole session,
+    stripping the runaway backstop from every LATER recursive CTE.
+    The bound must now be finite and input-proportional after a
+    consumer's action completes (it cannot be save/restored — the
+    recursion runs at the consumer's action, after the call
+    returns)."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+
+    n = 5_000
+    root = spark.range(1).select(
+        F.lit("r").alias("node_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.lit("root").alias("label"),
+    )
+    leaves = spark.range(n).select(
+        F.concat(F.lit("x"), F.col("id")).alias("node_id"),
+        F.lit("r").alias("parent_id"),
+        F.col("id").cast("string").alias("label"),
+    )
+    out = expand_paths(root.unionByName(leaves))
+    assert out.count() == n + 1  # the consumer's action
+    limit = int(spark.conf.get("spark.sql.cteRecursionRowLimit"))
+    assert limit != -1, "backstop left disabled for the session"
+    assert limit >= 2 * (n + 1), "bound not input-proportional"
+
+
+def test_duplicate_edges_runaway_trips_the_backstop(spark):
+    """Duplicate (id, parent) edge rows multiply paths per level
+    WITHOUT deepening any path, so the MAX_DEPTH raise_error never
+    fires — the row backstop is the only guard for this runaway
+    (ADVICE r11), and disabling it (-1) would have let this query
+    materialize 4^depth rows. With the input-proportional bound it
+    must abort."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+
+    depth, dups = 14, 4
+    chain = [("n0", None, "root")] + [
+        (f"n{i}", f"n{i - 1}", f"n{i}")
+        for i in range(1, depth + 1)
+        for _ in range(dups)
+    ]
+    edges = spark.createDataFrame(
+        chain, "node_id string, parent_id string, label string"
+    )
+    out = expand_paths(edges)
+    with pytest.raises(Exception, match="(?i)recursion"):
+        out.count()

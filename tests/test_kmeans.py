@@ -655,3 +655,21 @@ def test_cell_blocked_pairs_recall(spark):
     }
     missed = planted - got2
     assert not missed, f"planted twins missed: {sorted(missed)[:5]}"
+
+
+def test_resplit_composite_key_overflow_guard(spark):
+    """The composite block key (cluster_id * mult + sub_id) and the
+    recomposed sub id both live in INT32; with the recursive default
+    compounding sub ranges per level, a skewed corpus could overflow
+    them silently (the window-ordinal INT32 bug class). The guard
+    must raise BEFORE any re-keying happens."""
+    import pytest
+
+    from gerrydb_etl_spark.operators.kmeans import split_oversized_cells
+
+    assigned = spark.createDataFrame(
+        [(1, 2**20, 2**12, [1, 2]), (2, 2**20, 0, [3, 4])],
+        "vec_id long, cluster_id int, sub_id int, qv array<int>",
+    )
+    with pytest.raises(ValueError, match="overflows INT32"):
+        split_oversized_cells(assigned, per_cell=1)
