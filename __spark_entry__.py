@@ -28,79 +28,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # ---- ROUND 11 WINDOW (50 slots exactly) --------------------------
-    # Block A (10): never-driver-sampled queries FIRST (VERDICT r10
-    # item 2): the nine round-10 openers that sat at positions 51-59
-    # for two rounds because round 10 shipped no commit, plus this
-    # round's one new query (the depth-4 hierarchy fixture).
-    "collocation_phrase_match",
-    "join_fanout_skew_report",
-    "customer_rfm_segments",   # also reworked this round: distributed quartiles + BIGINT oracle cast
-    "event_cusum_changepoints",
-    "embedding_drift_monitor",
-    "golden_record_merge",
-    "association_rules",
-    "trend_slope_per_type",
-    "session_path_topk",
-    "order_hierarchy_paths",   # NEW r11: depth-4 recursive expansion
-    "ivf_blocked_neardup",     # NEW r11: corpus-scaled vector near-dup pairs
-    # Block B (2): the two driver reds fixed this round (oracle
-    # HUGEINT casts, VERDICT r10 item 1) — must re-sample green.
-    "time_decayed_engagement",
-    "fk_integrity_audit",
-    # Block C (5): code touched this round and not already above —
-    # the kmeans recursive re-split touches the split family, the
-    # _is_convex wrap-around fix touches the geometry overlap verdict,
-    # and expand_paths gained the completeness guard. (The ivf.py
-    # change is a new error-path ValueError only — its executed search
-    # path is byte-identical and ivf_cosine_topk/ivf_verify refresh in
-    # Block D / were r10-green; bench.py changes touch no query.)
+    # ---- ROUND 12 WINDOW (50 slots exactly) --------------------------
+    # Block A (1): never-driver-sampled queries FIRST — this round's
+    # one new query (the near-dup-grade planted-twin sibling of
+    # ivf_blocked_neardup, VERDICT r11 item 7).
+    "ivf_blocked_neardup_strict",
+    # Block B (45): the stalest refill (VERDICT r11 item 2) — the
+    # single r6 straggler leads as promised, then every query whose
+    # latest driver row is round 7. After this round no query's
+    # latest driver row predates r8; round 13 takes the r8 block (48).
+    "topk_orders_per_customer",
+    "approx_distinct_customers",
+    "benchmark_decontam",
+    "bpe_merge_candidates",
+    "cdc_chunking",
+    "config_driven_projection",
+    "containment_dedup",
+    "count_distinct_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_exact_text",
+    "doc_fingerprint",
+    "dsir_importance_weights",
+    "embedding_cosine_topk",
+    "embedding_quantize",
+    "epoch_shuffle_order",
+    "events_stream_store_ingest",
+    "full_outer_key_overlap",
+    "geo_point_roundtrip",
+    "grouping_sets_revenue",
+    "incremental_agg_maintenance",
+    "lang_id_heuristic",
+    "media_byte_stats",
+    "media_decode_features",
+    "media_frame_sample",
+    "minhash_near_dup",
+    "minhash_verify",
+    "ngram_jaccard_dedup",
+    "outer_join_order_counts",
+    "pagerank_fixed_point",
+    "passage_dedup",
+    "region_nation_revenue",
+    "right_outer_parts",
+    "rrf_hybrid_retrieval",
+    "set_versioning_double_load",
+    "simhash_near_dup",
+    "simhash_verify",
+    "stats_quantiles_moments",
+    "substring_dedup_spans",
+    "text_stats",
+    "token_topk",
+    "top_revenue_orders",
+    "utm_zone_epsg",
+    "winnow_fingerprints",
+    "winnow_near_dup",
+    # Block C (4): code touched this round and not already above —
+    # the split-occupancy probe rework (hierarchical_cells_assign is
+    # the registered split query; max_levels=1 keeps its plan
+    # identical, re-sampled anyway per the touched-code convention)
+    # and the expand_paths cteRecursionRowLimit bound (both hierarchy
+    # consumers now run one extra edge count; order_hierarchy_paths
+    # is the depth-4 fixture, locality_hierarchy_paths the depth-3
+    # one — the bound is result-identical and unit-gated, but both
+    # re-sample since their executed session state changed).
     "hierarchical_cells_assign",
-    "semantic_dedup_survivors",
-    "embedding_split_leakage",
-    "geo_union_centroid",
+    "order_hierarchy_paths",
     "locality_hierarchy_paths",
-    # Block D (33): the stalest refill — every query whose latest
-    # driver row is round 6. After this round no query's latest driver
-    # row predates r7; rounds 12/13 take the r7 (45) and r8 (48)
-    # blocks.
-    "bm25_scoring",
-    "bucketed_colocated_join",
-    "cms_heavy_hitters",
-    "current_version_per_order",
-    "dense_id_assignment",
-    "doc_chunking",
-    "event_rate_anomaly",
-    "events_stream_join_attribution",
-    "events_stream_tumbling",
-    "events_tumbling_hourly",
-    "filters_membership",
-    "funnel_conversion_stages",
-    "fuzzy_blocked_match",
-    "gopher_quality_rules",
-    "group_median_discrete",
-    "incremental_exact_dedup",
-    "ivf_cosine_topk",
-    "kmeans_train_assign",
-    "local_supplier_volume",
-    "order_gap_days",
-    "pii_redaction",
-    "pricing_summary",
-    "rank_dense_ntile",
-    "robust_length_filter",
-    "running_revenue_per_customer",
-    "session_id_assignment",
-    "shingle_novelty",
-    "string_keys",
-    "tfidf_top_terms",
-    "timeline_gap_fill",
-    "token_count_bpe",
-    "topk_expensive_items",
-    # (topk_orders_per_customer yielded the final r6-stale slot to
-    # the second new query, ivf_blocked_neardup — never-sampled
-    # queries outrank stale-green ones; it is r6-green on unchanged
-    # code and leads the round-12 stale refill)
-    # everything below position 50 was driver-green in rounds 6-10
+    "ivf_blocked_neardup",  # sibling of the new twin; shares cell_blocked_pairs
+    # (semantic_dedup_survivors also imports split_oversized_cells but
+    # its needs_cell_split branch never activates at driver scale, so
+    # its executed plan is byte-identical — r11-green, deferred)
+    # everything below position 50 was driver-green in rounds 8-11
     # with unchanged code; deferred past this round's sample window
 ]
 
