@@ -85,19 +85,22 @@ _EXPOSURE_PRIORITY = [
     # Block C (4): code touched this round and not already above —
     # the split-occupancy probe rework (hierarchical_cells_assign is
     # the registered split query; max_levels=1 keeps its plan
-    # identical, re-sampled anyway per the touched-code convention)
-    # and the expand_paths cteRecursionRowLimit bound (both hierarchy
-    # consumers now run one extra edge count; order_hierarchy_paths
-    # is the depth-4 fixture, locality_hierarchy_paths the depth-3
-    # one — the bound is result-identical and unit-gated, but both
-    # re-sample since their executed session state changed).
+    # identical, re-sampled anyway per the touched-code convention),
+    # the expand_paths cteRecursionRowLimit bound
+    # (order_hierarchy_paths is the deeper depth-4 consumer;
+    # locality_hierarchy_paths runs the SAME operator path and the
+    # bound is result-identical + unit-gated, so it yields its slot
+    # and defers on its r11 green), and the two streaming ingest
+    # queries re-epoched 4->2 after the r11-item-8 profile (both
+    # also r8-stale, so sampling them advances the rotation too).
+    # (semantic_dedup_survivors and ivf_blocked_neardup import the
+    # touched split/pairing modules but their executed plans are
+    # byte-identical at driver scale — needs_cell_split never
+    # activates, cell_blocked_pairs unchanged — r11-green, deferred)
     "hierarchical_cells_assign",
     "order_hierarchy_paths",
-    "locality_hierarchy_paths",
-    "ivf_blocked_neardup",  # sibling of the new twin; shares cell_blocked_pairs
-    # (semantic_dedup_survivors also imports split_oversized_cells but
-    # its needs_cell_split branch never activates at driver scale, so
-    # its executed plan is byte-identical — r11-green, deferred)
+    "docs_stream_dedup_ingest",
+    "embeddings_stream_index_ingest",
     # everything below position 50 was driver-green in rounds 8-11
     # with unchanged code; deferred past this round's sample window
 ]

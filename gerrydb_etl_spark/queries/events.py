@@ -435,7 +435,7 @@ def events_stream_store_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming document ingest with cross-batch exact dedup into
     the versioned store (streaming/stream.py run_docs_dedup_ingest):
-    four deterministic doc_id-range micro-batches; each batch keeps
+    two deterministic doc_id-range micro-batches; each batch keeps
     its first copy per content hash and anti-joins every previously
     COMMITTED batch (cross-batch dedup state lives in the idempotent
     epoch-keyed sink, surviving driver restarts); one audited atomic
@@ -443,7 +443,17 @@ def docs_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-first fold collapses to keep-min-doc_id per hash — which is
     exactly what the oracle states, so the whole streaming pipeline
     (batching, state carry, sink idempotence, publish) is value-hash
-    gated per surviving row."""
+    gated per surviving row.
+
+    Two epochs, not four (VERDICT r11 item 8): at bench scale the
+    wall was ~0.7s of fixed micro-batch engine overhead PER EPOCH on
+    trivial per-epoch work (measured 1.4s/2.2s/3.5s at 1/2/4
+    epochs), so four epochs measured the engine, not the plan. Two
+    keeps the cross-batch path live (epoch 2 anti-joins epoch 1's
+    index); replay idempotence, restart resume, and index compaction
+    stay test-gated at their own epoch counts
+    (tests/test_streaming.py), and the oracle is batch-count
+    invariant."""
     import shutil
     import tempfile
 
@@ -452,7 +462,7 @@ def docs_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="docs_dedup_store_")
     try:
-        run_docs_dedup_ingest(spark, sf_dir, root)
+        run_docs_dedup_ingest(spark, sf_dir, root, n_batches=2)
         table = VersionedTable(spark, root)
         out = table.read().select("doc_id", "content_sha")
         # the temp store is deleted after this query returns; pin the

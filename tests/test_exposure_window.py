@@ -76,12 +76,12 @@ STALE_REFILL = [
 ]
 
 # code touched in round 12 (split-occupancy rework; expand_paths
-# backstop bound; the new twin's shared pairing helper)
+# backstop bound; streaming ingest epochs 4->2)
 TOUCHED = [
     "hierarchical_cells_assign",
     "order_hierarchy_paths",
-    "locality_hierarchy_paths",
-    "ivf_blocked_neardup",
+    "docs_stream_dedup_ingest",
+    "embeddings_stream_index_ingest",
 ]
 
 
