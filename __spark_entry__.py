@@ -29,10 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # sit below the window.
 _EXPOSURE_PRIORITY = [
     # ---- ROUND 12 WINDOW (50 slots exactly) --------------------------
-    # Block A (1): never-driver-sampled queries FIRST — this round's
-    # one new query (the near-dup-grade planted-twin sibling of
-    # ivf_blocked_neardup, VERDICT r11 item 7).
+    # Block A (2): never-driver-sampled queries FIRST — this round's
+    # two new queries: the near-dup-grade planted-twin sibling of
+    # ivf_blocked_neardup (VERDICT r11 item 7), and the multi-probe
+    # pairing that closes part of single-probe blocking's documented
+    # cross-cell recall gap.
     "ivf_blocked_neardup_strict",
+    "ivf_multiprobe_neardup",
     # Block B (45): the stalest refill (VERDICT r11 item 2) — the
     # single r6 straggler leads as promised, then every query whose
     # latest driver row is round 7. After this round no query's
@@ -82,22 +85,21 @@ _EXPOSURE_PRIORITY = [
     "utm_zone_epsg",
     "winnow_fingerprints",
     "winnow_near_dup",
-    # Block C (4): code touched this round and not already above —
-    # the split-occupancy probe rework (hierarchical_cells_assign is
-    # the registered split query; max_levels=1 keeps its plan
-    # identical, re-sampled anyway per the touched-code convention),
+    # Block C (3): code touched this round and not already above —
     # the expand_paths cteRecursionRowLimit bound
     # (order_hierarchy_paths is the deeper depth-4 consumer;
     # locality_hierarchy_paths runs the SAME operator path and the
     # bound is result-identical + unit-gated, so it yields its slot
-    # and defers on its r11 green), and the two streaming ingest
+    # and defers on its r11 green) and the two streaming ingest
     # queries re-epoched 4->2 after the r11-item-8 profile (both
     # also r8-stale, so sampling them advances the rotation too).
-    # (semantic_dedup_survivors and ivf_blocked_neardup import the
-    # touched split/pairing modules but their executed plans are
-    # byte-identical at driver scale — needs_cell_split never
-    # activates, cell_blocked_pairs unchanged — r11-green, deferred)
-    "hierarchical_cells_assign",
+    # (hierarchical_cells_assign / semantic_dedup_survivors /
+    # ivf_blocked_neardup import the touched split/pairing modules
+    # but their executed plans are byte-identical at driver scale —
+    # the max_levels=1 path skips the reworked probe loop entirely,
+    # needs_cell_split never activates, cell_blocked_pairs is
+    # unchanged — all r11-green, locally oracle-swept, deferred to
+    # make room for the two never-sampled openers)
     "order_hierarchy_paths",
     "docs_stream_dedup_ingest",
     "embeddings_stream_index_ingest",

@@ -334,6 +334,50 @@ def cell_blocked_pairs(
     )
 
 
+def multiprobe_pairs(
+    emb: DataFrame,
+    tau: float,
+    centroids: dict[int, list[float]],
+    probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe cell-blocked near-duplicate PAIRS (d1 < d2,
+    cosine >= tau): each vector blocks on its ``probes`` NEAREST
+    cells of a trained coarse quantizer (assign_topn — ties to the
+    lower cluster id, matching the rn <= probes SQL replay), pairs
+    form within any shared cell, and a pair sharing more than one
+    cell is emitted once (the rescored cosine is bit-identical in
+    every shared cell — same fold over the same quantized doubles —
+    so DISTINCT is exact, not a float footgun).
+
+    This closes part of cell_blocked_pairs' documented recall gap:
+    single-probe blocking misses every pair whose endpoints fall in
+    different Voronoi cells; a boundary pair is recovered whenever
+    ONE endpoint's second-nearest cell is the other's home cell. The
+    candidate set is a strict superset of single-probe's on the same
+    model, so recall can only go up
+    (tests/test_kmeans.py::test_multiprobe_recall_dominates).
+
+    Scale: each vector lands in ``probes`` cells, so per-cell
+    occupancy grows ~probes-fold and candidate volume is bounded by
+    probes^2 * sum(n_c^2) — still LINEAR in the corpus under
+    corpus-scaled cell counts, with the same salted cell-key shuffle
+    as single-probe. ``centroids`` must be the quantizer the corpus
+    was trained with (e.g. store/staging.staged_ivf's centroid side,
+    which exists precisely because probe ranking needs the ORIGINAL
+    centroids — they are not derivable from the final assignment)."""
+    top = assign_topn(
+        quantize(emb, vec_col=vec_col, id_col=id_col), centroids, probes
+    ).select("vec_id", "cluster_id", "qv")
+    qd, cell_cols = _blocked_qd(top)
+    return (
+        _same_cell_pairs(qd, cell_cols, tau)
+        .select("d1", "d2", "cosine")
+        .distinct()
+    )
+
+
 def cells_for_corpus(
     n_vecs: int, floor_k: int, per_cell: int = 250, cap: int = 512
 ) -> int:

@@ -206,6 +206,62 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-probe pairing threshold: the corpus's near-dup band (same
+# tau as ivf_blocked_neardup so the single- vs multi-probe recall
+# comparison is like-for-like)
+_MP_TAU = 0.35
+_MP_PROBES = 2
+
+
+def _multiprobe_replay_sql() -> str:
+    """Replay of multiprobe_pairs: training CTEs, rn<=probes cell
+    assignment, shared-cell pairing, rescore, exact DISTINCT."""
+    from gerrydb_etl_spark.queries.clustering import _kmeans_ctes
+
+    dot = _DVDOT.format(a="a.dv", b="b.dv")
+    na = _DVNORM.format(a="a.dv")
+    nb = _DVNORM.format(a="b.dv")
+    return f"""
+    {_kmeans_ctes(_IVF_CELLS, _IVF_ITERS)},
+    probe2 AS (
+        SELECT a.vec_id, a.cluster_id,
+               list_transform(q.qv, x -> CAST(x AS DOUBLE)) AS dv
+        FROM a{_IVF_ITERS} a
+        JOIN q ON a.vec_id = q.vec_id AND a.rn <= {_MP_PROBES}
+    )
+    SELECT DISTINCT d1, d2, cosine FROM (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               {dot} / ({na} * {nb}) AS cosine
+        FROM probe2 a JOIN probe2 b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {_MP_TAU}
+    """
+
+
+@query("ivf_multiprobe_neardup", oracle=_multiprobe_replay_sql())
+def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe cell-blocked near-dup PAIRS (d1 < d2, cosine >=
+    {tau}): each vector blocks on its 2 nearest cells of the staged
+    IVF quantizer, recovering the boundary pairs single-probe
+    blocking (ivf_blocked_neardup / SemDeDup) structurally misses —
+    a pair split across Voronoi cells is found whenever one
+    endpoint's second-nearest cell is the other's home. Candidates
+    stay linear (probes^2 * sum(cell^2) under corpus-scaled cells);
+    the recall-dominance contract over single-probe on the same
+    model is pinned by test_multiprobe_recall_dominates. The oracle
+    replays training -> rn<=2 probe assignment -> shared-cell
+    pairing -> rescore -> DISTINCT end to end (the duplicate-emitted
+    pair's cosine is bit-identical in every shared cell, so DISTINCT
+    is exact)."""
+    from gerrydb_etl_spark.operators.kmeans import multiprobe_pairs
+    from gerrydb_etl_spark.store.staging import staged_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS)
+    return multiprobe_pairs(emb, tau=_MP_TAU, centroids=cents,
+                            probes=_MP_PROBES)
+
+
 @query("ivf_verify", oracle=_recall_oracle(0.8))
 def ivf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truth-anchored verification twin of ivf_cosine_topk: recall@5

@@ -23,6 +23,7 @@ import __spark_entry__ as entry
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
     "ivf_blocked_neardup_strict",
+    "ivf_multiprobe_neardup",
 ]
 
 # the r6 straggler (promised the lead slot in r11) + the 44 queries
@@ -75,10 +76,10 @@ STALE_REFILL = [
     "winnow_near_dup",
 ]
 
-# code touched in round 12 (split-occupancy rework; expand_paths
-# backstop bound; streaming ingest epochs 4->2)
+# code touched in round 12 (expand_paths backstop bound; streaming
+# ingest epochs 4->2; the split-occupancy rework's registered query
+# defers on a byte-identical executed plan — see __spark_entry__.py)
 TOUCHED = [
-    "hierarchical_cells_assign",
     "order_hierarchy_paths",
     "docs_stream_dedup_ingest",
     "embeddings_stream_index_ingest",

@@ -673,3 +673,57 @@ def test_resplit_composite_key_overflow_guard(spark):
     )
     with pytest.raises(ValueError, match="overflows INT32"):
         split_oversized_cells(assigned, per_cell=1)
+
+
+def test_multiprobe_recall_dominates(spark):
+    """multiprobe_pairs on the staged IVF model must (a) be a subset
+    of the exact pair truth, (b) be a SUPERSET of single-probe
+    cell-blocked pairs on the SAME model (each vector's home cell is
+    its first probe, so every single-probe candidate is a multiprobe
+    candidate), and (c) strictly recover boundary pairs on this
+    corpus — the recall gap multi-probe exists to close."""
+    import numpy as np
+
+    from gerrydb_etl_spark.operators.kmeans import (
+        cell_blocked_pairs,
+        multiprobe_pairs,
+    )
+    from gerrydb_etl_spark.sources import load_table
+    from gerrydb_etl_spark.store.staging import staged_ivf
+
+    sf = "/root/testdata/sf0.01"
+    tau = 0.35
+    emb = load_table(spark, sf, "embeddings")
+    assigned, cents = staged_ivf(spark, sf, 16, 2)
+
+    rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect())
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((V * V).sum(1))
+    C = (V @ V.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if C[i, j] >= tau
+    }
+
+    single = {
+        (r["d1"], r["d2"])
+        for r in cell_blocked_pairs(emb, tau=tau, assigned=assigned).collect()
+    }
+    multi = {
+        (r["d1"], r["d2"])
+        for r in multiprobe_pairs(emb, tau=tau, centroids=cents).collect()
+    }
+    assert multi <= exact, "multiprobe emitted a non-pair"
+    assert single <= multi, "multiprobe lost a single-probe candidate"
+    assert len(multi) > len(single), (
+        f"no boundary pairs recovered: single={len(single)} "
+        f"multi={len(multi)}"
+    )
+    # no duplicate emissions survive the DISTINCT
+    n_rows = multiprobe_pairs(emb, tau=tau, centroids=cents).count()
+    assert n_rows == len(multi)
