@@ -245,19 +245,27 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF quantizer, recovering the boundary pairs single-probe
     blocking (ivf_blocked_neardup / SemDeDup) structurally misses —
     a pair split across Voronoi cells is found whenever one
-    endpoint's second-nearest cell is the other's home. Candidates
-    stay linear (probes^2 * sum(cell^2) under corpus-scaled cells);
-    the recall-dominance contract over single-probe on the same
-    model is pinned by test_multiprobe_recall_dominates. The oracle
-    replays training -> rn<=2 probe assignment -> shared-cell
-    pairing -> rescore -> DISTINCT end to end (the duplicate-emitted
-    pair's cosine is bit-identical in every shared cell, so DISTINCT
-    is exact)."""
-    from gerrydb_etl_spark.operators.kmeans import multiprobe_pairs
-    from gerrydb_etl_spark.store.staging import staged_ivf
+    endpoint's second-nearest cell is the other's home. The cell
+    count is corpus-scaled (cells_for_corpus, floor == the oracle's
+    16-cell literal at every driver-verified scale — the standing
+    pattern that keeps candidate volume probes^2 * sum(cell^2)
+    LINEAR instead of the frozen-k quadratic blowup); the
+    recall-dominance contract over single-probe on the same model is
+    pinned by test_multiprobe_recall_dominates. The oracle replays
+    training -> rn<=2 probe assignment -> shared-cell pairing ->
+    rescore -> DISTINCT end to end (the duplicate-emitted pair's
+    cosine is bit-identical in every shared cell, so DISTINCT is
+    exact)."""
+    from gerrydb_etl_spark.operators.kmeans import (
+        cells_for_corpus,
+        multiprobe_pairs,
+    )
+    from gerrydb_etl_spark.store.staging import corpus_count, staged_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cents = staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS)
+    n = corpus_count(spark, sf_dir, "embeddings")
+    cells_dyn = cells_for_corpus(n, floor_k=_IVF_CELLS)
+    _, cents = staged_ivf(spark, sf_dir, cells_dyn, _IVF_ITERS)
     return multiprobe_pairs(emb, tau=_MP_TAU, centroids=cents,
                             probes=_MP_PROBES)
 
