@@ -249,7 +249,13 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is corpus-scaled (cells_for_corpus, floor == the oracle's
     16-cell literal at every driver-verified scale — the standing
     pattern that keeps candidate volume probes^2 * sum(cell^2)
-    LINEAR instead of the frozen-k quadratic blowup); the
+    LINEAR instead of the frozen-k quadratic blowup) with per_cell
+    HALVED to 125: each vector lands in ``probes`` cells, so holding
+    the family's ~250 candidates-per-vector design target requires
+    occupancy * probes ~ 250, i.e. twice the cells of the
+    single-probe family at the same corpus (first measured without
+    the compensation: 117 s at sf1 vs ~60 s with it — the probe
+    fold is a constant the cell count must absorb, SCALE_r12); the
     recall-dominance contract over single-probe on the same model is
     pinned by test_multiprobe_recall_dominates. The oracle replays
     training -> rn<=2 probe assignment -> shared-cell pairing ->
@@ -264,7 +270,7 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = corpus_count(spark, sf_dir, "embeddings")
-    cells_dyn = cells_for_corpus(n, floor_k=_IVF_CELLS)
+    cells_dyn = cells_for_corpus(n, floor_k=_IVF_CELLS, per_cell=125)
     _, cents = staged_ivf(spark, sf_dir, cells_dyn, _IVF_ITERS)
     return multiprobe_pairs(emb, tau=_MP_TAU, centroids=cents,
                             probes=_MP_PROBES)
