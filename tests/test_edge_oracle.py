@@ -376,6 +376,13 @@ EDGE_REL_QUERIES = [
     "ivf_blocked_neardup",        # 20-way duplicate head run: twin pairs
     #   at cosine exactly 1; threshold cell boundary shared with
     #   hierarchical_cells_assign
+    # round-12 additions
+    "ivf_blocked_neardup_strict",  # planted twins COMPOSE with the
+    #   20-way natural duplicate run (cosine exactly 1 on both);
+    #   max(vec_id)+1 offset exercised on the edge id space
+    "ivf_multiprobe_neardup",     # duplicate runs quantize to one
+    #   cell -> pairs dedup through the exact DISTINCT; rn<=2
+    #   tie-break on the degenerate geometry
 ]
 
 
