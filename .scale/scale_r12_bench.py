@@ -82,20 +82,23 @@ def run_query(name, sf):
 out = {"round": ROUND, "scales": {}, "strict_twin_output_rows": {}}
 for tag, sf in SCALES.items():
     t0 = time.perf_counter()
-    ensure_staged_kmeans(spark, sf, k=8, iters=3)
-    ensure_staged_kmeans(spark, sf, k=4, iters=2)
-    ensure_staged_kmeans(spark, sf, k=80, iters=3)  # scaled-k at sf1
-    ensure_staged_ivf(spark, sf, n_cells=16, iters=2)
-    # the multiprobe head corpus-scales its cell count (80 at sf1)
     from gerrydb_etl_spark.operators.kmeans import cells_for_corpus
     from gerrydb_etl_spark.store.staging import corpus_count
 
     n = corpus_count(spark, sf, "embeddings")
-    ensure_staged_ivf(
-        spark, sf,
-        n_cells=cells_for_corpus(n, floor_k=16, per_cell=125),
-        iters=2,
-    )
+    ensure_staged_kmeans(spark, sf, k=8, iters=3)
+    ensure_staged_kmeans(spark, sf, k=4, iters=2)
+    # scaled-k model only where a head reads it (k=80 binds only at
+    # sf1; staging it at x1 would waste ~10 s of the _staging figure)
+    k_dyn = cells_for_corpus(n, floor_k=8)
+    if k_dyn != 8:
+        ensure_staged_kmeans(spark, sf, k=k_dyn, iters=3)
+    ensure_staged_ivf(spark, sf, n_cells=16, iters=2)
+    # the multiprobe head corpus-scales its cell count with
+    # per_cell=125 (160 cells at sf1; floor 16 below 2000 vectors)
+    mp_cells = cells_for_corpus(n, floor_k=16, per_cell=125)
+    if mp_cells != 16:
+        ensure_staged_ivf(spark, sf, n_cells=mp_cells, iters=2)
     res = {"_staging": round(time.perf_counter() - t0, 2)}
     for name in HEADS:
         res[name] = timed(lambda: run_query(name, sf))

@@ -170,10 +170,14 @@ def main() -> None:
     # runs land in BENCH_FULL.json so the spread itself is recorded.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     # a query whose repeats disagree by more than this fraction of
-    # the floor gets ONE extra repeat (VERDICT r11 item 6: at
-    # repeats=2 the recorded variance band was 25.8%, swamping
-    # sub-20% plan effects; a third run only where the first two
-    # disagree tightens the floor at ~a handful of queries' cost)
+    # the floor gets ONE extra repeat (VERDICT r11 item 6). In
+    # practice this fires on ~2/3 of queries — run 1 carries the
+    # query's codegen/JIT, so it usually exceeds run 2 by >20% — and
+    # that is the INTENT, not an accident: with repeats=2 the floor
+    # rests on a single warm run, and the third run is the second
+    # warm sample that makes the floor-uncertainty metric (variance
+    # below) an actual error bar. Cost at sf0.1: ~+45 s wall on the
+    # round bench, once per round.
     respread = float(os.environ.get("SPARK_GRAFT_BENCH_RESPREAD", "0.2"))
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -194,25 +198,22 @@ def main() -> None:
     # contract); they exist for the correctness gate, not the bench —
     # timing them would charge the production operators for their
     # verification harness (round-3 conflation, VERDICT r3 item 1).
+    def _one_run(spec) -> float:
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.perf_counter() - t0, 3)
+        # cold-per-query discipline: no cached sub-plans (shingle
+        # sets, signatures) may leak across the 70+ queries
+        spark.catalog.clearCache()
+        _drop_leftover_blocks()
+        return elapsed
+
     for name in sorted(n for n in REGISTRY if not n.endswith("_verify")):
         spec = REGISTRY[name]
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times.append(round(time.perf_counter() - t0, 3))
-            # cold-per-query discipline: no cached sub-plans (shingle
-            # sets, signatures) may leak across the 70+ queries
-            spark.catalog.clearCache()
-            _drop_leftover_blocks()
+        times = [_one_run(spec) for _ in range(repeats)]
         if len(times) > 1 and (max(times) - min(times)) > respread * min(times):
-            t0 = time.perf_counter()
-            df = spec.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times.append(round(time.perf_counter() - t0, 3))
-            spark.catalog.clearCache()
-            _drop_leftover_blocks()
+            times.append(_one_run(spec))
         runs[name] = times
         timings[name] = min(times)
 

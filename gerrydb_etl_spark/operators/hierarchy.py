@@ -36,6 +36,17 @@ MAX_DEPTH = 32
 # expand_paths calls in one session race each other's edge tables
 _VIEW_SEQ = itertools.count()
 
+# Spark's shipped default for spark.sql.cteRecursionRowLimit — the
+# one value we may freely raise (anything else finite was set by a
+# user and stays theirs; see the backstop note in expand_paths)
+_CTE_LIMIT_DEFAULT = 1_000_000
+
+# limits THIS module set, per Spark application id: lets a later
+# expand_paths call distinguish "our own earlier ratchet" (safe to
+# raise further for a bigger hierarchy) from a user-set value (never
+# touched)
+_OUR_CTE_LIMITS: dict[str, int] = {}
+
 
 def expand_paths(
     edges: DataFrame,
@@ -97,15 +108,25 @@ def expand_paths(
     # the runaway this backstop catches). The bound must outlive this
     # function — the recursion runs at the CONSUMER's action — so it
     # is set monotonically (never lowered below a concurrent caller's
-    # bound) instead of save/restored. A session where the user
-    # explicitly disabled the backstop (-1) is left alone. The
-    # one-job count is the price of the bound; the recursion itself
-    # re-scans the same view once per level, so it is marginal.
+    # bound) instead of save/restored. Only the SHIPPED DEFAULT and
+    # our own earlier ratchet (tracked per application id) may be
+    # raised: a user who explicitly set a stricter finite limit — or
+    # disabled the backstop with -1 — keeps their setting, even if
+    # that aborts a legitimately large hierarchy (their guard, their
+    # call; Spark's error names the conf). The one-job count is the
+    # price of the bound; the recursion itself re-scans the same
+    # view once per level, so it is marginal.
     n_nodes = nodes.count()
-    prior = int(spark.conf.get("spark.sql.cteRecursionRowLimit", "1000000"))
-    if prior != -1:
+    prior = int(
+        spark.conf.get(
+            "spark.sql.cteRecursionRowLimit", str(_CTE_LIMIT_DEFAULT)
+        )
+    )
+    app = spark.sparkContext.applicationId
+    if prior != -1 and prior in (_CTE_LIMIT_DEFAULT, _OUR_CTE_LIMITS.get(app)):
         bound = max(prior, 2 * n_nodes + 10_000)
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
+        _OUR_CTE_LIMITS[app] = bound
     # Level limit (100) stays: it is above MAX_DEPTH and never binds
     # first.
     out = spark.sql(

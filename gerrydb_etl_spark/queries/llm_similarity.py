@@ -133,11 +133,15 @@ _IVF_CELLS, _IVF_PROBE, _IVF_ITERS = 16, 4, 2
 
 # fold helpers over an already-double list column (the quantized
 # vectors read as doubles — operators/ivf.py scoring contract)
-_DVDOT = """list_reduce(list_prepend(0.0::DOUBLE,
-        list_transform(list_zip({a}, {b}), p -> p[1] * p[2])),
-        (x, y) -> x + y)"""
-_DVNORM = """sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-        list_transform({a}, v -> v * v)), (x, y) -> x + y))"""
+# the canonical spellings live in queries/clustering.py (one home
+# for the value-hash-critical fold arithmetic); byte-identical to
+# the literals previously defined here
+from gerrydb_etl_spark.queries.clustering import (  # noqa: E402
+    DVDOT_SQL as _DVDOT,
+)
+from gerrydb_etl_spark.queries.clustering import (  # noqa: E402
+    DVNORM_SQL as _DVNORM,
+)
 
 
 def _ivf_replay_sql() -> str:
@@ -253,9 +257,16 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     HALVED to 125: each vector lands in ``probes`` cells, so holding
     the family's ~250 candidates-per-vector design target requires
     occupancy * probes ~ 250, i.e. twice the cells of the
-    single-probe family at the same corpus (first measured without
-    the compensation: 117 s at sf1 vs ~60 s with it — the probe
-    fold is a constant the cell count must absorb, SCALE_r12); the
+    single-probe family at the same corpus — 160 cells at sf1
+    (first measured without the compensation: 117.7 s at sf1 vs
+    80.1 s with it, SCALE_r12.json — the probe fold is a constant
+    the cell count must absorb). LINEARITY BOUNDARY: like the rest
+    of the family, cells_for_corpus clamps at cap=512, i.e.
+    cap * per_cell = 64k vectors here; past that the single-probe
+    family refines onto subcells (split_oversized_cells) but
+    multiprobe_pairs has no subcell probe path yet — queued for
+    round 13 (PERF.md), since a two-level top-2 probe needs the
+    join-based (not literal) subcentroid ranking; the
     recall-dominance contract over single-probe on the same model is
     pinned by test_multiprobe_recall_dominates. The oracle replays
     training -> rn<=2 probe assignment -> shared-cell pairing ->

@@ -294,3 +294,43 @@ def test_duplicate_edges_runaway_trips_the_backstop(spark):
     out = expand_paths(edges)
     with pytest.raises(Exception, match="(?i)recursion"):
         out.count()
+
+
+def test_user_set_cte_limit_is_respected(spark):
+    """A user-set finite cteRecursionRowLimit is a deliberate guard:
+    expand_paths must not raise it (only the shipped default and its
+    own earlier ratchet are raisable). Restores the session state it
+    mutates."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.hierarchy import (
+        _OUR_CTE_LIMITS,
+        expand_paths,
+    )
+
+    key = "spark.sql.cteRecursionRowLimit"
+    prior = spark.conf.get(key, None)
+    app = spark.sparkContext.applicationId
+    ours_prior = _OUR_CTE_LIMITS.pop(app, None)
+    try:
+        spark.conf.set(key, "50000")
+        root = spark.range(1).select(
+            F.lit("r").alias("node_id"),
+            F.lit(None).cast("string").alias("parent_id"),
+            F.lit("root").alias("label"),
+        )
+        leaves = spark.range(200).select(
+            F.concat(F.lit("x"), F.col("id")).alias("node_id"),
+            F.lit("r").alias("parent_id"),
+            F.col("id").cast("string").alias("label"),
+        )
+        out = expand_paths(root.unionByName(leaves))
+        assert out.count() == 201
+        assert spark.conf.get(key) == "50000", "user guard was raised"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+        if ours_prior is not None:
+            _OUR_CTE_LIMITS[app] = ours_prior
