@@ -339,6 +339,7 @@ def multiprobe_pairs(
     tau: float,
     centroids: dict[int, list[float]],
     probes: int = 2,
+    sub_model: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -366,11 +367,53 @@ def multiprobe_pairs(
     as single-probe. ``centroids`` must be the quantizer the corpus
     was trained with (e.g. store/staging.staged_ivf's centroid side,
     which exists precisely because probe ranking needs the ORIGINAL
-    centroids — they are not derivable from the final assignment)."""
+    centroids — they are not derivable from the final assignment).
+
+    ``sub_model`` (the past-the-cap hierarchy — the same
+    (cluster_id, sub, cv) subcentroid table ivf_topk's two-level
+    probe takes, from split_oversized_cells): cells_for_corpus
+    clamps the coarse codebook at its cap, so past cap * per_cell
+    vectors occupancy grows with the corpus again. With a sub_model
+    the probe becomes two-level, mirroring ivf_topk: rank the
+    ``probes`` nearest coarse cells against the bounded literal
+    codebook, then within EACH probed cell keep its single nearest
+    subcell via the subcentroid TABLE (a join, not plan literals —
+    the fine codebook grows with the corpus and the literal-centroid
+    codegen path caps out, which is why the subcell codebook lives
+    in a DataFrame). Blocking then happens on the refined
+    (cluster_id, sub_id) key, so per-block occupancy returns to
+    ~per_cell and candidates stay linear; cells absent from
+    sub_model (unsplit) keep their implicit subcell 0. A vector's
+    rank-1 refined block equals its split_oversized_cells
+    assignment (nearest subcell within the home cell), so
+    single-probe recall is still dominated."""
     top = assign_topn(
         quantize(emb, vec_col=vec_col, id_col=id_col), centroids, probes
-    ).select("vec_id", "cluster_id", "qv")
-    qd, cell_cols = _blocked_qd(top)
+    )
+    if sub_model is None:
+        blocks = top.select("vec_id", "cluster_id", "qv")
+    else:
+        from pyspark.sql.window import Window as W
+
+        subs = sub_model.select("cluster_id", "sub", "cv")
+        cand = top.join(subs, "cluster_id", "left").select(
+            "vec_id",
+            "cluster_id",
+            "qv",
+            F.coalesce(F.col("sub"), F.lit(0)).alias("sub_id"),
+            # unsplit cell -> its lone block 0 (NULL-sub row: d=0
+            # ranks it as the single row of its window)
+            F.when(F.col("sub").isNull(), F.lit(0.0))
+            .otherwise(_sqdist(F.col("qv"), F.col("cv")))
+            .alias("d"),
+        )
+        w = W.partitionBy("vec_id", "cluster_id").orderBy("d", "sub_id")
+        blocks = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster_id", "sub_id", "qv")
+        )
+    qd, cell_cols = _blocked_qd(blocks)
     return (
         _same_cell_pairs(qd, cell_cols, tau)
         .select("d1", "d2", "cosine")

@@ -260,13 +260,12 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-probe family at the same corpus — 160 cells at sf1
     (first measured without the compensation: 117.7 s at sf1 vs
     80.1 s with it, SCALE_r12.json — the probe fold is a constant
-    the cell count must absorb). LINEARITY BOUNDARY: like the rest
-    of the family, cells_for_corpus clamps at cap=512, i.e.
-    cap * per_cell = 64k vectors here; past that the single-probe
-    family refines onto subcells (split_oversized_cells) but
-    multiprobe_pairs has no subcell probe path yet — queued for
-    round 13 (PERF.md), since a two-level top-2 probe needs the
-    join-based (not literal) subcentroid ranking; the
+    the cell count must absorb). Past cap * per_cell = 64k vectors
+    the probe goes two-level (multiprobe_pairs sub_model — the
+    ivf_topk pattern: literal coarse ranking, join-based subcell
+    ranking, blocking on the refined key), never active at any
+    driver-verified scale (oracle untouched) and value-gated by the
+    forced-split unit battery; the
     recall-dominance contract over single-probe on the same model is
     pinned by test_multiprobe_recall_dominates. The oracle replays
     training -> rn<=2 probe assignment -> shared-cell pairing ->
@@ -276,15 +275,24 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gerrydb_etl_spark.operators.kmeans import (
         cells_for_corpus,
         multiprobe_pairs,
+        needs_cell_split,
+        split_oversized_cells,
     )
     from gerrydb_etl_spark.store.staging import corpus_count, staged_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = corpus_count(spark, sf_dir, "embeddings")
     cells_dyn = cells_for_corpus(n, floor_k=_IVF_CELLS, per_cell=125)
-    _, cents = staged_ivf(spark, sf_dir, cells_dyn, _IVF_ITERS)
+    assigned, cents = staged_ivf(spark, sf_dir, cells_dyn, _IVF_ITERS)
+    sub_model = None
+    if needs_cell_split(n, per_cell=125):
+        # past cap * per_cell (= 64k vectors at this family's
+        # per_cell) the capped coarse cells are refined and the
+        # probe goes two-level; never active at any driver-verified
+        # scale (oracle untouched)
+        _, sub_model = split_oversized_cells(assigned, per_cell=125)
     return multiprobe_pairs(emb, tau=_MP_TAU, centroids=cents,
-                            probes=_MP_PROBES)
+                            probes=_MP_PROBES, sub_model=sub_model)
 
 
 @query("ivf_verify", oracle=_recall_oracle(0.8))

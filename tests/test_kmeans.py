@@ -727,3 +727,87 @@ def test_multiprobe_recall_dominates(spark):
     # no duplicate emissions survive the DISTINCT
     n_rows = multiprobe_pairs(emb, tau=tau, centroids=cents).count()
     assert n_rows == len(multi)
+
+
+def test_multiprobe_two_level_forced_split(spark):
+    """Past-the-cap path value-gated at a forced small scale: with a
+    sub_model from split_oversized_cells the probe blocks on refined
+    (cell, sub) keys. Contracts: (a) pairs are a subset of the exact
+    truth; (b) single-probe pairing on the SPLIT assignment is
+    dominated (each vector's rank-1 refined block equals its split
+    assignment, so every single-probe candidate survives); (c) the
+    fixture mixes split and unsplit coarse cells, exercising the
+    implicit-subcell-0 left-join path; (d) planted exact twins are
+    always found."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train
+    from gerrydb_etl_spark.operators.kmeans import (
+        cell_blocked_pairs,
+        multiprobe_pairs,
+        quantize,
+    )
+    from gerrydb_etl_spark.operators.kmeans import (
+        split_oversized_cells,
+    )
+
+    tau = 0.9
+    # like _clustered_emb but with a +1 offset so no vector is zero
+    # (cosine is undefined on zero vectors — the family's corpus
+    # contract, same as the unit-norm fixture tables)
+    fat = F.col("id") % 1000 < 800
+    comp = lambda i: (  # noqa: E731
+        F.when(fat, (F.col("id") % 13 + 1).cast("double") / 100.0)
+        .otherwise(((F.col("id") * (i + 7)) % 997 + 1).cast("double"))
+    )
+    emb = spark.range(700).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i) for i in range(4)]).alias("embedding"),
+    )
+    quant = quantize(emb)
+    cents, assigned = _train(quant, 3, 2)
+    split_assigned, subcents = split_oversized_cells(
+        assigned.select("vec_id", "cluster_id", "qv"), per_cell=40
+    )
+    # the fixture must exercise BOTH branches: at least one coarse
+    # cell split, at least one left whole
+    split_cells = {r["cluster_id"] for r in subcents.select(
+        "cluster_id").distinct().collect()}
+    all_cells = {r["cluster_id"] for r in assigned.select(
+        "cluster_id").distinct().collect()}
+    assert split_cells and split_cells < all_cells, (
+        split_cells, all_cells)
+
+    rows = sorted((r["vec_id"], list(r["embedding"]))
+                  for r in emb.collect())
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((V * V).sum(1))
+    C = (V @ V.T) / np.outer(nrm, nrm)
+    iu = np.triu_indices(len(ids), 1)
+    exact = {(int(ids[i]), int(ids[j]))
+             for i, j in zip(*iu) if C[i, j] >= tau}
+
+    single = {(r["d1"], r["d2"]) for r in cell_blocked_pairs(
+        emb, tau=tau, assigned=split_assigned).collect()}
+    multi = {(r["d1"], r["d2"]) for r in multiprobe_pairs(
+        emb, tau=tau, centroids=cents, sub_model=subcents).collect()}
+    assert multi <= exact, "two-level multiprobe emitted a non-pair"
+    assert single <= multi, (
+        "refined single-probe candidate lost under the two-level "
+        f"probe: {sorted(single - multi)[:5]}"
+    )
+
+    # planted exact twins always land in the same refined block
+    base_max = int(ids.max())
+    twins = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + base_max + 1).alias("vec_id"), "embedding"
+    )
+    planted = {(int(i), int(i) + base_max + 1)
+               for i in ids if i % 50 == 0}
+    got = {(r["d1"], r["d2"]) for r in multiprobe_pairs(
+        emb.unionByName(twins), tau=tau, centroids=cents,
+        sub_model=subcents).collect()}
+    missed = planted - got
+    assert not missed, f"planted twins missed: {sorted(missed)[:5]}"
