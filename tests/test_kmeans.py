@@ -811,3 +811,53 @@ def test_multiprobe_two_level_forced_split(spark):
         sub_model=subcents).collect()}
     missed = planted - got
     assert not missed, f"planted twins missed: {sorted(missed)[:5]}"
+
+
+def test_strict_twin_offset_survives_sparse_id_space(spark, duck, tmp_path):
+    """The planted-twin offset is max(vec_id)+1, NOT the corpus
+    count: on a replica-shaped SPARSE id space (ids 0..49 and
+    10000..10049) a count-based offset (100) would collide planted
+    twin ids with real replica ids, corrupting the d1<d2 pair
+    semantics. Runs the registered query against its DuckDB oracle
+    on the sparse corpus and asserts twin ids are disjoint from
+    corpus ids."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gerrydb_etl_spark.queries import REGISTRY
+    from tests.oracle_compare import assert_matches_oracle
+
+    rng = np.random.RandomState(7)
+    ids = list(range(50)) + list(range(10_000, 10_050))
+    vecs = rng.normal(size=(100, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    root = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * 100, pa.int32()),
+            }
+        ),
+        root + "/embeddings.parquet",
+    )
+    con = duck.cursor()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+        f"'{root}/embeddings.parquet'"
+    )
+    spec = REGISTRY["ivf_blocked_neardup_strict"]
+    df = spec.spark(spark, root)
+    rows = df.collect()
+    corpus = set(ids)
+    twin_ids = {r["d2"] for r in rows if r["d2"] > 10_049}
+    # every planted pair's twin sits ABOVE the sparse id range
+    # (offset = max(vec_id) + 1 = 10050)
+    assert all(t >= 10_050 for t in twin_ids), sorted(twin_ids)[:5]
+    assert not (twin_ids & corpus), "twin ids collided with corpus ids"
+    assert_matches_oracle(df, con, spec.oracle, "strict_sparse_ids")

@@ -113,3 +113,72 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
         (r.user_id, r.ts, r.asof_value) for r in got.collect()
     )
     assert got_set == want_set
+
+
+# randomized small embedding corpora for the multiprobe dominance
+# property: integer-grid vectors (exact quantization), no zero
+# vectors (cosine contract), ids drawn SPARSE to exercise arbitrary
+# id spaces
+_vec = st.lists(st.integers(-5, 5), min_size=3, max_size=3).filter(
+    lambda v: any(x != 0 for x in v)
+)
+_corpora = st.lists(_vec, min_size=12, max_size=28).map(
+    lambda vs: [(7 * i + 3, v) for i, v in enumerate(vs)]
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_corpora)
+def test_multiprobe_dominates_single_probe_on_random_corpora(spark, rows):
+    """For ANY corpus and the SAME trained quantizer: single-probe
+    cell-blocked pairs ⊆ multi-probe pairs ⊆ exact truth. The left
+    inclusion holds because a vector's home cell is its first probe;
+    the right because multiprobe only rescored real candidates.
+    Randomized geometry catches tie-break and duplicate-vector
+    interactions no fixed fixture would."""
+    import math
+
+    from gerrydb_etl_spark.operators.ivf import _train
+    from gerrydb_etl_spark.operators.kmeans import (
+        cell_blocked_pairs,
+        multiprobe_pairs,
+        quantize,
+    )
+
+    tau = 0.6
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    quant = quantize(emb)
+    k = min(4, len(rows))
+    cents, assigned = _train(quant, k, 2)
+
+    exact = set()
+    for a, (i, v) in enumerate(rows):
+        for j, w in rows[a + 1:]:
+            dot = sum(x * y for x, y in zip(v, w))
+            cos = dot / (
+                math.sqrt(sum(x * x for x in v))
+                * math.sqrt(sum(y * y for y in w))
+            )
+            if cos >= tau - 1e-9:
+                exact.add((min(i, j), max(i, j)))
+
+    single = {
+        (r["d1"], r["d2"])
+        for r in cell_blocked_pairs(
+            emb, tau=tau,
+            assigned=assigned.select("vec_id", "cluster_id", "qv"),
+        ).collect()
+    }
+    multi = {
+        (r["d1"], r["d2"])
+        for r in multiprobe_pairs(emb, tau=tau, centroids=cents).collect()
+    }
+    assert single <= multi, sorted(single - multi)[:5]
+    assert multi <= exact, sorted(multi - exact)[:5]
