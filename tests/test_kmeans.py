@@ -813,7 +813,7 @@ def test_multiprobe_two_level_forced_split(spark):
     assert not missed, f"planted twins missed: {sorted(missed)[:5]}"
 
 
-def test_strict_twin_offset_survives_sparse_id_space(spark, duck, tmp_path):
+def test_strict_twin_offset_survives_sparse_id_space(spark, tmp_path):
     """The planted-twin offset is max(vec_id)+1, NOT the corpus
     count: on a replica-shaped SPARSE id space (ids 0..49 and
     10000..10049) a count-based offset (100) would collide planted
@@ -846,9 +846,14 @@ def test_strict_twin_offset_survives_sparse_id_space(spark, duck, tmp_path):
         ),
         root + "/embeddings.parquet",
     )
-    con = duck.cursor()
+    # a PRIVATE connection — a cursor of the shared session fixture
+    # shares its catalog, and replacing the `embeddings` view there
+    # would repoint every later oracle test at this temp corpus
+    # (exactly what the first cut of this test did: 20 downstream
+    # oracle reds)
+    con = duckdb.connect()
     con.execute(
-        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+        "CREATE VIEW embeddings AS SELECT * FROM "
         f"'{root}/embeddings.parquet'"
     )
     spec = REGISTRY["ivf_blocked_neardup_strict"]
