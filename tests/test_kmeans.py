@@ -866,3 +866,53 @@ def test_strict_twin_offset_survives_sparse_id_space(spark, tmp_path):
     assert all(t >= 10_050 for t in twin_ids), sorted(twin_ids)[:5]
     assert not (twin_ids & corpus), "twin ids collided with corpus ids"
     assert_matches_oracle(df, con, spec.oracle, "strict_sparse_ids")
+
+
+def test_multiprobe_rank1_block_equals_split_assignment(spark):
+    """The dominance argument rests on: a vector's rank-1 refined
+    block (two-level probe) == its split_oversized_cells assignment
+    (nearest subcell within the home cell, same tie-break). Pin it
+    directly: at probes=1 and tau=-1 (emit EVERY within-block pair)
+    the multiprobe pair set must equal single-probe pairing on the
+    split assignment — equal pair sets mean equal block partitions
+    (up to invisible singletons)."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train
+    from gerrydb_etl_spark.operators.kmeans import (
+        cell_blocked_pairs,
+        multiprobe_pairs,
+        quantize,
+        split_oversized_cells,
+    )
+
+    fat = F.col("id") % 1000 < 800
+    comp = lambda i: (  # noqa: E731
+        F.when(fat, (F.col("id") % 13 + 1).cast("double") / 100.0)
+        .otherwise(((F.col("id") * (i + 7)) % 997 + 1).cast("double"))
+    )
+    emb = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i) for i in range(4)]).alias("embedding"),
+    )
+    cents, assigned = _train(quantize(emb), 3, 2)
+    split_assigned, subcents = split_oversized_cells(
+        assigned.select("vec_id", "cluster_id", "qv"), per_cell=30
+    )
+    single = {
+        (r["d1"], r["d2"])
+        for r in cell_blocked_pairs(
+            emb, tau=-1.0, assigned=split_assigned
+        ).collect()
+    }
+    multi1 = {
+        (r["d1"], r["d2"])
+        for r in multiprobe_pairs(
+            emb, tau=-1.0, centroids=cents, probes=1, sub_model=subcents
+        ).collect()
+    }
+    assert single == multi1, (
+        f"block partitions diverge: only-single="
+        f"{sorted(single - multi1)[:5]} only-multi="
+        f"{sorted(multi1 - single)[:5]}"
+    )
