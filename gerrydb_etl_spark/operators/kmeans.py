@@ -339,7 +339,7 @@ def multiprobe_pairs(
     tau: float,
     centroids: dict[int, list[float]],
     probes: int = 2,
-    sub_model: DataFrame | None = None,
+    sub_model: tuple[DataFrame, DataFrame] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -369,24 +369,31 @@ def multiprobe_pairs(
     which exists precisely because probe ranking needs the ORIGINAL
     centroids — they are not derivable from the final assignment).
 
-    ``sub_model`` (the past-the-cap hierarchy — the same
-    (cluster_id, sub, cv) subcentroid table ivf_topk's two-level
-    probe takes, from split_oversized_cells): cells_for_corpus
-    clamps the coarse codebook at its cap, so past cap * per_cell
-    vectors occupancy grows with the corpus again. With a sub_model
-    the probe becomes two-level, mirroring ivf_topk: rank the
+    ``sub_model`` (the past-the-cap hierarchy): the FULL
+    split_oversized_cells output pair — (assignment, subcentroids) —
+    because cells_for_corpus clamps the coarse codebook at its cap,
+    so past cap * per_cell vectors occupancy grows with the corpus
+    again. With a sub_model the probe becomes two-level: rank the
     ``probes`` nearest coarse cells against the bounded literal
-    codebook, then within EACH probed cell keep its single nearest
-    subcell via the subcentroid TABLE (a join, not plan literals —
-    the fine codebook grows with the corpus and the literal-centroid
-    codegen path caps out, which is why the subcell codebook lives
-    in a DataFrame). Blocking then happens on the refined
-    (cluster_id, sub_id) key, so per-block occupancy returns to
-    ~per_cell and candidates stay linear; cells absent from
-    sub_model (unsplit) keep their implicit subcell 0. A vector's
-    rank-1 refined block equals its split_oversized_cells
-    assignment (nearest subcell within the home cell), so
-    single-probe recall is still dominated."""
+    codebook, then refine each probed cell to ONE subcell block.
+    The HOME probe row (the one matching the vector's split
+    assignment cell — rank-1 by the shared tie-break) takes its
+    block straight FROM the split assignment, joined by (vec_id,
+    cluster_id): dominance over single-probe pairing on that
+    assignment therefore holds BY CONSTRUCTION, including after
+    recursive re-splits, where re-ranking against the recomposed
+    codebook could legitimately place an outlier of a re-split
+    block into a sibling block (_grouped_assign refines WITHIN the
+    prior block; a codebook re-rank is global to the cell). Only
+    NON-home probe rows — and every probe row of a vector absent
+    from the assignment (e.g. a fresh batch probed against a
+    staged model) — rank against the subcentroid TABLE (a join,
+    not plan literals — the fine codebook grows with the corpus
+    and the literal-centroid codegen path caps out). Blocking then
+    happens on the refined (cluster_id, sub_id) key, so per-block
+    occupancy returns to ~per_cell and candidates stay linear;
+    cells absent from the codebook (unsplit) keep their implicit
+    subcell 0."""
     top = assign_topn(
         quantize(emb, vec_col=vec_col, id_col=id_col), centroids, probes
     )
@@ -395,24 +402,43 @@ def multiprobe_pairs(
     else:
         from pyspark.sql.window import Window as W
 
-        subs = sub_model.select("cluster_id", "sub", "cv")
-        cand = top.join(subs, "cluster_id", "left").select(
+        sub_asn, sub_cents = sub_model
+        joined = top.join(
+            sub_asn.select(
+                "vec_id", "cluster_id", F.col("sub_id").alias("home_sub")
+            ),
+            ["vec_id", "cluster_id"],
+            "left",
+        )
+        home = joined.filter(F.col("home_sub").isNotNull()).select(
             "vec_id",
             "cluster_id",
+            F.col("home_sub").alias("sub_id"),
             "qv",
-            F.coalesce(F.col("sub"), F.lit(0)).alias("sub_id"),
-            # unsplit cell -> its lone block 0 (NULL-sub row: d=0
-            # ranks it as the single row of its window)
-            F.when(F.col("sub").isNull(), F.lit(0.0))
-            .otherwise(_sqdist(F.col("qv"), F.col("cv")))
-            .alias("d"),
+        )
+        subs = sub_cents.select("cluster_id", "sub", "cv")
+        cand = (
+            joined.filter(F.col("home_sub").isNull())
+            .join(subs, "cluster_id", "left")
+            .select(
+                "vec_id",
+                "cluster_id",
+                "qv",
+                F.coalesce(F.col("sub"), F.lit(0)).alias("sub_id"),
+                # unsplit cell -> its lone block 0 (NULL-sub row: d=0
+                # ranks it as the single row of its window)
+                F.when(F.col("sub").isNull(), F.lit(0.0))
+                .otherwise(_sqdist(F.col("qv"), F.col("cv")))
+                .alias("d"),
+            )
         )
         w = W.partitionBy("vec_id", "cluster_id").orderBy("d", "sub_id")
-        blocks = (
+        sec = (
             cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cluster_id", "sub_id", "qv")
         )
+        blocks = home.unionByName(sec)
     qd, cell_cols = _blocked_qd(blocks)
     return (
         _same_cell_pairs(qd, cell_cols, tau)

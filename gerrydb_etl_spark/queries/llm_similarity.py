@@ -289,8 +289,12 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past cap * per_cell (= 64k vectors at this family's
         # per_cell) the capped coarse cells are refined and the
         # probe goes two-level; never active at any driver-verified
-        # scale (oracle untouched)
-        _, sub_model = split_oversized_cells(assigned, per_cell=125)
+        # scale (oracle untouched). The full (assignment, codebook)
+        # pair feeds the probe so home blocks come from the split
+        # assignment itself (dominance by construction); the
+        # driver-verified sibling is ivf_multiprobe_twolevel, which
+        # forces this path at sf0.01 under a full replay oracle.
+        sub_model = split_oversized_cells(assigned, per_cell=125)
     return multiprobe_pairs(emb, tau=_MP_TAU, centroids=cents,
                             probes=_MP_PROBES, sub_model=sub_model)
 

@@ -792,7 +792,8 @@ def test_multiprobe_two_level_forced_split(spark):
     single = {(r["d1"], r["d2"]) for r in cell_blocked_pairs(
         emb, tau=tau, assigned=split_assigned).collect()}
     multi = {(r["d1"], r["d2"]) for r in multiprobe_pairs(
-        emb, tau=tau, centroids=cents, sub_model=subcents).collect()}
+        emb, tau=tau, centroids=cents,
+        sub_model=(split_assigned, subcents)).collect()}
     assert multi <= exact, "two-level multiprobe emitted a non-pair"
     assert single <= multi, (
         "refined single-probe candidate lost under the two-level "
@@ -808,7 +809,7 @@ def test_multiprobe_two_level_forced_split(spark):
                for i in ids if i % 50 == 0}
     got = {(r["d1"], r["d2"]) for r in multiprobe_pairs(
         emb.unionByName(twins), tau=tau, centroids=cents,
-        sub_model=subcents).collect()}
+        sub_model=(split_assigned, subcents)).collect()}
     missed = planted - got
     assert not missed, f"planted twins missed: {sorted(missed)[:5]}"
 
@@ -869,13 +870,20 @@ def test_strict_twin_offset_survives_sparse_id_space(spark, tmp_path):
 
 
 def test_multiprobe_rank1_block_equals_split_assignment(spark):
-    """The dominance argument rests on: a vector's rank-1 refined
-    block (two-level probe) == its split_oversized_cells assignment
-    (nearest subcell within the home cell, same tie-break). Pin it
-    directly: at probes=1 and tau=-1 (emit EVERY within-block pair)
-    the multiprobe pair set must equal single-probe pairing on the
-    split assignment — equal pair sets mean equal block partitions
-    (up to invisible singletons)."""
+    """The dominance contract: a vector's home-probe refined block
+    == its split_oversized_cells assignment. Since the by-construction
+    fix (home blocks JOINED from the split assignment, not re-ranked
+    against the codebook) this holds for ANY assignment/codebook pair,
+    including recursively re-split ones where a codebook re-rank can
+    legitimately place an outlier of a re-split block into a sibling
+    block. Two phases: (1) a real Lloyd-trained single-pass split —
+    at probes=1 and tau=-1 (emit EVERY within-block pair) the
+    multiprobe pair set must equal single-probe pairing on the split
+    assignment; (2) a fabricated two-level model that PLANTS the
+    divergence (vec 7's lineage block centroid sits farther than a
+    sibling's — exactly the post-re-split geometry), where the old
+    re-rank derivation provably moved the vector and broke
+    dominance."""
     from pyspark.sql import functions as F
 
     from gerrydb_etl_spark.operators.ivf import _train
@@ -908,11 +916,54 @@ def test_multiprobe_rank1_block_equals_split_assignment(spark):
     multi1 = {
         (r["d1"], r["d2"])
         for r in multiprobe_pairs(
-            emb, tau=-1.0, centroids=cents, probes=1, sub_model=subcents
+            emb, tau=-1.0, centroids=cents, probes=1,
+            sub_model=(split_assigned, subcents),
         ).collect()
     }
     assert single == multi1, (
         f"block partitions diverge: only-single="
         f"{sorted(single - multi1)[:5]} only-multi="
         f"{sorted(multi1 - single)[:5]}"
+    )
+
+    # phase 2: planted post-re-split geometry. vec 7 (v=20) belongs
+    # to lineage block sub=2 (centroid 60) but the sibling sub=0
+    # centroid (0) is CLOSER (|20-0| < |20-60|): a codebook re-rank
+    # moves it to block 0 and single-probe pairing on the assignment
+    # is no longer a subset — the exact ADVICE r12 failure mode.
+    rows = [
+        (1, 0, 0, 1.0), (2, 0, 0, 2.0),
+        (7, 0, 2, 20.0), (8, 0, 2, 58.0), (9, 0, 2, 62.0),
+        (11, 0, 3, 138.0), (12, 0, 3, 142.0),
+    ]
+    emb2 = spark.createDataFrame(
+        [(v, [x]) for v, _, _, x in rows],
+        "vec_id long, embedding array<double>",
+    )
+    sub_asn = spark.createDataFrame(
+        [(v, c, s, [int(x * 1_000_000)]) for v, c, s, x in rows],
+        "vec_id long, cluster_id int, sub_id int, qv array<long>",
+    )
+    sub_cents = spark.createDataFrame(
+        [(0, 0, [0.0]), (0, 2, [60_000_000.0]), (0, 3, [140_000_000.0])],
+        "cluster_id int, sub int, cv array<double>",
+    )
+    lineage = {(1, 2), (7, 8), (7, 9), (8, 9), (11, 12)}
+    single2 = {
+        (r["d1"], r["d2"])
+        for r in cell_blocked_pairs(
+            emb2, tau=-1.0, assigned=sub_asn
+        ).collect()
+    }
+    assert single2 == lineage, single2
+    multi2 = {
+        (r["d1"], r["d2"])
+        for r in multiprobe_pairs(
+            emb2, tau=-1.0, centroids={0: [50_000_000.0]}, probes=1,
+            sub_model=(sub_asn, sub_cents),
+        ).collect()
+    }
+    assert multi2 == lineage, (
+        "home block must come from the split assignment, not a "
+        f"codebook re-rank: {sorted(multi2 ^ lineage)}"
     )
