@@ -38,8 +38,27 @@ _VIEW_SEQ = itertools.count()
 
 # Spark's shipped default for spark.sql.cteRecursionRowLimit — the
 # one value we may freely raise (anything else finite was set by a
-# user and stays theirs; see the backstop note in expand_paths)
-_CTE_LIMIT_DEFAULT = 1_000_000
+# user and stays theirs; see the backstop note in expand_paths).
+# Read from SQLConf at runtime (ADVICE r12: a future Spark could ship
+# a different default, which would misclassify every session value as
+# user-set and silently stop the ratchet); the literal is only the
+# fallback when the JVM accessor is unavailable, and a unit test pins
+# it to the session default so drift is caught.
+_CTE_LIMIT_FALLBACK = 1_000_000
+
+
+def _cte_limit_default(spark) -> int:
+    """The SHIPPED default of spark.sql.cteRecursionRowLimit, from
+    SQLConf's conf-entry metadata (NOT the session value — a user-set
+    session value must stay distinguishable from the default)."""
+    try:
+        return int(
+            spark.sparkContext._jvm.org.apache.spark.sql.internal
+            .SQLConf.CTE_RECURSION_ROW_LIMIT()
+            .defaultValueString()
+        )
+    except Exception:
+        return _CTE_LIMIT_FALLBACK
 
 # limits THIS module set, per Spark application id: lets a later
 # expand_paths call distinguish "our own earlier ratchet" (safe to
@@ -84,7 +103,17 @@ def expand_paths(
     leaf-depth frontier once more to discover it has no children, so
     a billion-leaf hierarchy would broadcast a billion-row frontier.
     The default lets the planner pick shuffle vs broadcast per level,
-    which is the scale-safe plan."""
+    which is the scale-safe plan.
+
+    INPUT CONTRACT: a TREE — ``id_col`` unique (one parent per node).
+    Multi-parent DAGs are out of scope: path semantics would need one
+    row per (node, path), multiplying output per shared ancestor, and
+    the input-proportional row backstop below assumes one path row
+    per node. Duplicate (or NULL) ids raise a ValueError up front —
+    checked inside the same one-pass aggregate that sizes the
+    backstop, so the validation costs no extra job — instead of the
+    opaque cteRecursionRowLimit abort a DAG used to hit (ADVICE
+    r12)."""
     spark = edges.sparkSession
     view = f"hierarchy_edges_input_{next(_VIEW_SEQ)}"
     hint = "/*+ BROADCAST(p) */ " if broadcast_frontier else ""
@@ -104,8 +133,10 @@ def expand_paths(
     # than disabled (VERDICT r11 item 4: -1 outlived the call and
     # stripped the guard from every later recursive CTE in the
     # session; and duplicate (id,parent) edge rows multiply paths per
-    # level WITHOUT tripping the MAX_DEPTH guard, which is exactly
-    # the runaway this backstop catches). The bound must outlive this
+    # level WITHOUT tripping the MAX_DEPTH guard — the tree-contract
+    # check below now rejects those eagerly with a named error, and
+    # the backstop stays as defense-in-depth behind it). The bound
+    # must outlive this
     # function — the recursion runs at the CONSUMER's action — so it
     # is set monotonically (never lowered below a concurrent caller's
     # bound) instead of save/restored. Only the SHIPPED DEFAULT and
@@ -116,14 +147,28 @@ def expand_paths(
     # call; Spark's error names the conf). The one-job count is the
     # price of the bound; the recursion itself re-scans the same
     # view once per level, so it is marginal.
-    n_nodes = nodes.count()
+    hdr = nodes.agg(
+        F.count("*").alias("n"), F.count_distinct("id").alias("nd")
+    ).first()
+    n_nodes = int(hdr["n"])
+    if int(hdr["nd"]) < n_nodes:
+        raise ValueError(
+            "expand_paths: input is not a tree — "
+            f"{n_nodes - int(hdr['nd'])} duplicate (or NULL) "
+            f"{id_col!r} rows. One parent per node is the input "
+            "contract: multi-parent DAGs multiply path rows per "
+            "shared node and are not supported; dedupe the edge "
+            "table (or model the DAG as explicit (node, parent) "
+            "paths) before expanding"
+        )
+    limit_default = _cte_limit_default(spark)
     prior = int(
         spark.conf.get(
-            "spark.sql.cteRecursionRowLimit", str(_CTE_LIMIT_DEFAULT)
+            "spark.sql.cteRecursionRowLimit", str(limit_default)
         )
     )
     app = spark.sparkContext.applicationId
-    if prior != -1 and prior in (_CTE_LIMIT_DEFAULT, _OUR_CTE_LIMITS.get(app)):
+    if prior != -1 and prior in (limit_default, _OUR_CTE_LIMITS.get(app)):
         bound = max(prior, 2 * n_nodes + 10_000)
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))
         _OUR_CTE_LIMITS[app] = bound

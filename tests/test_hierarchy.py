@@ -97,27 +97,46 @@ def test_unreachable_cycle_never_enters_the_result(spark):
 
 
 def test_reachable_cycle_raises_instead_of_truncating(spark):
-    """A cycle reachable from a root (or a tree deeper than
-    MAX_DEPTH) must FAIL LOUDLY at execution — silent truncation is
-    the failure mode the operator exists to remove (round-9 review
-    finding)."""
+    """A cycle reachable from a root, or a tree deeper than
+    MAX_DEPTH, must FAIL LOUDLY — silent truncation is the failure
+    mode the operator exists to remove (round-9 review finding).
+    Under the tree input contract the two cases now split: a
+    REACHABLE cycle requires some node to carry two parents (the
+    re-entry edge), i.e. a duplicate id, so it is rejected EAGERLY
+    by the tree check; an over-deep single-parent chain still hits
+    the MAX_DEPTH raise_error at execution."""
     import pytest
     from py4j.protocol import Py4JJavaError
 
-    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+    from gerrydb_etl_spark.operators.hierarchy import (
+        MAX_DEPTH,
+        expand_paths,
+    )
 
     edges = spark.createDataFrame(
         [
             ("r", None, "root"),
             ("x", "r", "x"),
             ("y", "x", "y"),
-            # y -> x closes a cycle reachable from the root
+            # y -> x closes a cycle reachable from the root — and
+            # necessarily gives x a second parent (duplicate id)
             ("x", "y", "x2"),
         ],
         "node_id string, parent_id string, label string",
     )
+    with pytest.raises(ValueError, match="not a tree"):
+        expand_paths(edges)
+
+    deep = spark.createDataFrame(
+        [("n0", None, "root")]
+        + [
+            (f"n{i}", f"n{i - 1}", f"n{i}")
+            for i in range(1, MAX_DEPTH + 3)
+        ],
+        "node_id string, parent_id string, label string",
+    )
     with pytest.raises(Exception, match="MAX_DEPTH") as exc:
-        expand_paths(edges).collect()
+        expand_paths(deep).collect()
     assert isinstance(exc.value, Py4JJavaError) or "MAX_DEPTH" in str(
         exc.value
     )
@@ -270,13 +289,14 @@ def test_cte_row_backstop_stays_bounded_after_expansion(spark):
     assert limit >= 2 * (n + 1), "bound not input-proportional"
 
 
-def test_duplicate_edges_runaway_trips_the_backstop(spark):
+def test_duplicate_edges_rejected_eagerly_with_named_error(spark):
     """Duplicate (id, parent) edge rows multiply paths per level
     WITHOUT deepening any path, so the MAX_DEPTH raise_error never
-    fires — the row backstop is the only guard for this runaway
-    (ADVICE r11), and disabling it (-1) would have let this query
-    materialize 4^depth rows. With the input-proportional bound it
-    must abort."""
+    fires. The tree input contract (ADVICE r12) now rejects the
+    duplicate-id input UP FRONT with an error naming the contract —
+    a DAG caller gets told what to fix instead of an opaque
+    cteRecursionRowLimit abort (the backstop remains behind the
+    check as defense-in-depth)."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -291,9 +311,28 @@ def test_duplicate_edges_runaway_trips_the_backstop(spark):
     edges = spark.createDataFrame(
         chain, "node_id string, parent_id string, label string"
     )
-    out = expand_paths(edges)
-    with pytest.raises(Exception, match="(?i)recursion"):
-        out.count()
+    with pytest.raises(ValueError, match="not a tree"):
+        expand_paths(edges)
+
+
+def test_cte_limit_fallback_matches_shipped_default(spark):
+    """_cte_limit_default reads the shipped default from SQLConf's
+    conf-entry metadata; the hardcoded fallback must match it (a
+    Spark upgrade that changes the default would otherwise silently
+    misclassify every session value as user-set and stop the
+    ratchet — ADVICE r12)."""
+    from gerrydb_etl_spark.operators.hierarchy import (
+        _CTE_LIMIT_FALLBACK,
+        _cte_limit_default,
+    )
+
+    jvm_default = int(
+        spark.sparkContext._jvm.org.apache.spark.sql.internal
+        .SQLConf.CTE_RECURSION_ROW_LIMIT()
+        .defaultValueString()
+    )
+    assert _cte_limit_default(spark) == jvm_default
+    assert _CTE_LIMIT_FALLBACK == jvm_default
 
 
 def test_user_set_cte_limit_is_respected(spark):
