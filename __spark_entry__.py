@@ -28,82 +28,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # ---- ROUND 12 WINDOW (50 slots exactly) --------------------------
-    # Block A (2): never-driver-sampled queries FIRST — this round's
-    # two new queries: the near-dup-grade planted-twin sibling of
-    # ivf_blocked_neardup (VERDICT r11 item 7), and the multi-probe
-    # pairing that closes part of single-probe blocking's documented
-    # cross-cell recall gap.
-    "ivf_blocked_neardup_strict",
-    "ivf_multiprobe_neardup",
-    # Block B (45): the stalest refill (VERDICT r11 item 2) — the
-    # single r6 straggler leads as promised, then every query whose
-    # latest driver row is round 7. After this round no query's
-    # latest driver row predates r8; round 13 takes the r8 block (48).
-    "topk_orders_per_customer",
-    "approx_distinct_customers",
-    "benchmark_decontam",
-    "bpe_merge_candidates",
-    "cdc_chunking",
-    "config_driven_projection",
-    "containment_dedup",
-    "count_distinct_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "dedup_exact_text",
-    "doc_fingerprint",
-    "dsir_importance_weights",
-    "embedding_cosine_topk",
-    "embedding_quantize",
-    "epoch_shuffle_order",
-    "events_stream_store_ingest",
-    "full_outer_key_overlap",
-    "geo_point_roundtrip",
-    "grouping_sets_revenue",
-    "incremental_agg_maintenance",
-    "lang_id_heuristic",
-    "media_byte_stats",
-    "media_decode_features",
-    "media_frame_sample",
-    "minhash_near_dup",
-    "minhash_verify",
-    "ngram_jaccard_dedup",
-    "outer_join_order_counts",
-    "pagerank_fixed_point",
-    "passage_dedup",
-    "region_nation_revenue",
-    "right_outer_parts",
-    "rrf_hybrid_retrieval",
-    "set_versioning_double_load",
-    "simhash_near_dup",
-    "simhash_verify",
-    "stats_quantiles_moments",
-    "substring_dedup_spans",
-    "text_stats",
-    "token_topk",
-    "top_revenue_orders",
-    "utm_zone_epsg",
-    "winnow_fingerprints",
-    "winnow_near_dup",
+    # ---- ROUND 13 WINDOW (50 slots exactly) --------------------------
+    # Block A (1): never-driver-sampled FIRST — the forced-split
+    # two-level multiprobe query (VERDICT r12 item 1): the one
+    # shipped scale path no CORRECTNESS row had ever executed, now
+    # forced active at driver scale under a full replay oracle.
+    "ivf_multiprobe_twolevel",
+    # Block B (46): the stalest refill — the complete r8 block, as
+    # promised by the r12 rotation note. After this round no query's
+    # latest driver row predates r10 (VERDICT r12 item 3); round 14
+    # takes the r10 block (44, minus the two sampled in Block C).
+    "alias_resolution_join",
+    "ann_cosine_topk",
+    "ann_verify",
+    "asof_join_clicks_views",
+    "bigram_surprisal_filter",
+    "bpe_doc_tokenize",
+    "bpe_fertility_by_lang",
+    "bpe_segment_apply",
+    "cdc_fuzzy_chunk_match",
+    "cdc_incremental_dedup",
+    "census_header_schema",
+    "classifier_trailing_char",
+    "cluster_survivor_selection",
+    "corpus_curation_filter",
+    "corrupt_record_quarantine",
+    "cube_returnflag_status",
+    "curriculum_packing",
+    "dedup_full_row",
+    "dim_upsert_if_absent",
+    "dpp_runtime_pruned_join",
+    "eav_long_table",
+    "embedding_int8_recall",
+    "embedding_neardup",
+    "embedding_neardup_verify",
+    "events_json_props",
+    "events_session_windows",
+    "events_sliding_windows",
+    "except_order_keys",
+    "histogram_quantile_rollup",
+    "image_dhash_neardup",
+    "incremental_minhash_dedup",
+    "intersect_nation_keys",
+    "ivf_index_quality",
+    "media_strict_decode",
+    "mode_part_brand",
+    "nations_per_region",
+    "neardup_clusters",
+    "pivot_status_by_flag",
+    "pq_adc_topk",
+    "pq_verify",
+    "priority_sample_topk",
+    "range_join_ship_window",
+    "rollup_order_priority",
+    "semantic_decontam",
+    "temperature_mix_weights",
+    "union_distinct_keys",
     # Block C (3): code touched this round and not already above —
-    # the expand_paths cteRecursionRowLimit bound
-    # (order_hierarchy_paths is the deeper depth-4 consumer;
-    # locality_hierarchy_paths runs the SAME operator path and the
-    # bound is result-identical + unit-gated, so it yields its slot
-    # and defers on its r11 green) and the two streaming ingest
-    # queries re-epoched 4->2 after the r11-item-8 profile (both
-    # also r8-stale, so sampling them advances the rotation too).
-    # (hierarchical_cells_assign / semantic_dedup_survivors /
-    # ivf_blocked_neardup import the touched split/pairing modules
-    # but their executed plans are byte-identical at driver scale —
-    # the max_levels=1 path skips the reworked probe loop entirely,
-    # needs_cell_split never activates, cell_blocked_pairs is
-    # unchanged — all r11-green, locally oracle-swept, deferred to
-    # make room for the two never-sampled openers)
-    "order_hierarchy_paths",
-    "docs_stream_dedup_ingest",
-    "embeddings_stream_index_ingest",
-    # everything below position 50 was driver-green in rounds 8-11
+    # locality_hierarchy_paths (expand_paths gained the eager
+    # tree-contract validation + SQLConf-read CTE default, ADVICE
+    # r12; order_hierarchy_paths runs the SAME operator path, was
+    # r12-sampled, and the recursion SQL is byte-identical, so it
+    # defers on its r12 green), orders_stream_checksum (re-epoched
+    # 4->2 per the r12 PERF queue — executed plan changed — and the
+    # injectable-signature bucket_digest), and bucket_checksum_diff
+    # (shares bucket_digest; default-path plan is byte-identical but
+    # it is also r10-stale, so sampling it advances the rotation).
+    # (ivf_multiprobe_neardup / hierarchical_cells_assign /
+    # semantic_dedup_survivors / ivf_blocked_neardup import the
+    # touched multiprobe/split modules but their executed plans are
+    # byte-identical at driver scale — sub_model stays None below
+    # 64k vectors, needs_cell_split never activates, and the
+    # max_levels=1 split path is untouched — all r11/r12-green,
+    # locally oracle-swept this round, deferred for the stale block)
+    "locality_hierarchy_paths",
+    "orders_stream_checksum",
+    "bucket_checksum_diff",
+    # everything below position 50 was driver-green in rounds 10-12
     # with unchanged code; deferred past this round's sample window
 ]
 

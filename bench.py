@@ -123,18 +123,31 @@ def main() -> None:
     # reuse-many corpus indexes, staged with the session one-time
     # costs so the benched queries measure the dedup plans they
     # exist to demonstrate, not repeated regex shingling.
+    # Each fixture's staging wall time is RECORDED (staging_seconds in
+    # BENCH_FULL.json): a floor drift in a staged-fixture consumer can
+    # then be split into staging-cost vs query-cost movement instead
+    # of guessed at (VERDICT r12 item 2 — the winnow family's +57%
+    # floor drift had no attribution trail).
     from gerrydb_etl_spark.store.staging import (
         ensure_staged_shingles,
         ensure_staged_token_codes,
         ensure_staged_token_hashes,
     )
 
-    ensure_staged_shingles(spark, sf_dir, 3)
-    ensure_staged_shingles(spark, sf_dir, 5)
+    staging_seconds: dict[str, float] = {}
+
+    def _staged(tag: str, fn, *args, **kw):
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        staging_seconds[tag] = round(time.perf_counter() - t0, 3)
+        return out
+
+    _staged("shingles_n3", ensure_staged_shingles, spark, sf_dir, 3)
+    _staged("shingles_n5", ensure_staged_shingles, spark, sf_dir, 5)
     # the portable token-hash family (simhash) and token-code arrays
     # (winnowing k=3 / k=5) — same write-once-reuse-many economics
-    ensure_staged_token_hashes(spark, sf_dir)
-    ensure_staged_token_codes(spark, sf_dir)
+    _staged("token_hashes", ensure_staged_token_hashes, spark, sf_dir)
+    _staged("token_codes", ensure_staged_token_codes, spark, sf_dir)
 
     # ...and the trained k-means model (SemDeDup's coarse quantizer):
     # write-once corpus state with the same fingerprint-keyed
@@ -147,11 +160,17 @@ def main() -> None:
         ensure_staged_pq,
     )
 
-    ensure_staged_kmeans(spark, sf_dir, k=8, iters=3)
-    ensure_staged_kmeans(spark, sf_dir, k=4, iters=2)  # hierarchy query
-    ensure_staged_lsh_sigs(spark, sf_dir, bits=4, tables=8)
-    ensure_staged_ivf(spark, sf_dir, n_cells=16, iters=2)
-    ensure_staged_pq(spark, sf_dir, m_subs=4, n_codes=16, iters=2)
+    _staged("kmeans_k8", ensure_staged_kmeans, spark, sf_dir, k=8, iters=3)
+    # hierarchy + forced two-level multiprobe queries
+    _staged("kmeans_k4", ensure_staged_kmeans, spark, sf_dir, k=4, iters=2)
+    _staged("lsh_sigs", ensure_staged_lsh_sigs, spark, sf_dir,
+            bits=4, tables=8)
+    _staged("ivf_c16", ensure_staged_ivf, spark, sf_dir,
+            n_cells=16, iters=2)
+    _staged("ivf_c4", ensure_staged_ivf, spark, sf_dir,
+            n_cells=4, iters=2)
+    _staged("pq", ensure_staged_pq, spark, sf_dir,
+            m_subs=4, n_codes=16, iters=2)
 
     # ...and the near-dup component assignment (doc, cluster_rep):
     # the closure shared by neardup_clusters and
@@ -160,7 +179,7 @@ def main() -> None:
     # window, not a repeated pair+closure pipeline.
     from gerrydb_etl_spark.store.staging import ensure_staged_components
 
-    ensure_staged_components(spark, sf_dir)
+    _staged("components", ensure_staged_components, spark, sf_dir)
 
     # Variance floors (VERDICT r10 item 5): a single-run wall time on
     # a shared host carries ~±20% CPU-steal noise — rounds 9→10 saw
@@ -169,16 +188,21 @@ def main() -> None:
     # (the best-of floor isolates plan cost from host noise); all
     # runs land in BENCH_FULL.json so the spread itself is recorded.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
-    # a query whose repeats disagree by more than this fraction of
-    # the floor gets ONE extra repeat (VERDICT r11 item 6). In
-    # practice this fires on ~2/3 of queries — run 1 carries the
-    # query's codegen/JIT, so it usually exceeds run 2 by >20% — and
-    # that is the INTENT, not an accident: with repeats=2 the floor
-    # rests on a single warm run, and the third run is the second
-    # warm sample that makes the floor-uncertainty metric (variance
-    # below) an actual error bar. Cost at sf0.1: ~+45 s wall on the
-    # round bench, once per round.
+    # a query whose TWO LOWEST runs disagree by more than this
+    # fraction of the floor gets extra repeats until they agree (or
+    # the repeat cap binds) — VERDICT r11 item 6 added one extra run;
+    # r12 item 8 extends it to a stabilization loop, because with a
+    # single extra run the floor-uncertainty bar still rested on one
+    # sample whenever run 1 carried the query's codegen/JIT AND run 2
+    # caught a host-steal phase (the winnow-family drift slipped
+    # through exactly there). In practice the first extra run fires
+    # on ~2/3 of queries (run 1 carries codegen/JIT — intended: it
+    # buys the second WARM sample the variance metric needs); the
+    # cap keeps a genuinely bimodal query from looping.
     respread = float(os.environ.get("SPARK_GRAFT_BENCH_RESPREAD", "0.2"))
+    repeat_cap = max(
+        repeats, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CAP", "5"))
+    )
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
 
@@ -209,13 +233,28 @@ def main() -> None:
         _drop_leftover_blocks()
         return elapsed
 
+    def _two_lowest_disagree(times: list[float]) -> bool:
+        lo = sorted(times)
+        return len(lo) > 1 and (lo[1] - lo[0]) > respread * lo[0]
+
     for name in sorted(n for n in REGISTRY if not n.endswith("_verify")):
         spec = REGISTRY[name]
         times = [_one_run(spec) for _ in range(repeats)]
-        if len(times) > 1 and (max(times) - min(times)) > respread * min(times):
+        while _two_lowest_disagree(times) and len(times) < repeat_cap:
             times.append(_one_run(spec))
         runs[name] = times
         timings[name] = min(times)
+
+    # verify lane (VERDICT r12 item 7): the *_verify recall twins are
+    # excluded from the headline floors (timing them would charge the
+    # production operators for their verification harness), but a
+    # regression in the verify HARNESS itself was invisible with no
+    # recorded wall time at all. One un-repeated run each, recorded
+    # in BENCH_FULL only — never part of total/queries.
+    verify_lane = {
+        name: _one_run(REGISTRY[name])
+        for name in sorted(n for n in REGISTRY if n.endswith("_verify"))
+    }
 
     total = round(sum(timings.values()), 3)
     # variance_pct is the FLOOR's uncertainty: the reported number is
@@ -274,6 +313,8 @@ def main() -> None:
         query_runs=dict(sorted(runs.items())),
         cpus=int(cpus),
         exposure=exposure,
+        staging_seconds=staging_seconds,
+        verify_lane=verify_lane,
     )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:

@@ -505,15 +505,34 @@ def order_cents(price_col: Column) -> Column:
 
 
 def bucket_digest(
-    df: DataFrame, cents_col: Column, n_name: str, x_name: str
+    df: DataFrame,
+    cents_col: Column,
+    n_name: str,
+    x_name: str,
+    sig: Column | None = None,
 ) -> DataFrame:
     """Per-bucket (count, XOR-of-row-signature) digest of order rows
     — the ONE digest implementation shared by the batch diff, the
-    streaming maintenance sink, and the parity tests."""
+    streaming maintenance sink, and the parity tests.
+
+    ``sig`` overrides the row signature column. The default is the
+    62-bit engine-PORTABLE per-char fold (_row_sig) because every
+    registered consumer is DuckDB-oracle-paired and the oracle must
+    replay the signature; a production deployment that doesn't need
+    cross-engine replay should pass
+    ``F.xxhash64(concat_ws('|', key, cents))`` — measured at sf0.1
+    the per-char fold is ~0.9 s (~29%) of the streaming checksum's
+    3.2 s floor, and xxhash64 removes it (PERF.md r13). XOR
+    mergeability, the property the checksum exists for, is
+    signature-agnostic."""
     return (
         df.select(
             (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),
-            _row_sig(F.col("o_orderkey"), cents_col).alias("h"),
+            (
+                sig
+                if sig is not None
+                else _row_sig(F.col("o_orderkey"), cents_col)
+            ).alias("h"),
         )
         .groupBy("bucket")
         .agg(
@@ -621,7 +640,7 @@ def _checksum_base_oracle() -> str:
 @query("orders_stream_checksum", oracle=_checksum_base_oracle())
 def orders_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the anti-entropy bucket checksums
-    (streaming/stream.py run_stream_checksum): orders arrive in four
+    (streaming/stream.py run_stream_checksum): orders arrive in two
     deterministic key-range micro-batches; each epoch reduces its
     rows to per-bucket (count, XOR-of-row-signature) partials under
     an epoch-idempotent commit, and the table state is the
@@ -630,7 +649,12 @@ def orders_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (COUNT, XOR) is losslessly mergeable across micro-batches — the
     incremental-maintenance property the batch bucket_checksum_diff
     relies on. Epoch partials are O(buckets) rows; no data row is
-    ever re-read."""
+    ever re-read. Two epochs is the MINIMUM that keeps the
+    cross-batch merge path live — the same floor the r12
+    ingest-epoch profile established (~0.55s/epoch of fixed
+    micro-batch machinery at bench scale buys nothing past the
+    second epoch; the 4-epoch spelling stays covered by the
+    replay/restart unit tests at their own counts)."""
     import shutil
     import tempfile
 
@@ -643,7 +667,7 @@ def orders_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = tempfile.mkdtemp(prefix="orders_checksum_stream_")
     try:
-        out = run_stream_checksum(spark, sf_dir, root, digest)
+        out = run_stream_checksum(spark, sf_dir, root, digest, n_batches=2)
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -17,72 +17,73 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# Round 12 window composition (50 slots exactly; see the block
+# Round 13 window composition (50 slots exactly; see the block
 # comments in __spark_entry__.py). Kept as constants so a window
 # refactor that silently drops a planned block fails loudly — but
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
-    "ivf_blocked_neardup_strict",
-    "ivf_multiprobe_neardup",
+    "ivf_multiprobe_twolevel",
 ]
 
-# the r6 straggler (promised the lead slot in r11) + the 44 queries
-# whose latest driver row is round 7
+# the complete r8 block (46 queries whose latest driver row is
+# round 8), as promised by the r12 rotation note
 STALE_REFILL = [
-    "topk_orders_per_customer",
-    "approx_distinct_customers",
-    "benchmark_decontam",
-    "bpe_merge_candidates",
-    "cdc_chunking",
-    "config_driven_projection",
-    "containment_dedup",
-    "count_distinct_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "dedup_exact_text",
-    "doc_fingerprint",
-    "dsir_importance_weights",
-    "embedding_cosine_topk",
-    "embedding_quantize",
-    "epoch_shuffle_order",
-    "events_stream_store_ingest",
-    "full_outer_key_overlap",
-    "geo_point_roundtrip",
-    "grouping_sets_revenue",
-    "incremental_agg_maintenance",
-    "lang_id_heuristic",
-    "media_byte_stats",
-    "media_decode_features",
-    "media_frame_sample",
-    "minhash_near_dup",
-    "minhash_verify",
-    "ngram_jaccard_dedup",
-    "outer_join_order_counts",
-    "pagerank_fixed_point",
-    "passage_dedup",
-    "region_nation_revenue",
-    "right_outer_parts",
-    "rrf_hybrid_retrieval",
-    "set_versioning_double_load",
-    "simhash_near_dup",
-    "simhash_verify",
-    "stats_quantiles_moments",
-    "substring_dedup_spans",
-    "text_stats",
-    "token_topk",
-    "top_revenue_orders",
-    "utm_zone_epsg",
-    "winnow_fingerprints",
-    "winnow_near_dup",
+    "alias_resolution_join",
+    "ann_cosine_topk",
+    "ann_verify",
+    "asof_join_clicks_views",
+    "bigram_surprisal_filter",
+    "bpe_doc_tokenize",
+    "bpe_fertility_by_lang",
+    "bpe_segment_apply",
+    "cdc_fuzzy_chunk_match",
+    "cdc_incremental_dedup",
+    "census_header_schema",
+    "classifier_trailing_char",
+    "cluster_survivor_selection",
+    "corpus_curation_filter",
+    "corrupt_record_quarantine",
+    "cube_returnflag_status",
+    "curriculum_packing",
+    "dedup_full_row",
+    "dim_upsert_if_absent",
+    "dpp_runtime_pruned_join",
+    "eav_long_table",
+    "embedding_int8_recall",
+    "embedding_neardup",
+    "embedding_neardup_verify",
+    "events_json_props",
+    "events_session_windows",
+    "events_sliding_windows",
+    "except_order_keys",
+    "histogram_quantile_rollup",
+    "image_dhash_neardup",
+    "incremental_minhash_dedup",
+    "intersect_nation_keys",
+    "ivf_index_quality",
+    "media_strict_decode",
+    "mode_part_brand",
+    "nations_per_region",
+    "neardup_clusters",
+    "pivot_status_by_flag",
+    "pq_adc_topk",
+    "pq_verify",
+    "priority_sample_topk",
+    "range_join_ship_window",
+    "rollup_order_priority",
+    "semantic_decontam",
+    "temperature_mix_weights",
+    "union_distinct_keys",
 ]
 
-# code touched in round 12 (expand_paths backstop bound; streaming
-# ingest epochs 4->2; the split-occupancy rework's registered query
-# defers on a byte-identical executed plan — see __spark_entry__.py)
+# code touched in round 13 (expand_paths tree contract + SQLConf
+# default; checksum epochs 4->2 + injectable digest signature; the
+# multiprobe/split consumers with byte-identical driver-scale plans
+# defer — see __spark_entry__.py)
 TOUCHED = [
-    "order_hierarchy_paths",
-    "docs_stream_dedup_ingest",
-    "embeddings_stream_index_ingest",
+    "locality_hierarchy_paths",
+    "orders_stream_checksum",
+    "bucket_checksum_diff",
 ]
 
 
