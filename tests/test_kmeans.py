@@ -967,3 +967,72 @@ def test_multiprobe_rank1_block_equals_split_assignment(spark):
         "home block must come from the split assignment, not a "
         f"codebook re-rank: {sorted(multi2 ^ lineage)}"
     )
+
+
+def test_multiprobe_equality_survives_real_resplit(spark):
+    """End-to-end version of the planted-geometry pin: a REAL
+    double application of split_oversized_cells (re-split with
+    prev_cents — composed sub ids, recomposed complete codebook).
+    After re-splitting, a vector's codebook rank-1 within its coarse
+    cell can differ from its lineage assignment (_grouped_assign
+    refines within the prior block); the by-construction home-block
+    join must keep probes=1 multiprobe pairing exactly equal to
+    single-probe pairing on the final assignment, and the probes=2
+    run a superset of it."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.ivf import _train
+    from gerrydb_etl_spark.operators.kmeans import (
+        cell_blocked_pairs,
+        multiprobe_pairs,
+        quantize,
+        split_oversized_cells,
+    )
+
+    # genuinely spread corpus (pseudo-uniform grid), so both split
+    # passes produce real refinements rather than duplicate blocks
+    emb = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") * 37) % 1000 + 1).cast("double"),
+            ((F.col("id") * 91) % 1000 + 1).cast("double"),
+        ).alias("embedding"),
+    )
+    cents, assigned = _train(quantize(emb), 2, 2)
+    s1_asn, s1_cents = split_oversized_cells(
+        assigned.select("vec_id", "cluster_id", "qv"),
+        per_cell=100, max_levels=1,
+    )
+    s2_asn, s2_cents = split_oversized_cells(
+        s1_asn, per_cell=15, max_levels=1, prev_cents=s1_cents,
+    )
+    n1 = s1_cents.count()
+    n2 = s2_cents.count()
+    assert n2 > n1 > 0, (n1, n2)  # the second pass really refined
+
+    single = {
+        (r["d1"], r["d2"])
+        for r in cell_blocked_pairs(
+            emb, tau=-1.0, assigned=s2_asn
+        ).collect()
+    }
+    multi1 = {
+        (r["d1"], r["d2"])
+        for r in multiprobe_pairs(
+            emb, tau=-1.0, centroids=cents, probes=1,
+            sub_model=(s2_asn, s2_cents),
+        ).collect()
+    }
+    assert single == multi1, (
+        f"re-split block partitions diverge: only-single="
+        f"{sorted(single - multi1)[:5]} only-multi="
+        f"{sorted(multi1 - single)[:5]}"
+    )
+    multi2 = {
+        (r["d1"], r["d2"])
+        for r in multiprobe_pairs(
+            emb, tau=-1.0, centroids=cents, probes=2,
+            sub_model=(s2_asn, s2_cents),
+        ).collect()
+    }
+    assert single <= multi2, sorted(single - multi2)[:5]
