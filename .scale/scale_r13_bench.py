@@ -36,6 +36,18 @@ from gerrydb_etl_spark.sources import load_table
 from gerrydb_etl_spark.store.staging import corpus_count, ensure_staged_ivf
 
 ROUND = int(os.environ.get("ROUND", "13"))
+
+# the replica corpora are build artifacts (not committed data); fail
+# fast with the build command instead of crashing after the expensive
+# 10x battery has already run
+for _d in ("x4", "x20", "sf1"):
+    _p = f"/root/repo/.scale/{_d}"
+    if not os.path.isdir(_p):
+        raise SystemExit(
+            f"missing scaled corpus {_p} — build it first, e.g. "
+            f"`python .scale/make_scaled.py {_d.lstrip('x') or '10'}` "
+            "(see .scale/README.md)"
+        )
 HEADS_10X = [
     "scd2_double_load",
     "eav_pivot_roundtrip",

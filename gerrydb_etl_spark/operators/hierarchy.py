@@ -147,10 +147,18 @@ def expand_paths(
     # call; Spark's error names the conf). The one-job count is the
     # price of the bound; the recursion itself re-scans the same
     # view once per level, so it is marginal.
-    hdr = nodes.agg(
-        F.count("*").alias("n"), F.count_distinct("id").alias("nd")
-    ).first()
-    n_nodes = int(hdr["n"])
+    # Expand-free spelling: a mixed plain+distinct aggregate would
+    # compile to an Expand that doubles the row stream through the
+    # partial aggregate; per-id partial counts reduce map-side
+    # instead (duplicates are the exception, so the shuffle carries
+    # ~distinct ids) and the global fold is one row per task.
+    hdr = (
+        nodes.groupBy("id")
+        .count()
+        .agg(F.sum("count").alias("n"), F.count("*").alias("nd"))
+        .first()
+    )
+    n_nodes = int(hdr["n"] or 0)
     if int(hdr["nd"]) < n_nodes:
         raise ValueError(
             "expand_paths: input is not a tree — "

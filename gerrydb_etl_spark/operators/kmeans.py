@@ -410,6 +410,11 @@ def multiprobe_pairs(
             ["vec_id", "cluster_id"],
             "left",
         )
+        # two plan branches (home filter + sec filter) consume this
+        # join; pin it so the scan+quantize+assign_topn+join subtree
+        # materializes once at action time instead of once per union
+        # child (the _blocked_qd convention, one level up)
+        joined = joined.localCheckpoint(eager=False)
         home = joined.filter(F.col("home_sub").isNotNull()).select(
             "vec_id",
             "cluster_id",

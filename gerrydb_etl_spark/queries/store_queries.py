@@ -519,12 +519,18 @@ def bucket_digest(
     62-bit engine-PORTABLE per-char fold (_row_sig) because every
     registered consumer is DuckDB-oracle-paired and the oracle must
     replay the signature; a production deployment that doesn't need
-    cross-engine replay should pass
-    ``F.xxhash64(concat_ws('|', key, cents))`` — measured at sf0.1
-    the per-char fold is ~0.9 s (~29%) of the streaming checksum's
-    3.2 s floor, and xxhash64 removes it (PERF.md r13). XOR
-    mergeability, the property the checksum exists for, is
-    signature-agnostic."""
+    cross-engine replay should pass xxhash64 over the SAME row
+    string _row_sig folds —
+    ``F.xxhash64(F.concat_ws("|", key.cast("string"),
+    F.coalesce(cents, F.lit(-1)).cast("string")))`` — note the
+    COALESCE: concat_ws SKIPS null args, so omitting it would give
+    NULL-cents rows a different identity ('key' vs 'key|-1') than
+    the batch-diff convention. Measured at sf0.1 the per-char fold
+    is ~0.9 s (~29%) of the streaming checksum's 3.2 s floor, and
+    xxhash64 removes it (PERF.md r13); XOR mergeability, the
+    property the checksum exists for, is signature-agnostic
+    (parity pinned by
+    tests/test_streaming.py::test_bucket_digest_injectable_signature)."""
     return (
         df.select(
             (F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"),

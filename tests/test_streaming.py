@@ -524,3 +524,76 @@ def test_stream_checksum_restart_is_idempotent(spark, tmp_path):
         ).collect()
     }
     assert rows1 == batch
+
+
+def test_bucket_digest_injectable_signature(spark):
+    """The production signature override (xxhash64 over the same
+    'key|COALESCE(cents,-1)' row string the portable fold uses) must
+    keep everything except the hash values: same buckets, same
+    per-bucket counts, and the XOR-mergeability property (digest of
+    the whole == bucket-wise merge of disjoint halves) — the
+    docstring's promised swap, pinned so the no-registered-caller
+    branch cannot rot. Also pins the NULL-cents identity: concat_ws
+    SKIPS null args, so the COALESCE(-1) is load-bearing."""
+    from gerrydb_etl_spark.queries.store_queries import (
+        bucket_digest,
+        order_cents,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cents = order_cents(F.col("o_totalprice"))
+    xx_sig = F.xxhash64(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.coalesce(cents, F.lit(-1)).cast("string"),
+        )
+    )
+    default = bucket_digest(orders, cents, "n", "x")
+    injected = bucket_digest(orders, cents, "n", "x", sig=xx_sig)
+    d = {(r.bucket, r.n) for r in default.collect()}
+    i = {(r.bucket, r.n) for r in injected.collect()}
+    assert d == i, "override changed bucketing or counts"
+
+    # mergeability under the injected signature: whole == XOR-merge
+    # of disjoint halves
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1)
+    merged = {
+        (r.bucket, r.n, r.x)
+        for r in (
+            bucket_digest(lo, cents, "n", "x", sig=xx_sig)
+            .unionByName(bucket_digest(hi, cents, "n", "x", sig=xx_sig))
+            .groupBy("bucket")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.expr("bit_xor(x)").alias("x"),
+            )
+            .collect()
+        )
+    }
+    whole = {(r.bucket, r.n, r.x) for r in injected.collect()}
+    assert merged == whole
+
+    # NULL-cents identity: with cents NULL the row string must be
+    # 'key|-1' (COALESCE), not 'key' (concat_ws null-skipping)
+    one = orders.limit(1).select(
+        "o_orderkey", F.lit(None).cast("double").alias("o_totalprice")
+    )
+    got = bucket_digest(
+        one, order_cents(F.col("o_totalprice")), "n", "x",
+        sig=F.xxhash64(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.coalesce(
+                    order_cents(F.col("o_totalprice")), F.lit(-1)
+                ).cast("string"),
+            )
+        ),
+    ).collect()
+    key = one.first()["o_orderkey"]
+    want = spark.createDataFrame([(str(key) + "|-1",)], "s string").select(
+        F.xxhash64("s").alias("h")
+    ).first()["h"]
+    assert got[0]["x"] == want
