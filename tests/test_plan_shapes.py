@@ -234,3 +234,22 @@ def test_curriculum_packing_is_window_free(spark):
     assert "Window" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_twolevel_multiprobe_blocks_on_refined_key(spark):
+    """The forced-split query exists to prove the past-the-cap path
+    executes with refined blocking: the pair join in the EXECUTED
+    plan must key on BOTH cluster_id and sub_id (plus the skew salt)
+    — a plan that paired on the coarse cell alone would be the exact
+    quadratic-occupancy failure the subcell hierarchy removes."""
+    import re
+
+    plan = _executed_plan(spark, "ivf_multiprobe_twolevel")
+    pair_joins = [
+        ln for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin)", ln)
+        and "a_id" in ln  # the d1 < d2 pair-join condition
+    ]
+    assert pair_joins, "pair join not found in executed plan"
+    for ln in pair_joins:
+        assert "cluster_id" in ln and "sub_id" in ln, ln
