@@ -134,13 +134,35 @@ def exact_cosine_pairs(
     baseline for embedding_neardup (the broadcast nested-loop
     self-join is the same deliberate envelope as cosine_topk), not a
     production path; it exists so the LSH-bucketed operator has an
-    exact truth set to report recall against."""
-    a = corpus.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("a_vec"))
-    b = corpus.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("b_vec"))
+    exact truth set to report recall against.
+
+    Norms are folded ONCE PER ROW before the pair join: the array
+    folds are Catalyst higher-order functions (interpreted per
+    element, outside whole-stage codegen), so folding norm inside
+    the pair expression tripled the dominant cost — 3 folds x n²
+    pairs vs 1 fold x n² + 2n (measured 100s -> ~35s at sf0.1's 2M
+    pairs). Bitwise identical to cosine(): the per-row norm is the
+    same fold on the same row, and the division keeps the same
+    dot / (norm_a * norm_b) multiply order the SQL replays."""
+    a = corpus.select(
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_nrm"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_nrm"),
+    )
     return (
         a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
         .select(
-            "d1", "d2", cosine(F.col("a_vec"), F.col("b_vec")).alias("cosine")
+            "d1",
+            "d2",
+            (
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
