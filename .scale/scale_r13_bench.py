@@ -43,10 +43,14 @@ ROUND = int(os.environ.get("ROUND", "13"))
 for _d in ("x4", "x20", "sf1"):
     _p = f"/root/repo/.scale/{_d}"
     if not os.path.isdir(_p):
+        _cmd = (
+            "python .scale/make_sf1.py"
+            if _d == "sf1"
+            else f"python .scale/make_scaled.py {_d[1:]}"
+        )
         raise SystemExit(
-            f"missing scaled corpus {_p} — build it first, e.g. "
-            f"`python .scale/make_scaled.py {_d.lstrip('x') or '10'}` "
-            "(see .scale/README.md)"
+            f"missing scaled corpus {_p} — build it first with "
+            f"`{_cmd}` (see .scale/README.md)"
         )
 HEADS_10X = [
     "scd2_double_load",

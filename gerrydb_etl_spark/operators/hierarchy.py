@@ -155,7 +155,11 @@ def expand_paths(
     hdr = (
         nodes.groupBy("id")
         .count()
-        .agg(F.sum("count").alias("n"), F.count("*").alias("nd"))
+        # count("id"), not count("*"): a NULL id forms its own GROUP
+        # (so a singleton NULL would sneak past a group count — the
+        # r13 review regression), but count("id") skips it, making
+        # nd < n for ANY null or duplicate id
+        .agg(F.sum("count").alias("n"), F.count("id").alias("nd"))
         .first()
     )
     n_nodes = int(hdr["n"] or 0)

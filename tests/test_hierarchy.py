@@ -373,3 +373,22 @@ def test_user_set_cte_limit_is_respected(spark):
             spark.conf.set(key, prior)
         if ours_prior is not None:
             _OUR_CTE_LIMITS[app] = ours_prior
+
+
+def test_single_null_id_rejected_eagerly(spark):
+    """A singleton NULL id must trip the tree check too: groupBy
+    puts NULLs in their own group, so a group COUNT would count it
+    and let one NULL row sneak past (the r13 review regression);
+    count('id') skips the NULL group and nd < n fires for any null
+    OR duplicate id. A NULL-id node could never be referenced as a
+    parent and would emit an unjoinable path row."""
+    import pytest
+
+    from gerrydb_etl_spark.operators.hierarchy import expand_paths
+
+    edges = spark.createDataFrame(
+        [("r", None, "root"), ("a", "r", "a"), (None, "r", "ghost")],
+        "node_id string, parent_id string, label string",
+    )
+    with pytest.raises(ValueError, match="not a tree"):
+        expand_paths(edges)
