@@ -46,19 +46,51 @@ _VIEW_SEQ = itertools.count()
 # it to the session default so drift is caught.
 _CTE_LIMIT_FALLBACK = 1_000_000
 
+# resolved shipped default, cached per application id (ADVICE r13):
+# re-invoking the JVM accessor per expand_paths call is waste, and a
+# SILENT per-call fallback in an environment where the accessor breaks
+# (e.g. Spark Connect has no sparkContext) would re-open the exact
+# stale-literal misclassification the runtime read exists to prevent —
+# so the fallback is taken once per application and WARNED once
+_CTE_DEFAULT_CACHE: dict[str, int] = {}
+
 
 def _cte_limit_default(spark) -> int:
     """The SHIPPED default of spark.sql.cteRecursionRowLimit, from
     SQLConf's conf-entry metadata (NOT the session value — a user-set
-    session value must stay distinguishable from the default)."""
+    session value must stay distinguishable from the default).
+    Resolved once per application; if the JVM accessor is unavailable
+    the stale-literal fallback is used with a one-time warning, since
+    a changed shipped default would then misclassify every session
+    value as user-set and silently stop the backstop ratchet."""
     try:
-        return int(
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = "<no-sparkContext>"
+    if app in _CTE_DEFAULT_CACHE:
+        return _CTE_DEFAULT_CACHE[app]
+    try:
+        val = int(
             spark.sparkContext._jvm.org.apache.spark.sql.internal
             .SQLConf.CTE_RECURSION_ROW_LIMIT()
             .defaultValueString()
         )
     except Exception:
-        return _CTE_LIMIT_FALLBACK
+        import warnings
+
+        warnings.warn(
+            "expand_paths: cannot read the shipped default of "
+            "spark.sql.cteRecursionRowLimit from SQLConf (no JVM "
+            f"accessor in this environment); assuming "
+            f"{_CTE_LIMIT_FALLBACK}. If Spark ships a different "
+            "default, the recursion-limit ratchet will treat the "
+            "session value as user-set and leave it alone.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        val = _CTE_LIMIT_FALLBACK
+    _CTE_DEFAULT_CACHE[app] = val
+    return val
 
 # limits THIS module set, per Spark application id: lets a later
 # expand_paths call distinguish "our own earlier ratchet" (safe to
@@ -74,6 +106,7 @@ def expand_paths(
     label_col: str = "label",
     broadcast_frontier: bool = False,
     require_complete: bool = False,
+    skip_tree_check: bool = False,
 ) -> DataFrame:
     """(id, path, depth) for every node REACHABLE FROM A ROOT in a
     self-referencing edge table: roots are rows whose ``parent_col``
@@ -110,10 +143,17 @@ def expand_paths(
     row per (node, path), multiplying output per shared ancestor, and
     the input-proportional row backstop below assumes one path row
     per node. Duplicate (or NULL) ids raise a ValueError up front —
-    checked inside the same one-pass aggregate that sizes the
-    backstop, so the validation costs no extra job — instead of the
-    opaque cteRecursionRowLimit abort a DAG used to hit (ADVICE
-    r12)."""
+    instead of the opaque cteRecursionRowLimit abort a DAG used to
+    hit (ADVICE r12). The check rides the same aggregate that sizes
+    the backstop (no extra JOB) but is NOT free: it is a groupBy(id)
+    whose shuffle carries one row per distinct id — ~n rows on
+    exactly the conforming inputs, where unique ids give map-side
+    partial aggregation nothing to compress. Pass
+    ``skip_tree_check=True`` for inputs already uniqueness/FK-
+    validated upstream (the require_complete opt-in pattern, ADVICE
+    r13): the backstop is then sized by a shuffle-free count(), and
+    a DAG slipped in anyway is still stopped by the row backstop /
+    MAX_DEPTH guards, just without the named error."""
     spark = edges.sparkSession
     view = f"hierarchy_edges_input_{next(_VIEW_SEQ)}"
     hint = "/*+ BROADCAST(p) */ " if broadcast_frontier else ""
@@ -149,30 +189,37 @@ def expand_paths(
     # view once per level, so it is marginal.
     # Expand-free spelling: a mixed plain+distinct aggregate would
     # compile to an Expand that doubles the row stream through the
-    # partial aggregate; per-id partial counts reduce map-side
-    # instead (duplicates are the exception, so the shuffle carries
-    # ~distinct ids) and the global fold is one row per task.
-    hdr = (
-        nodes.groupBy("id")
-        .count()
-        # count("id"), not count("*"): a NULL id forms its own GROUP
-        # (so a singleton NULL would sneak past a group count — the
-        # r13 review regression), but count("id") skips it, making
-        # nd < n for ANY null or duplicate id
-        .agg(F.sum("count").alias("n"), F.count("id").alias("nd"))
-        .first()
-    )
-    n_nodes = int(hdr["n"] or 0)
-    if int(hdr["nd"]) < n_nodes:
-        raise ValueError(
-            "expand_paths: input is not a tree — "
-            f"{n_nodes - int(hdr['nd'])} duplicate (or NULL) "
-            f"{id_col!r} rows. One parent per node is the input "
-            "contract: multi-parent DAGs multiply path rows per "
-            "shared node and are not supported; dedupe the edge "
-            "table (or model the DAG as explicit (node, parent) "
-            "paths) before expanding"
+    # partial aggregate; per-id partial counts reduce map-side first,
+    # but on a CONFORMING tree every id is unique, so the partials
+    # compress nothing and the shuffle carries ~n rows — the honest
+    # cost of the contract check (ADVICE r13), which is why
+    # skip_tree_check exists for pre-validated inputs at scale.
+    if skip_tree_check:
+        # shuffle-free backstop sizing only: count() folds per-task
+        # partial counts, no per-id exchange
+        n_nodes = nodes.count()
+    else:
+        hdr = (
+            nodes.groupBy("id")
+            .count()
+            # count("id"), not count("*"): a NULL id forms its own
+            # GROUP (so a singleton NULL would sneak past a group
+            # count — the r13 review regression), but count("id")
+            # skips it, making nd < n for ANY null or duplicate id
+            .agg(F.sum("count").alias("n"), F.count("id").alias("nd"))
+            .first()
         )
+        n_nodes = int(hdr["n"] or 0)
+        if int(hdr["nd"]) < n_nodes:
+            raise ValueError(
+                "expand_paths: input is not a tree — "
+                f"{n_nodes - int(hdr['nd'])} duplicate (or NULL) "
+                f"{id_col!r} rows. One parent per node is the input "
+                "contract: multi-parent DAGs multiply path rows per "
+                "shared node and are not supported; dedupe the edge "
+                "table (or model the DAG as explicit (node, parent) "
+                "paths) before expanding"
+            )
     limit_default = _cte_limit_default(spark)
     prior = int(
         spark.conf.get(

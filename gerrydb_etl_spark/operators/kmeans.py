@@ -402,7 +402,29 @@ def multiprobe_pairs(
     else:
         from pyspark.sql.window import Window as W
 
+        # contract check (ADVICE r13): ivf_topk's same-named parameter
+        # takes a BARE subcentroid DataFrame — passing that older
+        # convention here would die in tuple unpacking with an opaque
+        # TypeError instead of naming the mismatch
+        if not (isinstance(sub_model, tuple) and len(sub_model) == 2):
+            raise ValueError(
+                "multiprobe_pairs: sub_model must be the "
+                "(assignment, subcentroids) PAIR returned by "
+                f"split_oversized_cells, got {type(sub_model).__name__} "
+                "— ivf_topk's sub_model takes the bare subcentroid "
+                "table, but the pairing path also needs the split "
+                "assignment for its home blocks"
+            )
         sub_asn, sub_cents = sub_model
+        if "sub_id" not in sub_asn.columns:
+            # mirror of ivf_topk's guard: home blocks come FROM the
+            # assignment, so an unsplit assignment here would silently
+            # pin every home block to nothing (the join finds no rows)
+            raise ValueError(
+                "multiprobe_pairs: sub_model assignment has no sub_id "
+                "column — pair the subcentroid table with the "
+                "split_oversized_cells assignment it was trained from"
+            )
         joined = top.join(
             sub_asn.select(
                 "vec_id", "cluster_id", F.col("sub_id").alias("home_sub")
