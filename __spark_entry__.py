@@ -28,83 +28,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # ---- ROUND 13 WINDOW (50 slots exactly) --------------------------
-    # Block A (1): never-driver-sampled FIRST — the forced-split
-    # two-level multiprobe query (VERDICT r12 item 1): the one
-    # shipped scale path no CORRECTNESS row had ever executed, now
-    # forced active at driver scale under a full replay oracle.
-    "ivf_multiprobe_twolevel",
-    # Block B (46): the stalest refill — the complete r8 block, as
-    # promised by the r12 rotation note. After this round no query's
-    # latest driver row predates r10 (VERDICT r12 item 3); round 14
-    # takes the r10 block (44, minus the two sampled in Block C).
-    "alias_resolution_join",
-    "ann_cosine_topk",
-    "ann_verify",
-    "asof_join_clicks_views",
-    "bigram_surprisal_filter",
-    "bpe_doc_tokenize",
-    "bpe_fertility_by_lang",
-    "bpe_segment_apply",
-    "cdc_fuzzy_chunk_match",
-    "cdc_incremental_dedup",
-    "census_header_schema",
-    "classifier_trailing_char",
-    "cluster_survivor_selection",
-    "corpus_curation_filter",
-    "corrupt_record_quarantine",
-    "cube_returnflag_status",
-    "curriculum_packing",
-    "dedup_full_row",
-    "dim_upsert_if_absent",
-    "dpp_runtime_pruned_join",
-    "eav_long_table",
-    "embedding_int8_recall",
-    "embedding_neardup",
-    "embedding_neardup_verify",
-    "events_json_props",
-    "events_session_windows",
-    "events_sliding_windows",
-    "except_order_keys",
-    "histogram_quantile_rollup",
-    "image_dhash_neardup",
-    "incremental_minhash_dedup",
-    "intersect_nation_keys",
-    "ivf_index_quality",
-    "media_strict_decode",
-    "mode_part_brand",
-    "nations_per_region",
-    "neardup_clusters",
-    "pivot_status_by_flag",
-    "pq_adc_topk",
-    "pq_verify",
-    "priority_sample_topk",
-    "range_join_ship_window",
-    "rollup_order_priority",
-    "semantic_decontam",
-    "temperature_mix_weights",
-    "union_distinct_keys",
-    # Block C (3): code touched this round and not already above —
-    # locality_hierarchy_paths (expand_paths gained the eager
-    # tree-contract validation + SQLConf-read CTE default, ADVICE
-    # r12; order_hierarchy_paths runs the SAME operator path, was
-    # r12-sampled, and the recursion SQL is byte-identical, so it
-    # defers on its r12 green), orders_stream_checksum (re-epoched
-    # 4->2 per the r12 PERF queue — executed plan changed — and the
-    # injectable-signature bucket_digest), and bucket_checksum_diff
-    # (shares bucket_digest; default-path plan is byte-identical but
-    # it is also r10-stale, so sampling it advances the rotation).
-    # (ivf_multiprobe_neardup / hierarchical_cells_assign /
-    # semantic_dedup_survivors / ivf_blocked_neardup import the
-    # touched multiprobe/split modules but their executed plans are
-    # byte-identical at driver scale — sub_model stays None below
-    # 64k vectors, needs_cell_split never activates, and the
-    # max_levels=1 split path is untouched — all r11/r12-green,
-    # locally oracle-swept this round, deferred for the stale block)
-    "locality_hierarchy_paths",
-    "orders_stream_checksum",
-    "bucket_checksum_diff",
-    # everything below position 50 was driver-green in rounds 10-12
+    # ---- ROUND 14 WINDOW (50 slots exactly) --------------------------
+    # Block A (1): never-driver-sampled FIRST — the SCD-2 append
+    # fast path registered this round (VERDICT r13 item 6): a
+    # disjoint-key double load whose oracle replays pure-append
+    # semantics; the executed plan is pinned join-free by
+    # tests/test_plan_shapes.py.
+    "scd2_append_fastpath",
+    # Block B (42): the complete r10 block — every query whose
+    # latest driver row is round 10, as promised by the r13 rotation
+    # note (VERDICT r13 item 2). After this round no query's latest
+    # driver row predates r11; round 15 takes the remaining r11
+    # block (48, minus the seven sampled in Block C).
+    "cluster_safe_split",
+    "clustering_coefficient",
+    "cohort_retention",
+    "copurchase_triangles",
+    "daves_enacted_assignments",
+    "eav_pivot_roundtrip",
+    "event_transition_matrix",
+    "events_stream_dedup",
+    "events_stream_session",
+    "events_stream_sliding",
+    "events_stream_user_totals",
+    "feature_quantile_norm",
+    "format_roundtrip_json_csv",
+    "hll_overlap_estimate",
+    "hll_sketch_rollup",
+    "ivf_verify",
+    "join_delta_maintenance",
+    "medsl_config_projection",
+    "observed_load_metrics",
+    "partition_pruned_read",
+    "prefix_filter_jaccard",
+    "rename_normalizations",
+    "repetition_quality",
+    "salted_holistic_collect",
+    "scd2_current_view",
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    "scd2_pointintime_join",
+    "schema_evolution_read",
+    "sequence_packing",
+    "skew_replicated_join",
+    "snapshot_diff",
+    "source_mix_rebalance",
+    "stratified_sample_quota",
+    "table_profile_stats",
+    "trailing_window_features",
+    "train_val_test_split",
+    "validation_collision_ceiling",
+    "validation_count_reconciliation",
+    "validation_cross_row_consistency",
+    "validation_type_violations",
+    "zorder_layout",
+    # Block C (7): r11-stale queries pulled forward because this
+    # round's code touches their modules or their scale evidence —
+    # hierarchical_cells_assign (clustering.py per_cell now flows
+    # through the _forced_per_cell coupling guard; value identical,
+    # code changed), kmeans_train_assign / semantic_dedup_survivors /
+    # ivf_blocked_neardup (operators/kmeans.py gained the sub_model
+    # contract check — error-path only, executed plans byte-identical,
+    # but the module changed and they are the stalest kmeans heads),
+    # geo_union_centroid (the geo/WKB family enters the scale battery
+    # this round, SCALE_r14), bucketed_colocated_join and
+    # pricing_summary (flagship entry) as the next-stalest r11 rows.
+    # (The four scd2_* queries whose executed plans CHANGED this
+    # round — the probe_append fast-path default — are all in the
+    # r10 block above, so the rotation and the touched-code rule
+    # coincide for them.)
+    "hierarchical_cells_assign",
+    "kmeans_train_assign",
+    "semantic_dedup_survivors",
+    "ivf_blocked_neardup",
+    "geo_union_centroid",
+    "bucketed_colocated_join",
+    "pricing_summary",
+    # everything below position 50 was driver-green in rounds 11-13
     # with unchanged code; deferred past this round's sample window
 ]
 

@@ -113,6 +113,44 @@ def scd2_current_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current_view(state2)
 
 
+@query(
+    "scd2_append_fastpath",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+           CAST(o_totalprice + 0.5 AS DOUBLE),
+           CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM orders
+    """,
+)
+def scd2_append_fastpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two successive DISJOINT-key loads (all orders at v1, the same
+    rows re-keyed past max(o_orderkey) at v2): both merges take the
+    append fast path — the probe finds no open row for any incoming
+    key, so the close-and-insert joins never run and the state is a
+    pure union of open versions (the reference's "most values are
+    only set once" short-circuit, db.py:135-139, SURVEY §4 keep).
+    The oracle replays pure-append semantics; the executed plan is
+    pinned JOIN-FREE by tests/test_plan_shapes.py — the value gate
+    here proves the fast path returns the same state the close path
+    would, the plan gate proves it is actually the fast path."""
+    b1 = _batch1(spark, sf_dir)
+    state1 = scd2_merge(
+        empty_versioned(b1), b1, ["o_orderkey"], version=1
+    )
+    # one tiny agg folded to a literal (the strict-twin offset
+    # pattern): count-based offsets collide on sparse id spaces
+    offset = int(b1.agg(F.max("o_orderkey")).first()[0]) + 1
+    b2 = b1.select(
+        (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
+        (F.col("price") + F.lit(0.5)).alias("price"),
+    )
+    return scd2_merge(state1, b2, ["o_orderkey"], version=2)
+
+
 def _typed_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "part").select(
         "p_partkey",

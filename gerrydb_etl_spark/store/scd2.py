@@ -16,9 +16,12 @@ Two deliberate upgrades over the reference:
     wall-clock now(), so merges are deterministic and testable.
 
 Scale: one shuffle join of current x incoming on the merge keys;
-AQE handles skew. No collect, no window over the full table —
+AQE handles skew. No data collect, no window over the full table —
 `current_view` filters valid_to IS NULL, the same O(scan) predicate
-the reference queries with.
+the reference queries with. A disjoint-key load skips the join
+entirely: the probe_append fast path (one bounded take(1) probe)
+turns it into a partition-preserving union, so appends never rewrite
+the current table through an exchange.
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ def scd2_merge(
     keys: list[str],
     version: int | Column,
     skip_unchanged: bool = True,
+    probe_append: bool = True,
 ) -> DataFrame:
     """Merge ``incoming`` (key + value columns, no interval columns)
     into the versioned table ``current`` (same columns + valid_from/
@@ -61,6 +65,26 @@ def scd2_merge(
     - with skip_unchanged=False every incoming key closes + inserts,
       mirroring the reference's unconditional behavior
 
+    APPEND FAST PATH (``probe_append``, default on — the reference's
+    "most values are only set once" short-circuit, db.py:135-139,
+    SURVEY §4): one bounded probe job semi-joins the incoming keys
+    against the OPEN current rows and take(1)s the result. When the
+    overlap is empty — first load of a table, a partition-dated
+    batch, any disjoint-key ingest — the merge returns
+    ``current UNION incoming-as-v{version}`` directly: the close
+    step's join against the full current table never runs, and
+    neither does the change-detection join, so the big table passes
+    through partition-preserving instead of being rewritten through
+    a shuffle/broadcast join. When any overlap exists the probe
+    take(1) short-circuits on the first hit (incremental partition
+    scan) and the normal close-and-insert plan runs. The probe is an
+    ACTION at merge-build time; callers composing the merge lazily
+    over an expensive ``incoming`` subquery should checkpoint it
+    first or pass ``probe_append=False`` to pin the one-pass
+    close-and-insert plan. Output values are identical either way —
+    with no overlapping key the close join closes nothing and the
+    skip-unchanged filter keeps every row.
+
     Contract: ``incoming`` must have at most one row per key —
     duplicate keys would create two open versions. Enforce upstream
     with operators.validate.collision_ceiling (the reference's
@@ -69,6 +93,19 @@ def scd2_merge(
     """
     ver = _as_version(version)
     value_cols = [c for c in incoming.columns if c not in keys]
+
+    if probe_append:
+        overlap = incoming.select(*keys).join(
+            current.filter(F.col(VALID_TO).isNull()).select(*keys),
+            keys,
+            "left_semi",
+        )
+        if not overlap.take(1):
+            return current.unionByName(
+                incoming.withColumn(VALID_FROM, ver).withColumn(
+                    VALID_TO, F.lit(None).cast("long")
+                )
+            )
 
     # explicit presence marker: testing a value column for NULL would
     # misread legitimately-NULL values (e.g. the EAV typed columns,

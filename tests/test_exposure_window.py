@@ -17,73 +17,72 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# Round 13 window composition (50 slots exactly; see the block
+# Round 14 window composition (50 slots exactly; see the block
 # comments in __spark_entry__.py). Kept as constants so a window
 # refactor that silently drops a planned block fails loudly — but
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
-    "ivf_multiprobe_twolevel",
+    "scd2_append_fastpath",
 ]
 
-# the complete r8 block (46 queries whose latest driver row is
-# round 8), as promised by the r12 rotation note
+# the complete r10 block (42 queries whose latest driver row is
+# round 10), as promised by the r13 rotation note
 STALE_REFILL = [
-    "alias_resolution_join",
-    "ann_cosine_topk",
-    "ann_verify",
-    "asof_join_clicks_views",
-    "bigram_surprisal_filter",
-    "bpe_doc_tokenize",
-    "bpe_fertility_by_lang",
-    "bpe_segment_apply",
-    "cdc_fuzzy_chunk_match",
-    "cdc_incremental_dedup",
-    "census_header_schema",
-    "classifier_trailing_char",
-    "cluster_survivor_selection",
-    "corpus_curation_filter",
-    "corrupt_record_quarantine",
-    "cube_returnflag_status",
-    "curriculum_packing",
-    "dedup_full_row",
-    "dim_upsert_if_absent",
-    "dpp_runtime_pruned_join",
-    "eav_long_table",
-    "embedding_int8_recall",
-    "embedding_neardup",
-    "embedding_neardup_verify",
-    "events_json_props",
-    "events_session_windows",
-    "events_sliding_windows",
-    "except_order_keys",
-    "histogram_quantile_rollup",
-    "image_dhash_neardup",
-    "incremental_minhash_dedup",
-    "intersect_nation_keys",
-    "ivf_index_quality",
-    "media_strict_decode",
-    "mode_part_brand",
-    "nations_per_region",
-    "neardup_clusters",
-    "pivot_status_by_flag",
-    "pq_adc_topk",
-    "pq_verify",
-    "priority_sample_topk",
-    "range_join_ship_window",
-    "rollup_order_priority",
-    "semantic_decontam",
-    "temperature_mix_weights",
-    "union_distinct_keys",
+    "cluster_safe_split",
+    "clustering_coefficient",
+    "cohort_retention",
+    "copurchase_triangles",
+    "daves_enacted_assignments",
+    "eav_pivot_roundtrip",
+    "event_transition_matrix",
+    "events_stream_dedup",
+    "events_stream_session",
+    "events_stream_sliding",
+    "events_stream_user_totals",
+    "feature_quantile_norm",
+    "format_roundtrip_json_csv",
+    "hll_overlap_estimate",
+    "hll_sketch_rollup",
+    "ivf_verify",
+    "join_delta_maintenance",
+    "medsl_config_projection",
+    "observed_load_metrics",
+    "partition_pruned_read",
+    "prefix_filter_jaccard",
+    "rename_normalizations",
+    "repetition_quality",
+    "salted_holistic_collect",
+    "scd2_current_view",
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    "scd2_pointintime_join",
+    "schema_evolution_read",
+    "sequence_packing",
+    "skew_replicated_join",
+    "snapshot_diff",
+    "source_mix_rebalance",
+    "stratified_sample_quota",
+    "table_profile_stats",
+    "trailing_window_features",
+    "train_val_test_split",
+    "validation_collision_ceiling",
+    "validation_count_reconciliation",
+    "validation_cross_row_consistency",
+    "validation_type_violations",
+    "zorder_layout",
 ]
 
-# code touched in round 13 (expand_paths tree contract + SQLConf
-# default; checksum epochs 4->2 + injectable digest signature; the
-# multiprobe/split consumers with byte-identical driver-scale plans
-# defer — see __spark_entry__.py)
+# r11-stale rows pulled forward for round-14 code/scale adjacency
+# (clustering per_cell coupling guard, kmeans sub_model contract
+# check, the geo scale battery) — see __spark_entry__.py Block C
 TOUCHED = [
-    "locality_hierarchy_paths",
-    "orders_stream_checksum",
-    "bucket_checksum_diff",
+    "hierarchical_cells_assign",
+    "kmeans_train_assign",
+    "semantic_dedup_survivors",
+    "ivf_blocked_neardup",
+    "geo_union_centroid",
+    "bucketed_colocated_join",
+    "pricing_summary",
 ]
 
 

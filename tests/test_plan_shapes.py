@@ -253,3 +253,37 @@ def test_twolevel_multiprobe_blocks_on_refined_key(spark):
     assert pair_joins, "pair join not found in executed plan"
     for ln in pair_joins:
         assert "cluster_id" in ln and "sub_id" in ln, ln
+
+
+def test_scd2_append_fastpath_plan_is_join_free(spark):
+    """The append fast path must SKIP the close step, not merely
+    no-op through it: the registered double-disjoint-load query's
+    executed plan contains no join of any kind — the current table
+    flows through a partition-preserving union (the reference's
+    db.py:135-139 short-circuit, VERDICT r13 item 6). The contrast
+    case pins that probe_append=False keeps the close-and-insert
+    join (the __hit marker), so the gate proves the probe is what
+    removes it."""
+    plan = _executed_plan(spark, "scd2_append_fastpath")
+    assert "Join" not in plan, plan
+
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.store.scd2 import empty_versioned, scd2_merge
+
+    inc = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+    # non-empty current (a provably-empty one lets Catalyst fold the
+    # close join away on its own, which would vacuously pass)
+    state1 = scd2_merge(empty_versioned(inc), inc, ["o_orderkey"], version=1)
+    disjoint = inc.select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "price",
+    )
+    state2 = scd2_merge(
+        state1, disjoint, ["o_orderkey"], version=2, probe_append=False,
+    )
+    plan2 = state2._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2 and "__hit" in plan2

@@ -221,3 +221,33 @@ def test_derivation_tag_distinguishes_function_bodies():
     assert _derivation_tag(builder_a) != _derivation_tag(builder_b)
     # and it is stable for the same source
     assert _derivation_tag(builder_a) == _derivation_tag(builder_a)
+
+
+def test_merge_probe_paths_value_identical(spark):
+    """The append fast path and the close-and-insert plan must agree
+    exactly on a disjoint-key load (the probe only picks the plan,
+    never the values), and the probe must not disturb an overlapping
+    load's close semantics."""
+    inc1 = _df(spark, [("a", 1), ("b", 2)])
+    s1 = scd2_merge(empty_versioned(inc1), inc1, ["k"], version=1)
+    inc2 = _df(spark, [("c", 3), ("d", 4)])
+    fast = scd2_merge(s1, inc2, ["k"], version=2)
+    slow = scd2_merge(s1, inc2, ["k"], version=2, probe_append=False)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    assert_version_invariants(fast, ["k"])
+    # overlap: probe finds the hit, close path runs unchanged
+    inc3 = _df(spark, [("a", 10)])
+    probed = scd2_merge(fast, inc3, ["k"], version=3)
+    pinned = scd2_merge(fast, inc3, ["k"], version=3, probe_append=False)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
+    assert {(r.k, r.v, r.valid_from, r.valid_to) for r in probed.collect()} == {
+        ("a", 1, 1, 3),
+        ("a", 10, 3, None),
+        ("b", 2, 1, None),
+        ("c", 3, 2, None),
+        ("d", 4, 2, None),
+    }
