@@ -574,6 +574,7 @@ def split_oversized_cells(
     split_factor: int = SPLIT_FACTOR,
     prev_cents: DataFrame | None = None,
     max_levels: int = 8,
+    fanout_cap: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Subdivide every cell of a (vec_id, cluster_id, qv) assignment
     that holds more than ``split_factor * per_cell`` vectors, using a
@@ -608,6 +609,27 @@ def split_oversized_cells(
     ``max_levels=1`` to pin the single-pass behavior (zero probe
     jobs).
 
+    FAN-OUT BOUND (``fanout_cap``, SCALE_r14): a pass subdivides a
+    cell into m_c = min(ceil(n_c / per_cell), fanout_cap) subcells.
+    UNBOUNDED m_c makes the pass's grouped-assign join volume
+    sum(n_c * m_c) = sum(n_c^2) / per_cell — QUADRATIC in the corpus
+    once cells_for_corpus pins k at its cap (n_c ~ n / cap), i.e. in
+    exactly the past-the-cap regime this operator exists for
+    (measured: the split stage's x10->x20 wall slope at a forced
+    cap was ~4x for 2x data before the bound). With the cap, each
+    pass does at most n * fanout_cap join rows and the EXISTING
+    recursion refines any still-oversized block on the next pass, so
+    total work is O(n * fanout_cap * depth) with depth =
+    ceil(log_fanout_cap(n_c / per_cell)) — linearithmic, and depth 2
+    already addresses cap * per_cell * fanout_cap^2 ~ 500M vectors at
+    the defaults. At every oracle-verified scale the natural m_c is
+    <= 5, far under the default cap, so the driver-verified
+    forced-split replays (hierarchical_cells_assign,
+    ivf_multiprobe_twolevel — whose SQL hardcodes the UNCAPPED
+    ceil(n_c / per_cell)) are byte-identical; a fixture large enough
+    to engage the cap at oracle scale would trip the _forced_per_cell
+    guard first (n > 2,080 before m_c can reach 64 at those floors).
+
     RE-APPLICATION: an input already carrying ``sub_id`` (a prior
     split's output) is refined at the (cluster_id, sub_id) block
     level — new sub ids compose collision-free with the old ones.
@@ -620,9 +642,14 @@ def split_oversized_cells(
     (vs <= k at the first level)."""
     if max_levels < 1:
         raise ValueError(f"max_levels must be >= 1, got {max_levels}")
+    if fanout_cap < 2:
+        raise ValueError(
+            f"fanout_cap must be >= 2 to make progress, got {fanout_cap}"
+        )
     if "sub_id" in assigned.columns:
         out, cents, did_split, sub_assigned = _resplit_blocks(
-            assigned, per_cell, iters, split_factor, prev_cents
+            assigned, per_cell, iters, split_factor, prev_cents,
+            fanout_cap=fanout_cap,
         )
     else:
         if prev_cents is not None:
@@ -631,7 +658,7 @@ def split_oversized_cells(
                 "assignment that already carries sub_id"
             )
         out, cents, did_split, sub_assigned = _split_once(
-            assigned, per_cell, iters, split_factor
+            assigned, per_cell, iters, split_factor, fanout_cap
         )
 
     threshold = split_factor * per_cell
@@ -672,7 +699,8 @@ def split_oversized_cells(
         # output builds on it
         out = out.localCheckpoint(eager=False)
         out, cents, did_split, sub_assigned = _resplit_blocks(
-            out, per_cell, iters, split_factor, prev_cents=cents
+            out, per_cell, iters, split_factor, prev_cents=cents,
+            fanout_cap=fanout_cap,
         )
     return out, cents
 
@@ -682,6 +710,7 @@ def _split_once(
     per_cell: int,
     iters: int,
     split_factor: int,
+    fanout_cap: int,
 ) -> tuple[DataFrame, DataFrame, bool, DataFrame | None]:
     """One grouped-Lloyd split pass over a (vec_id, cluster_id, qv)
     assignment without sub_id — the level-1 engine behind
@@ -715,12 +744,17 @@ def _split_once(
     # vectors at the head of the id order would otherwise seed every
     # subcell identically and the lower-sub tie-break would collapse
     # the split to one subcell
+    # m is capped at fanout_cap per pass: the grouped-assign join is
+    # n_c x m_c rows per cell, and the uncapped ceil(n_c / per_cell)
+    # turns quadratic once k is corpus-capped (see the FAN-OUT BOUND
+    # note on split_oversized_cells); a capped pass leaves blocks at
+    # ~n_c / fanout_cap, which the recursion refines next pass
     m_df = F.broadcast(
         spark.createDataFrame(
             [
                 (c, m, -(-n // m))
                 for c, n in sorted(split_cells.items())
-                for m in [-(-n // per_cell)]  # ceil(n / per_cell)
+                for m in [min(-(-n // per_cell), fanout_cap)]
             ],
             "cluster_id int, m int, stride int",
         )
@@ -757,6 +791,7 @@ def _resplit_blocks(
     iters: int,
     split_factor: int,
     prev_cents: DataFrame | None = None,
+    fanout_cap: int = 64,
 ) -> tuple[DataFrame, DataFrame, bool, DataFrame | None]:
     """Refine an existing (cluster_id, sub_id) split: re-key each
     block to a composite single id, run the level-1 machinery on it,
@@ -798,7 +833,7 @@ def _resplit_blocks(
         "qv",
     )
     out, cents, did_split, sub_assigned = _split_once(
-        re_keyed, per_cell, iters, split_factor
+        re_keyed, per_cell, iters, split_factor, fanout_cap
     )
     max_new = cents.agg(F.max("sub")).first()[0]
     nmult = int(max_new or 0) + 1

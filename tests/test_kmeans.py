@@ -1036,3 +1036,80 @@ def test_multiprobe_equality_survives_real_resplit(spark):
         ).collect()
     }
     assert single <= multi2, sorted(single - multi2)[:5]
+
+
+def test_fanout_cap_invisible_when_natural_fanout_is_smaller(spark):
+    """The default per-pass fan-out bound (64) must be a no-op
+    whenever the natural m = ceil(n_c / per_cell) is below it —
+    i.e. at every oracle-verified scale (the forced-split replays
+    hardcode the UNCAPPED m, so a silently-binding cap would be a
+    value-hash break)."""
+    import pyspark.sql.functions as F
+
+    from gerrydb_etl_spark.operators.kmeans import split_oversized_cells
+
+    base = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.lit(1).alias("cluster_id"),
+        F.array(
+            (F.col("id") * 1_000_000).cast("long"),
+            (F.col("id") * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+    # natural m = ceil(300/20) = 15 <= 64
+    a, ca = split_oversized_cells(base, per_cell=20, fanout_cap=64)
+    b, cb = split_oversized_cells(base, per_cell=20, fanout_cap=10**6)
+    key = lambda r: (r["vec_id"], r["cluster_id"], r["sub_id"])
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+    ckey = lambda r: (r["cluster_id"], r["sub"], tuple(r["cv"]))
+    assert sorted(map(ckey, ca.collect())) == sorted(map(ckey, cb.collect()))
+
+
+def test_fanout_capped_pass_recurses_to_the_same_occupancy_bound(spark):
+    """With the fan-out capped far below the natural m, one pass
+    leaves blocks ~n_c/cap over the threshold and the EXISTING
+    recursion must refine them — final occupancy at-or-under the
+    threshold, partition still a refinement, codebook complete.
+    This is the linearithmic past-the-cap contract: bounded work per
+    pass, log-depth passes (SCALE_r14)."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from gerrydb_etl_spark.operators.kmeans import split_oversized_cells
+
+    n, per_cell = 600, 10  # threshold 40, natural m = 60
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit(3).alias("cluster_id"),
+        F.array(
+            (F.col("id") * 1_000_000).cast("long"),
+            (F.col("id") * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+    one, _ = split_oversized_cells(
+        base, per_cell=per_cell, max_levels=1, fanout_cap=4
+    )
+    occ1 = Counter((r["cluster_id"], r["sub_id"]) for r in one.collect())
+    assert len(occ1) <= 4 and max(occ1.values()) > 4 * per_cell, (
+        "capped single pass must leave oversized blocks", occ1
+    )
+    out, cents = split_oversized_cells(
+        base, per_cell=per_cell, fanout_cap=4
+    )
+    rows = out.collect()
+    occ = Counter((r["cluster_id"], r["sub_id"]) for r in rows)
+    assert max(occ.values()) <= 4 * per_cell, occ.most_common(3)
+    assert sorted(r["vec_id"] for r in rows) == list(range(n))
+    assert all(r["cluster_id"] == 3 for r in rows)
+    book = {(r["cluster_id"], r["sub"]) for r in cents.collect()}
+    assert set(occ) <= book, sorted(set(occ) - book)[:5]
+
+
+def test_fanout_cap_validation():
+    import pytest
+
+    from gerrydb_etl_spark.operators.kmeans import split_oversized_cells
+
+    with pytest.raises(ValueError, match="fanout_cap"):
+        split_oversized_cells(None, fanout_cap=1)
