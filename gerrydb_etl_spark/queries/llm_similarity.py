@@ -307,13 +307,23 @@ def ivf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths: IVF adapts to the data, hyperplanes don't). The oracle
     computes the truth-set size exactly and asserts the recall
     contract; a contract break turns the row red. Excluded from
-    bench.py timing (verification harness, not a production plan)."""
+    bench.py timing (verification harness, not a production plan);
+    recorded in the BENCH_FULL verify lane. Uses the session-staged
+    IVF model like its production twin (identical fixed-point
+    values, recall report unchanged — the pq_verify lane profile,
+    PERF.md r14, showed inline retraining dominating verify-lane
+    floors)."""
     from gerrydb_etl_spark.operators.ivf import ivf_topk
+    from gerrydb_etl_spark.store.staging import staged_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = cosine_topk(emb, queries, k=TOP_K)
-    approx = ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4, iters=2)
+    approx = ivf_topk(
+        emb, queries, k=TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        iters=_IVF_ITERS,
+        model=staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS),
+    )
     return _ann_recall_report(exact, approx, floor=0.8)
 
 
@@ -856,15 +866,29 @@ def pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.82 at sf0.01, 0.72 at sf0.1 on the near-uniform corpus —
     between IVF-Flat's 0.92+ and hyperplane LSH's 0.64, the
     expected cost of scoring through 4 code ids instead of 64
-    floats before the rescore). Excluded from bench.py timing."""
+    floats before the rescore). Excluded from bench.py timing;
+    recorded in the BENCH_FULL verify lane.
+
+    Uses the SAME session-staged IVF/PQ models as the production
+    twin (fixed-point training — staged values identical to inline,
+    recall report unchanged): the r13 lane profile (PERF.md r14)
+    showed the 11-12s lane floor was ~10s of avoidable INLINE
+    coarse-quantizer + codebook retraining (truth-set exact top-k
+    0.9s, ADC+rescore on staged models 4.3s) — not the
+    'O(corpus x queries) truth-set cost' previously assumed."""
     from gerrydb_etl_spark.operators.pq import pq_adc_topk
+    from gerrydb_etl_spark.store.staging import staged_ivf, staged_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = cosine_topk(emb, queries, k=TOP_K)
+    books, codes = staged_pq(spark, sf_dir, _PQ_M, _PQ_CODES, _IVF_ITERS)
     approx = pq_adc_topk(
-        emb, queries, k=TOP_K, refine=_PQ_REFINE,
-        model=None,
+        emb, queries, k=TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        iters=_IVF_ITERS, m_subs=_PQ_M, n_codes=_PQ_CODES,
+        refine=_PQ_REFINE,
+        model=staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS),
+        books=books, codes=codes,
     )
     return _ann_recall_report(exact, approx, floor=0.6)
 
