@@ -91,21 +91,26 @@ _EXPOSURE_PRIORITY = [
     # contract check — error-path only, executed plans byte-identical,
     # but the module changed and they are the stalest kmeans heads),
     # geo_union_centroid (the geo/WKB family enters the scale battery
-    # this round, SCALE_r14), bucketed_colocated_join and
-    # pricing_summary (flagship entry) as the next-stalest r11 rows.
-    # (The four scd2_* queries whose executed plans CHANGED this
-    # round — the probe_append fast-path default — are all in the
-    # r10 block above, so the rotation and the touched-code rule
-    # coincide for them.)
+    # this round, SCALE_r14), bucketed_colocated_join as the
+    # next-stalest r11 row, and pq_verify — r13-sampled but its
+    # executed plan CHANGED this round (inline IVF/PQ retraining
+    # replaced by the staged models, PERF.md r14), so it re-enters
+    # under the touched-code rule; its sibling ivf_verify (same
+    # change) is already in the r10 block above, as are the four
+    # scd2_* queries whose plans gained the probe_append fast path —
+    # the rotation and the touched-code rule coincide for those five.
+    # (pricing_summary, the next-stalest r11 candidate, defers: it
+    # runs every round as the entry() smoke, so it is never silently
+    # stale in practice.)
     "hierarchical_cells_assign",
     "kmeans_train_assign",
     "semantic_dedup_survivors",
     "ivf_blocked_neardup",
     "geo_union_centroid",
     "bucketed_colocated_join",
-    "pricing_summary",
+    "pq_verify",
     # everything below position 50 was driver-green in rounds 11-13
-    # with unchanged code; deferred past this round's sample window
+    # with code unchanged this round; deferred past the sample window
 ]
 
 

@@ -265,29 +265,37 @@ def main() -> None:
         verify_lane[name] = min(times)
 
     # regression rule (VERDICT r13 item 4): compare this run's floors
-    # — BOTH lanes — against the previous BENCH_FULL.json (written by
-    # the prior round's bench on this machine) and flag any query
-    # past the same bar the judge applies to the headline floors:
-    # new > 1.6x prior + 1s. Flags are recorded, not fatal — the
-    # bench is a measurement, the judge reads the flag list.
-    bench_full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
+    # — BOTH lanes — against the PER-SCALE baseline file (falling
+    # back to BENCH_FULL.json when its sf matches, for the first run
+    # after this rule shipped) and flag any query past the same bar
+    # the judge applies to the headline floors: new > 1.6x prior +
+    # 1s. Flags are recorded, not fatal — the bench is a measurement,
+    # the judge reads the flag list. The baseline is sf-keyed so an
+    # off-scale debug run can neither clobber the comparable baseline
+    # nor produce noise flags; baseline_compared in the payload
+    # distinguishes "0 regressions" from "nothing comparable to
+    # check against" (r14 review).
+    here_dir = os.path.dirname(os.path.abspath(__file__))
+    bench_full_path = os.path.join(here_dir, "BENCH_FULL.json")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+    baseline_path = os.path.join(here_dir, f"BENCH_BASELINE_sf{sf}.json")
     prior_queries: dict[str, float] = {}
     prior_lane: dict[str, float] = {}
-    if os.path.exists(bench_full_path):
+    baseline_src = None
+    for cand in (baseline_path, bench_full_path):
+        if not os.path.exists(cand):
+            continue
         try:
-            with open(bench_full_path) as f:
+            with open(cand) as f:
                 prior = json.load(f)
-            # only a same-scale prior is comparable (an sf0.01 debug
-            # run against an sf0.1 artifact flags pure noise)
-            if prior.get("sf") == payload_sf:
-                prior_queries = prior.get("queries", {}) or {}
-                prior_lane = prior.get("verify_lane", {}) or {}
         except (json.JSONDecodeError, OSError):
-            pass
+            continue
+        if prior.get("sf") == payload_sf:
+            prior_queries = prior.get("queries", {}) or {}
+            prior_lane = prior.get("verify_lane", {}) or {}
+            baseline_src = os.path.basename(cand)
+            break
 
     def _regressed(now: dict[str, float], before: dict[str, float]) -> dict:
         return {
@@ -361,6 +369,7 @@ def main() -> None:
 
     payload["regressions"] = len(regressions)
     payload["verify_lane_regressions"] = len(lane_regressions)
+    payload["baseline_compared"] = baseline_src is not None
     full = dict(
         payload,
         queries=dict(sorted(timings.items())),
@@ -370,12 +379,24 @@ def main() -> None:
         staging_seconds=staging_seconds,
         verify_lane=verify_lane,
         verify_lane_runs=verify_lane_runs,
-        regression_bar="now > 1.6 * prior_floor + 1.0s vs previous BENCH_FULL",
+        regression_bar="now > 1.6 * prior_floor + 1.0s vs same-sf baseline",
+        baseline_source=baseline_src,
         regressed_vs_prior=regressions,
         verify_lane_regressed_vs_prior=lane_regressions,
     )
     with open(bench_full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    # roll the per-scale baseline forward for the next same-sf run
+    with open(baseline_path, "w") as f:
+        json.dump(
+            {
+                "sf": payload_sf,
+                "queries": dict(sorted(timings.items())),
+                "verify_lane": verify_lane,
+            },
+            f, indent=1, sort_keys=True,
+        )
         f.write("\n")
 
     sys.stdout.flush()

@@ -226,7 +226,13 @@ def expand_paths(
             "spark.sql.cteRecursionRowLimit", str(limit_default)
         )
     )
-    app = spark.sparkContext.applicationId
+    # same fallback as _cte_limit_default: on Spark Connect there is
+    # no sparkContext, and the ratchet must not crash right after the
+    # default-read path survived exactly that environment (r14 review)
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = "<no-sparkContext>"
     if prior != -1 and prior in (limit_default, _OUR_CTE_LIMITS.get(app)):
         bound = max(prior, 2 * n_nodes + 10_000)
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(bound))

@@ -626,9 +626,12 @@ def split_oversized_cells(
     <= 5, far under the default cap, so the driver-verified
     forced-split replays (hierarchical_cells_assign,
     ivf_multiprobe_twolevel — whose SQL hardcodes the UNCAPPED
-    ceil(n_c / per_cell)) are byte-identical; a fixture large enough
-    to engage the cap at oracle scale would trip the _forced_per_cell
-    guard first (n > 2,080 before m_c can reach 64 at those floors).
+    ceil(n_c / per_cell)) are byte-identical; a fixture grown far
+    enough to engage the cap at oracle scale (n_c >= 64 * 25 under
+    the forced floors) is caught upstream by the per_cell/oracle
+    coupling defenses (queries/clustering.py _forced_per_cell guard
+    band + the fixture-size pin in tests/test_kmeans.py), which bind
+    from n > 2,080 — long before m_c can reach 64.
 
     RE-APPLICATION: an input already carrying ``sub_id`` (a prior
     split's output) is refined at the (cluster_id, sub_id) block

@@ -75,15 +75,19 @@ def scd2_merge(
     step's join against the full current table never runs, and
     neither does the change-detection join, so the big table passes
     through partition-preserving instead of being rewritten through
-    a shuffle/broadcast join. When any overlap exists the probe
-    take(1) short-circuits on the first hit (incremental partition
-    scan) and the normal close-and-insert plan runs. The probe is an
-    ACTION at merge-build time; callers composing the merge lazily
-    over an expensive ``incoming`` subquery should checkpoint it
-    first or pass ``probe_append=False`` to pin the one-pass
-    close-and-insert plan. Output values are identical either way —
-    with no overlapping key the close join closes nothing and the
-    skip-unchanged filter keeps every row.
+    a shuffle/broadcast join. When keys overlap, the probe finds a
+    hit and the normal close-and-insert plan runs — the probe is
+    then pure overhead: take(1) collects result partitions
+    incrementally, but the semi join underneath still pays its
+    map-side work (one scan of the open rows when the key side
+    broadcasts; both shuffle map stages otherwise), so an
+    update-heavy caller that KNOWS its batches overlap should pass
+    ``probe_append=False`` to pin the one-pass close-and-insert
+    plan. The probe is also an ACTION at merge-build time; callers
+    composing the merge lazily over an expensive ``incoming``
+    subquery should checkpoint it first. Output values are identical
+    either way — with no overlapping key the close join closes
+    nothing and the skip-unchanged filter keeps every row.
 
     Contract: ``incoming`` must have at most one row per key —
     duplicate keys would create two open versions. Enforce upstream

@@ -131,19 +131,25 @@ def test_cte_limit_default_cached_and_fallback_warns(spark):
 def test_forced_per_cell_guards_oracle_coupling():
     """ADVICE r13: the executed per_cell = max(floor, n // 80) must
     equal the oracle's hardcoded floor at every oracle-verified
-    corpus size; past the 2,080 divergence point a small-n fixture
-    regen fails loudly instead of hash-mismatching."""
+    corpus size; a fixture regen landing inside the guard band past
+    the 2,080 divergence point fails loudly instead of
+    hash-mismatching (the fixture-size pin in test_kmeans.py is the
+    primary defense beyond the band)."""
     from gerrydb_etl_spark.queries.clustering import (
-        _ORACLE_MAX_N,
+        _GUARD_MAX_N,
         _TLPER,
         _forced_per_cell,
     )
 
     # agreement across today's fixture sizes (500, 500, 2000)
-    for n in (500, 2_000, _ORACLE_MAX_N):
+    for n in (500, 2_000):
         assert _forced_per_cell(n, _TLPER) == _TLPER
-    # above oracle scale the corpus-scaled value flows through
+    # fixture growth past the divergence point, inside the band:
+    # loud failure (this is the dead-zone the r14 review closed —
+    # divergence starts at 2,081, above the old 2,000 threshold)
+    for n in (2_081, 3_000, _GUARD_MAX_N):
+        with pytest.raises(ValueError, match="per_cell coupling"):
+            _forced_per_cell(n, _TLPER)
+    # above the band the corpus-scaled value flows through (the
+    # scale harnesses run these queries at sf1 = 20k)
     assert _forced_per_cell(80_000, _TLPER) == 1_000
-    # a grown small-scale fixture crossing the boundary fails loudly
-    with pytest.raises(ValueError, match="per_cell coupling"):
-        _forced_per_cell(_ORACLE_MAX_N, floor=20)

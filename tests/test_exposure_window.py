@@ -82,7 +82,7 @@ TOUCHED = [
     "ivf_blocked_neardup",
     "geo_union_centroid",
     "bucketed_colocated_join",
-    "pricing_summary",
+    "pq_verify",
 ]
 
 
