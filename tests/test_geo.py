@@ -369,3 +369,27 @@ def test_interiors_overlap_arrowhead_first_vertex_reflex():
     inside_sq = [_square(0.45, 0.95, 0.08)]  # genuinely interior
     assert wkb.interiors_overlap(arrow, inside_sq)
     assert wkb.interiors_overlap(inside_sq, arrow)
+
+
+def test_union_disjoint_sweep_handles_large_tilings():
+    """SCALE_r14: the disjoint check is a sweep over precomputed
+    bboxes, not an all-pairs interiors_overlap loop — a large
+    shared-edge tiling (every square touches its grid neighbors)
+    must produce ZERO exact tests (touching open bboxes cannot share
+    interior points) and still catch an overlap anywhere in the
+    tiling, including at the sweep's far end."""
+    import numpy as np
+
+    def sq(cx, cy, h=0.5):
+        return wkb.encode_polygon([np.array(
+            [[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+             [cx - h, cy + h], [cx - h, cy - h]], dtype=np.float64)])
+
+    tiles = [sq(float(i % 50), float(i // 50)) for i in range(2000)]
+    u = wkb.union_disjoint(tiles)
+    gtype, parts = wkb.decode(u)
+    area = sum(wkb.polygon_area_centroid(p)[0] for p in parts)
+    assert abs(area - 2000.0) < 1e-9
+    # an overlapper at the grid's far corner is still found
+    with pytest.raises(ValueError, match="interiors overlap"):
+        wkb.union_disjoint(tiles + [sq(49.3, 39.3)])
