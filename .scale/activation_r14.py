@@ -1,0 +1,117 @@
+"""Production-default two-level activation point (SCALE_r14
+addendum): run the REGISTERED ivf_multiprobe_neardup — no forced
+parameters — on a corpus big enough that its production thresholds
+fire on their own: 256k natural-geometry vectors (make_bigvec.py),
+where cells_for_corpus clamps at the real cap (512 cells),
+needs_cell_split(n, per_cell=125) is true (2048 > 512), and the
+natural cluster skew pushes cells past the 4 * per_cell = 500 split
+threshold so split_oversized_cells does REAL work at its shipped
+defaults (fanout_cap=64, recursive max_levels). The forced-cap
+battery (scale_r14_bench.py) measures the regime's slopes; this
+point proves the unforced thresholds compose end to end and records
+the true index-build (staging) cost at the production cap — the r13
+verdict's 'at 100 TB the training job IS the index build'.
+
+Single-run walls (recorded as such): this is an activation proof and
+a magnitude record, not a slope endpoint.
+
+Usage: python .scale/activation_r14.py
+Appends a "production_activation" block to /root/repo/SCALE_r14.json.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_MASTER", "local[32]")
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from gerrydb_etl_spark.operators.kmeans import (
+    cells_for_corpus,
+    needs_cell_split,
+    split_oversized_cells,
+)
+from gerrydb_etl_spark.queries import REGISTRY
+from gerrydb_etl_spark.session import get_spark
+from gerrydb_etl_spark.store.staging import (
+    corpus_count,
+    ensure_staged_ivf,
+    staged_ivf,
+)
+
+SF = "/root/repo/.scale/bigvec"
+if not os.path.isdir(SF):
+    raise SystemExit("build the corpus first: python .scale/make_bigvec.py")
+
+spark = get_spark(app_name="activation_r14", cpus=32)
+
+n = corpus_count(spark, SF, "embeddings")
+cells = cells_for_corpus(n, floor_k=16, per_cell=125)
+assert cells == 512, cells                  # the REAL cap, unforced
+assert needs_cell_split(n, per_cell=125)    # the REAL activation
+
+t0 = time.perf_counter()
+ensure_staged_ivf(spark, SF, n_cells=cells, iters=2)
+staging = round(time.perf_counter() - t0, 1)
+print(f"staging k={cells} over n={n}: {staging}s", flush=True)
+
+# split statistics at the shipped defaults — proof the second level
+# did real work (cells over threshold, occupancy restored)
+assigned, _cents = staged_ivf(spark, SF, cells, 2)
+pre = assigned.groupBy("cluster_id").count()
+pre_over = pre.filter(F.col("count") > 500).count()
+pre_max = pre.agg(F.max("count")).first()[0]
+t0 = time.perf_counter()
+split, _ = split_oversized_cells(assigned, per_cell=125)
+occ = split.groupBy("cluster_id", "sub_id").count()
+post_max = occ.agg(F.max("count")).first()[0]
+n_subblocks = occ.count()
+split_wall = round(time.perf_counter() - t0, 1)
+print(f"split: {pre_over}/{cells} cells over threshold (max {pre_max}) "
+      f"-> {n_subblocks} blocks (max {post_max}) in {split_wall}s",
+      flush=True)
+assert pre_over > 0, "corpus not skewed enough to activate real splits"
+assert post_max <= 500 or post_max < pre_max
+
+spark.catalog.clearCache()
+for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+    rdd.unpersist()
+
+t0 = time.perf_counter()
+out = REGISTRY["ivf_multiprobe_neardup"].spark(spark, SF)
+out.write.format("noop").mode("overwrite").save()
+full = round(time.perf_counter() - t0, 1)
+pairs = REGISTRY["ivf_multiprobe_neardup"].spark(spark, SF).count()
+print(f"full registered query: {full}s, pairs={pairs}", flush=True)
+
+path = "/root/repo/SCALE_r14.json"
+with open(path) as f:
+    doc = json.load(f)
+doc["production_activation"] = {
+    "corpus": "bigvec (natural 10-cluster geometry, make_bigvec.py)",
+    "n_vecs": n,
+    "cells": cells,
+    "staging_seconds": staging,
+    "cells_over_split_threshold": pre_over,
+    "max_cell_occupancy_before": pre_max,
+    "blocks_after_split": n_subblocks,
+    "max_block_occupancy_after": post_max,
+    "split_seconds": split_wall,
+    "full_query_seconds_single_run": full,
+    "out_pairs": pairs,
+    "notes": (
+        "The registered ivf_multiprobe_neardup at its UNFORCED "
+        "production thresholds: 256k vectors clamp the coarse "
+        "codebook at the real 512-cell cap, needs_cell_split fires, "
+        "and the natural cluster skew makes split_oversized_cells "
+        "(shipped defaults: fanout_cap=64, recursive) do real "
+        "refinement. Single-run walls — an activation/magnitude "
+        "record; the slope evidence is the forced-cap battery above."
+    ),
+}
+with open(path, "w") as f:
+    json.dump(doc, f, indent=1, sort_keys=True)
+    f.write("\n")
+print("appended production_activation to SCALE_r14.json", flush=True)

@@ -15,6 +15,20 @@ import duckdb, os, sys, shutil
 
 SRC = "/root/testdata/sf0.1"
 R = int(sys.argv[1])
+# the embedding rotation must be taken mod the dimension (64): the
+# old 6*r slice silently degenerated to the UNROTATED vector for
+# r >= 11 (6r > 64 makes the head slice empty and the tail slice the
+# whole list), so replicas 0 and 11..19 of an x20 build were EXACT
+# copies — inflating cross-replica near-dup pairs and breaking the
+# linear-by-design replication contract (found in the r14 battery).
+# 6r mod 64 is injective for r < 32 (6r1 = 6r2 mod 64 -> r1 = r2
+# mod 32), so cap R there rather than ship repeating rotations.
+if R > 32:
+    raise SystemExit(
+        f"R={R}: embedding rotations 6r mod 64 repeat past r=31, "
+        "which re-introduces exact-copy replicas — use a natural "
+        "generator (make_sf1.py-style) beyond x32"
+    )
 OUT = f"/root/repo/.scale/x{R}"
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -40,7 +54,8 @@ write("documents", f"""
 write("embeddings", f"""
   SELECT v.vec_id + e.r * 10000 AS vec_id,
          CASE WHEN e.r = 0 THEN v.embedding
-              ELSE list_concat(v.embedding[6*e.r+1:], v.embedding[:6*e.r]) END AS embedding,
+              ELSE list_concat(v.embedding[(6*e.r) % 64 + 1:],
+                               v.embedding[:(6*e.r) % 64]) END AS embedding,
          v.label
   FROM read_parquet('{SRC}/embeddings.parquet') v, {reps} e
 """)
