@@ -39,7 +39,7 @@ _EXPOSURE_PRIORITY = [
     # latest driver row is round 10, as promised by the r13 rotation
     # note (VERDICT r13 item 2). After this round no query's latest
     # driver row predates r11; round 15 takes the remaining r11
-    # block (48, minus the seven sampled in Block C).
+    # block (48, minus the six r11 rows sampled in Block C = 42).
     "cluster_safe_split",
     "clustering_coefficient",
     "cohort_retention",
