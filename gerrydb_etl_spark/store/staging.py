@@ -267,12 +267,21 @@ def ensure_staged_kmeans(
     from gerrydb_etl_spark.operators.kmeans import kmeans_train
     from gerrydb_etl_spark.sources.registry import load_table
 
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    # fan_out BEFORE training (SCALE_r14 activation finding): a big
+    # corpus packed into one parquet file scans as a handful of
+    # partitions, and the Lloyd assign passes — the expensive part of
+    # the index build — inherit that, idling most of the cluster. A
+    # no-op when the scan already yields >= parallelism partitions;
+    # values unchanged either way (fixed-point training is
+    # partitioning- and order-free by construction).
     return _ensure_staged(
         spark,
         staged_kmeans_name(sf_dir, k, iters),
         lambda: kmeans_train(
-            load_table(spark, sf_dir, "embeddings"), k=k, iters=iters,
-            keep_qv=True,
+            fan_out(load_table(spark, sf_dir, "embeddings")),
+            k=k, iters=iters, keep_qv=True,
         ),
     )
 
@@ -360,6 +369,7 @@ def ensure_staged_ivf(
 
     from gerrydb_etl_spark.operators.ivf import _train
     from gerrydb_etl_spark.operators.kmeans import quantize
+    from gerrydb_etl_spark.operators.partitioning import fan_out
     from gerrydb_etl_spark.sources.registry import load_table
 
     name = staged_ivf_name(sf_dir, n_cells, iters)
@@ -371,7 +381,10 @@ def ensure_staged_ivf(
     # cannot keep a stale half of an inconsistent model pair
     for t in (name, cname):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    quant = quantize(load_table(spark, sf_dir, "embeddings")).persist()
+    quant = quantize(
+        # fan_out before training — see ensure_staged_kmeans
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+    ).persist()
     try:
         centroids, assigned = _train(quant, n_cells, iters)
         _ensure_staged(
@@ -430,6 +443,7 @@ def ensure_staged_pq(
     from pyspark.sql import Row
 
     from gerrydb_etl_spark.operators.kmeans import quantize
+    from gerrydb_etl_spark.operators.partitioning import fan_out
     from gerrydb_etl_spark.operators.pq import encode_codes, train_codebooks
     from gerrydb_etl_spark.sources.registry import load_table
 
@@ -441,7 +455,10 @@ def ensure_staged_pq(
     # ensure_staged_ivf: codes are only valid against their books)
     for t in (bname, kname):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    quant = quantize(load_table(spark, sf_dir, "embeddings")).persist()
+    quant = quantize(
+        # fan_out before training — see ensure_staged_kmeans
+        fan_out(load_table(spark, sf_dir, "embeddings"))
+    ).persist()
     try:
         dim = len(quant.select("qv").first()["qv"])
         books = train_codebooks(
