@@ -168,8 +168,18 @@ def kmeans_train(
     staged-model fixture persists for downstream consumers).
 
     Empty clusters simply drop out of the update (their id stops
-    being a candidate), mirroring the SQL replay exactly."""
-    quant = quantize(emb, vec_col=vec_col, id_col=id_col).persist()
+    being a candidate), mirroring the SQL replay exactly.
+
+    The corpus is fanned out to cluster parallelism before the first
+    assignment pass (a no-op when the scan already yields enough
+    partitions): the Lloyd passes are the expensive narrow maps of
+    the index build, and inheriting a single-file scan's partitioning
+    would idle most of the cluster (SCALE_r14 activation finding).
+    Training is partitioning- and order-free, so values are
+    unchanged."""
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    quant = quantize(fan_out(emb), vec_col=vec_col, id_col=id_col).persist()
     try:
         centroids, dim = init_centroids(quant, k)
         assigned = assign(quant, centroids)
@@ -394,8 +404,18 @@ def multiprobe_pairs(
     occupancy returns to ~per_cell and candidates stay linear;
     cells absent from the codebook (unsplit) keep their implicit
     subcell 0."""
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    # fan_out before the probe ranking (SCALE_r14 activation
+    # finding, the query-side twin of the staged-training fix): the
+    # O(n x k) literal-codebook fold inherits the SCAN's partitioning,
+    # so a big corpus packed into one parquet file ranks on a handful
+    # of tasks regardless of cluster size; a no-op once the scan
+    # yields >= parallelism partitions (the 100 TB case), and the
+    # emitted values are partitioning-free
     top = assign_topn(
-        quantize(emb, vec_col=vec_col, id_col=id_col), centroids, probes
+        quantize(fan_out(emb), vec_col=vec_col, id_col=id_col),
+        centroids, probes,
     )
     if sub_model is None:
         blocks = top.select("vec_id", "cluster_id", "qv")
