@@ -31,6 +31,49 @@ import pandas as pd
 LINE_BUDGET = 1800
 
 
+def ratchet_floors(
+    now: dict[str, float], before: dict[str, float]
+) -> dict[str, float]:
+    """Running-MIN merge of this run's floors into the prior baseline
+    (VERDICT r14 item 1): a floor can only fall; queries dropped from
+    the registry drop out of the baseline; new queries enter at their
+    first measured floor. Raising a floor requires an explicit
+    re-base through apply_rebases."""
+    floors = {}
+    for n, v in now.items():
+        prior = before.get(n)
+        floors[n] = v if prior is None else round(min(prior, v), 3)
+    return floors
+
+
+def apply_rebases(
+    requests: dict[str, str],
+    lanes: list[tuple[dict[str, float], dict[str, float]]],
+    sf,
+    stamp: str,
+) -> tuple[list[dict], dict[str, str]]:
+    """Apply re-base requests ({query: reason}) to the ratcheted
+    floors in ``lanes`` ([(floors, this_run_times), ...]), setting
+    each matched query's floor to THIS run's value. Returns (audit
+    records, unmatched requests). Mutates the floors dicts."""
+    applied, remaining = [], dict(requests)
+    for floors, now in lanes:
+        for n in list(remaining):
+            if n in now:
+                applied.append(
+                    {
+                        "query": n,
+                        "reason": remaining.pop(n),
+                        "prior_floor": floors.get(n),
+                        "new_floor": now[n],
+                        "sf": sf,
+                        "at": stamp,
+                    }
+                )
+                floors[n] = now[n]
+    return applied, remaining
+
+
 def compact_line(payload: dict, timings: dict[str, float]) -> str:
     """Largest slowest-first prefix of ``timings`` that keeps the
     JSON line under LINE_BUDGET; the rest is summarized by count."""
@@ -275,6 +318,17 @@ def main() -> None:
     # nor produce noise flags; baseline_compared in the payload
     # distinguishes "0 regressions" from "nothing comparable to
     # check against" (r14 review).
+    #
+    # RATCHET (VERDICT r14 item 1): the baseline is a running MIN of
+    # per-query floors across runs, NOT the last run's floors — the
+    # old overwrite-on-every-run baseline compared only consecutive
+    # runs, so a compounding drift (r13 130.3s -> r14 147.4s, geomean
+    # 1.19, never past the per-round bar) was formally invisible.
+    # Raising a floor now requires an EXPLICIT re-base: list the
+    # query with a reason in BENCH_REBASE.json ({"query": "reason"});
+    # the run applies it, appends the (query, prior, new, reason)
+    # record to BENCH_REBASE_LOG.json, and consumes the request, so
+    # every raised floor leaves an audit trail.
     here_dir = os.path.dirname(os.path.abspath(__file__))
     bench_full_path = os.path.join(here_dir, "BENCH_FULL.json")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -387,13 +441,56 @@ def main() -> None:
     with open(bench_full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")
-    # roll the per-scale baseline forward for the next same-sf run
+
+    # ratchet the per-scale baseline: min(prior_floor, this_floor)
+    # per query, dropping queries no longer registered, with explicit
+    # re-bases (see the RATCHET note above) the only way a floor
+    # rises. Only a same-sf comparison may ratchet: prior_queries is
+    # {} when baseline_src is None, so an off-scale run still writes
+    # a fresh baseline for ITS sf without touching others.
+    rebase_path = os.path.join(here_dir, "BENCH_REBASE.json")
+    rebase_log_path = os.path.join(here_dir, "BENCH_REBASE_LOG.json")
+    rebase_req: dict[str, str] = {}
+    if os.path.exists(rebase_path):
+        try:
+            with open(rebase_path) as f:
+                rebase_req = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            rebase_req = {}
+
+    base_queries = ratchet_floors(timings, prior_queries)
+    base_lane = ratchet_floors(verify_lane, prior_lane)
+    applied, remaining = apply_rebases(
+        rebase_req,
+        [(base_queries, timings), (base_lane, verify_lane)],
+        payload_sf,
+        time.strftime("%Y-%m-%dT%H:%M:%S"),
+    )
+    if applied:
+        log: list = []
+        if os.path.exists(rebase_log_path):
+            try:
+                with open(rebase_log_path) as f:
+                    log = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                log = []
+        log.extend(applied)
+        with open(rebase_log_path, "w") as f:
+            json.dump(log, f, indent=1)
+            f.write("\n")
+        # consume applied requests so a lingering request file cannot
+        # silently re-base the same query to every future run's value
+        with open(rebase_path, "w") as f:
+            json.dump(remaining, f, indent=1)
+            f.write("\n")
     with open(baseline_path, "w") as f:
         json.dump(
             {
                 "sf": payload_sf,
-                "queries": dict(sorted(timings.items())),
-                "verify_lane": verify_lane,
+                "queries": base_queries,
+                "verify_lane": base_lane,
+                "ratchet": "min-across-runs; raises only via BENCH_REBASE.json"
+                " (audit: BENCH_REBASE_LOG.json)",
             },
             f, indent=1, sort_keys=True,
         )

@@ -83,9 +83,17 @@ def scd2_merge(
     broadcasts; both shuffle map stages otherwise), so an
     update-heavy caller that KNOWS its batches overlap should pass
     ``probe_append=False`` to pin the one-pass close-and-insert
-    plan. The probe is also an ACTION at merge-build time; callers
-    composing the merge lazily over an expensive ``incoming``
-    subquery should checkpoint it first. Output values are identical
+    plan. The probe is also an ACTION at merge-build time — and
+    because the returned plan would otherwise re-evaluate
+    ``incoming`` lazily, a NONDETERMINISTIC incoming (sampled /
+    rand- or uuid-derived keys) could pass the disjointness probe
+    yet materialize overlapping keys at write time, silently
+    appending a second open version for an existing key (ADVICE
+    r14). The merge therefore pins ``incoming`` with a lazy
+    localCheckpoint before probing: the probe job materializes the
+    batch once, and every branch — the fast-path union AND the
+    close/insert joins, which consume ``incoming`` three times —
+    reads those same pinned rows. Output values are identical
     either way — with no overlapping key the close join closes
     nothing and the skip-unchanged filter keeps every row.
 
@@ -99,6 +107,10 @@ def scd2_merge(
     value_cols = [c for c in incoming.columns if c not in keys]
 
     if probe_append:
+        # pin the batch so the probe's verdict and the final plan are
+        # about the SAME rows (see the determinism note above); lazy —
+        # the probe's take(1) is the materializing job either way
+        incoming = incoming.localCheckpoint(eager=False)
         overlap = incoming.select(*keys).join(
             current.filter(F.col(VALID_TO).isNull()).select(*keys),
             keys,

@@ -267,20 +267,17 @@ def ensure_staged_kmeans(
     from gerrydb_etl_spark.operators.kmeans import kmeans_train
     from gerrydb_etl_spark.sources.registry import load_table
 
-    from gerrydb_etl_spark.operators.partitioning import fan_out
-
-    # fan_out BEFORE training (SCALE_r14 activation finding): a big
-    # corpus packed into one parquet file scans as a handful of
-    # partitions, and the Lloyd assign passes — the expensive part of
-    # the index build — inherit that, idling most of the cluster. A
-    # no-op when the scan already yields >= parallelism partitions;
-    # values unchanged either way (fixed-point training is
-    # partitioning- and order-free by construction).
+    # no fan_out here (ADVICE r14): kmeans_train fans the corpus out
+    # itself before its persisted quantize (the SCALE_r14 activation
+    # fix landed at BOTH call layers; the outer wrap was dead weight
+    # plus an extra getNumPartitions plan conversion). The explicit
+    # fan_out stays only at the ensure_staged_ivf/pq sites, which
+    # feed _train/quantize paths that do not fan out internally.
     return _ensure_staged(
         spark,
         staged_kmeans_name(sf_dir, k, iters),
         lambda: kmeans_train(
-            fan_out(load_table(spark, sf_dir, "embeddings")),
+            load_table(spark, sf_dir, "embeddings"),
             k=k, iters=iters, keep_qv=True,
         ),
     )
@@ -382,7 +379,10 @@ def ensure_staged_ivf(
     for t in (name, cname):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     quant = quantize(
-        # fan_out before training — see ensure_staged_kmeans
+        # fan_out before training (SCALE_r14 activation finding):
+        # quantize/_train have no internal fan_out, so a single-file
+        # corpus would run the Lloyd passes near-single-task; a no-op
+        # once the scan yields >= parallelism partitions
         fan_out(load_table(spark, sf_dir, "embeddings"))
     ).persist()
     try:
@@ -456,7 +456,10 @@ def ensure_staged_pq(
     for t in (bname, kname):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     quant = quantize(
-        # fan_out before training — see ensure_staged_kmeans
+        # fan_out before training (SCALE_r14 activation finding):
+        # quantize/_train have no internal fan_out, so a single-file
+        # corpus would run the Lloyd passes near-single-task; a no-op
+        # once the scan yields >= parallelism partitions
         fan_out(load_table(spark, sf_dir, "embeddings"))
     ).persist()
     try:
