@@ -352,6 +352,7 @@ def multiprobe_pairs(
     sub_model: tuple[DataFrame, DataFrame] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quant: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe cell-blocked near-duplicate PAIRS (d1 < d2,
     cosine >= tau): each vector blocks on its ``probes`` NEAREST
@@ -406,17 +407,22 @@ def multiprobe_pairs(
     subcell 0."""
     from gerrydb_etl_spark.operators.partitioning import fan_out
 
-    # fan_out before the probe ranking (SCALE_r14 activation
-    # finding, the query-side twin of the staged-training fix): the
-    # O(n x k) literal-codebook fold inherits the SCAN's partitioning,
-    # so a big corpus packed into one parquet file ranks on a handful
-    # of tasks regardless of cluster size; a no-op once the scan
-    # yields >= parallelism partitions (the 100 TB case), and the
-    # emitted values are partitioning-free
-    top = assign_topn(
-        quantize(fan_out(emb), vec_col=vec_col, id_col=id_col),
-        centroids, probes,
-    )
+    # probe-ranking input: prefer a PRE-QUANTIZED (id, qv) corpus via
+    # ``quant`` — callers holding a staged index assignment already
+    # have qv in the fanned layout the training run wrote, so ranking
+    # from it skips both the second raw-corpus read and the fan_out
+    # exchange the raw path needs (measured 0.45-0.66 s/query at
+    # sf0.1, .scale/drift_r15.json; at production the index table IS
+    # the quantized corpus). Staged qv equals the quantize output by
+    # construction, so values are identical on either path. The raw
+    # path keeps its fan_out (SCALE_r14 activation finding): the
+    # O(n x k) literal-codebook fold inherits the SCAN's
+    # partitioning, so a big corpus packed into one parquet file
+    # ranks on a handful of tasks regardless of cluster size; a
+    # no-op once the scan yields >= parallelism partitions.
+    if quant is None:
+        quant = quantize(fan_out(emb), vec_col=vec_col, id_col=id_col)
+    top = assign_topn(quant, centroids, probes)
     if sub_model is None:
         blocks = top.select("vec_id", "cluster_id", "qv")
     else:

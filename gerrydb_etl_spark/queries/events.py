@@ -120,6 +120,39 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_stream_file_sink",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S.%f') AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME streamed tumbling aggregation as
+    events_stream_tumbling, but leaving the engine through the
+    driver-unbounded sink: foreachBatch parquet epochs behind commit
+    markers, final epoch pinned executor-side
+    (streaming/stream.py run_stream_to_files — the scale path past
+    the memory sink's MEMSINK_MAX_ROWS driver ceiling, VERDICT r14
+    item 6). Hash-matching the batch oracle proves the file route
+    is row-identical to both the batch aggregate and the
+    memory-sink stream."""
+    from gerrydb_etl_spark.streaming.stream import run_stream_to_files
+
+    return run_stream_to_files(
+        spark,
+        sf_dir,
+        lambda df: tumbling(df, "1 hour"),
+        output_mode="complete",
+        state_partitions=8,
+    )
+
+
+@query(
     "events_stream_sliding",
     oracle="""
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,

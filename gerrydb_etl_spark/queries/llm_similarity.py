@@ -296,7 +296,10 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # forces this path at sf0.01 under a full replay oracle.
         sub_model = split_oversized_cells(assigned, per_cell=125)
     return multiprobe_pairs(emb, tau=_MP_TAU, centroids=cents,
-                            probes=_MP_PROBES, sub_model=sub_model)
+                            probes=_MP_PROBES, sub_model=sub_model,
+                            # staged qv, already fanned — skip the
+                            # raw re-quantize + exchange (drift_r15)
+                            quant=assigned.select("vec_id", "qv"))
 
 
 @query("ivf_verify", oracle=_recall_oracle(0.8))

@@ -597,3 +597,46 @@ def test_bucket_digest_injectable_signature(spark):
         F.xxhash64("s").alias("h")
     ).first()["h"]
     assert got[0]["x"] == want
+
+
+def test_file_sink_matches_memory_sink(spark):
+    """run_stream_to_files (foreachBatch parquet epochs, executor-side
+    final pin) must be row-identical to the memory-sink route — the
+    scale twin contract behind events_stream_file_sink."""
+    from gerrydb_etl_spark.streaming.stream import run_stream_to_files
+
+    mem = run_stream_to_memory(
+        spark, SF_SMOKE, lambda df: tumbling(df, "1 hour"),
+        output_mode="complete", state_partitions=4,
+    )
+    files = run_stream_to_files(
+        spark, SF_SMOKE, lambda df: tumbling(df, "1 hour"),
+        output_mode="complete", state_partitions=4,
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(
+        map(tuple, files.collect())
+    )
+    assert [f.name for f in mem.schema] == [f.name for f in files.schema]
+
+
+def test_memory_sink_cardinality_guard(spark):
+    """The drain collect's 'bounded by state-store output' contract
+    is enforced: past the cap the drain raises a named error that
+    points at the file-sink scale path instead of OOMing the
+    driver."""
+    import pytest
+
+    from gerrydb_etl_spark.streaming.stream import _drain_memory_sink
+
+    name = "guard_probe_view"
+    spark.range(100).createOrReplaceTempView(name)
+    with pytest.raises(ValueError, match="run_stream_to_files"):
+        _drain_memory_sink(spark, name, max_rows=10)
+    # the guard must still have dropped the sink view
+    assert not any(
+        t.name == name for t in spark.catalog.listTables()
+    )
+
+    spark.range(100).createOrReplaceTempView(name)
+    ok = _drain_memory_sink(spark, name, max_rows=1000)
+    assert ok.count() == 100
