@@ -10,9 +10,10 @@ the WRONG corpus here: their rotations repeat past x32
 (make_scaled.py's guard) and identical copies would make pair volume
 an artifact.
 
-Usage: python .scale/make_bigvec.py [N]     (default 256000)
-Writes /root/repo/.scale/bigvec/embeddings.parquet (embeddings only
-— the consumer query touches no other table).
+Usage: python .scale/make_bigvec.py [N] [OUT_DIR]   (default 256000,
+/root/repo/.scale/bigvec) — OUT_DIR for e.g. the 128k build-slope
+sibling. Writes OUT_DIR/embeddings.parquet (embeddings only — the
+consumer query touches no other table).
 """
 import os
 import sys
@@ -23,7 +24,7 @@ import pyarrow.parquet as pq
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000
 DIM = 64
-OUT = "/root/repo/.scale/bigvec"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/bigvec"
 os.makedirs(OUT, exist_ok=True)
 
 rng = np.random.default_rng(8)

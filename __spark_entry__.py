@@ -28,88 +28,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # ---- ROUND 14 WINDOW (50 slots exactly) --------------------------
-    # Block A (1): never-driver-sampled FIRST — the SCD-2 append
-    # fast path registered this round (VERDICT r13 item 6): a
-    # disjoint-key double load whose oracle replays pure-append
-    # semantics; the executed plan is pinned join-free by
-    # tests/test_plan_shapes.py.
+    # ---- ROUND 15 WINDOW (50 slots exactly) --------------------------
+    # Block A (1): never-driver-sampled FIRST — the foreachBatch
+    # file-sink streaming twin registered this round (VERDICT r14
+    # item 6): the driver-unbounded route past the memory sink's
+    # MEMSINK_MAX_ROWS ceiling, under the same batch tumbling oracle
+    # as events_stream_tumbling.
+    "events_stream_file_sink",
+    # Block B (42): the complete r11 block — every query whose
+    # latest driver row is round 11, exactly as the r14 rotation
+    # note promised (VERDICT r14 item 3). After this round no
+    # query's latest driver row predates r12.
+    "association_rules",
+    "bm25_scoring",
+    "cms_heavy_hitters",
+    "collocation_phrase_match",
+    "current_version_per_order",
+    "customer_rfm_segments",
+    "dense_id_assignment",
+    "doc_chunking",
+    "embedding_drift_monitor",
+    "embedding_split_leakage",
+    "event_cusum_changepoints",
+    "event_rate_anomaly",
+    "events_stream_join_attribution",
+    "events_stream_tumbling",
+    "events_tumbling_hourly",
+    "filters_membership",
+    "fk_integrity_audit",
+    "funnel_conversion_stages",
+    "fuzzy_blocked_match",
+    "golden_record_merge",
+    "gopher_quality_rules",
+    "group_median_discrete",
+    "incremental_exact_dedup",
+    "ivf_cosine_topk",
+    "join_fanout_skew_report",
+    "local_supplier_volume",
+    "order_gap_days",
+    "pii_redaction",
+    "pricing_summary",
+    "rank_dense_ntile",
+    "robust_length_filter",
+    "running_revenue_per_customer",
+    "session_id_assignment",
+    "session_path_topk",
+    "shingle_novelty",
+    "string_keys",
+    "tfidf_top_terms",
+    "time_decayed_engagement",
+    "timeline_gap_fill",
+    "token_count_bpe",
+    "topk_expensive_items",
+    "trend_slope_per_type",
+    # Block C (7): queries whose EXECUTED PLANS changed this round,
+    # pulled forward under the touched-code rule even though all
+    # were driver-green r12-r14 — ivf_multiprobe_twolevel and
+    # ivf_multiprobe_neardup now rank probes from the staged
+    # assignment's qv instead of re-quantizing the raw scan
+    # (drift_r15 recovery; values identical, plan materially
+    # different); scd2_append_fastpath and scd2_double_load execute
+    # the new localCheckpoint-pinned probe batch (the ADVICE r14
+    # determinism fix — the other three scd2_* heads share the same
+    # merge path, were r14-sampled, and were locally oracle-verified
+    # this round); kmeans_train_assign and semantic_dedup_survivors
+    # consume the restaged k-means fixture after the dead outer
+    # fan_out removal; pq_verify reads the restaged IVF/PQ models
+    # whose layout the staging-tag churn rebuilt. (events_stream_*
+    # drain through the new memory-sink guard, but the guard is a
+    # count + compare above the unchanged aggregate plan, and
+    # events_stream_tumbling is already in Block B.)
+    "ivf_multiprobe_twolevel",
+    "ivf_multiprobe_neardup",
     "scd2_append_fastpath",
-    # Block B (42): the complete r10 block — every query whose
-    # latest driver row is round 10, as promised by the r13 rotation
-    # note (VERDICT r13 item 2). After this round no query's latest
-    # driver row predates r11; round 15 takes the remaining r11
-    # block (48, minus the six r11 rows sampled in Block C = 42).
-    "cluster_safe_split",
-    "clustering_coefficient",
-    "cohort_retention",
-    "copurchase_triangles",
-    "daves_enacted_assignments",
-    "eav_pivot_roundtrip",
-    "event_transition_matrix",
-    "events_stream_dedup",
-    "events_stream_session",
-    "events_stream_sliding",
-    "events_stream_user_totals",
-    "feature_quantile_norm",
-    "format_roundtrip_json_csv",
-    "hll_overlap_estimate",
-    "hll_sketch_rollup",
-    "ivf_verify",
-    "join_delta_maintenance",
-    "medsl_config_projection",
-    "observed_load_metrics",
-    "partition_pruned_read",
-    "prefix_filter_jaccard",
-    "rename_normalizations",
-    "repetition_quality",
-    "salted_holistic_collect",
-    "scd2_current_view",
     "scd2_double_load",
-    "scd2_idempotent_reload",
-    "scd2_pointintime_join",
-    "schema_evolution_read",
-    "sequence_packing",
-    "skew_replicated_join",
-    "snapshot_diff",
-    "source_mix_rebalance",
-    "stratified_sample_quota",
-    "table_profile_stats",
-    "trailing_window_features",
-    "train_val_test_split",
-    "validation_collision_ceiling",
-    "validation_count_reconciliation",
-    "validation_cross_row_consistency",
-    "validation_type_violations",
-    "zorder_layout",
-    # Block C (7): r11-stale queries pulled forward because this
-    # round's code touches their modules or their scale evidence —
-    # hierarchical_cells_assign (clustering.py per_cell now flows
-    # through the _forced_per_cell coupling guard; value identical,
-    # code changed), kmeans_train_assign / semantic_dedup_survivors /
-    # ivf_blocked_neardup (operators/kmeans.py gained the sub_model
-    # contract check — error-path only, executed plans byte-identical,
-    # but the module changed and they are the stalest kmeans heads),
-    # geo_union_centroid (the geo/WKB family enters the scale battery
-    # this round, SCALE_r14), bucketed_colocated_join as the
-    # next-stalest r11 row, and pq_verify — r13-sampled but its
-    # executed plan CHANGED this round (inline IVF/PQ retraining
-    # replaced by the staged models, PERF.md r14), so it re-enters
-    # under the touched-code rule; its sibling ivf_verify (same
-    # change) is already in the r10 block above, as are the four
-    # scd2_* queries whose plans gained the probe_append fast path —
-    # the rotation and the touched-code rule coincide for those five.
-    # (pricing_summary, the next-stalest r11 candidate, defers: it
-    # runs every round as the entry() smoke, so it is never silently
-    # stale in practice.)
-    "hierarchical_cells_assign",
     "kmeans_train_assign",
     "semantic_dedup_survivors",
-    "ivf_blocked_neardup",
-    "geo_union_centroid",
-    "bucketed_colocated_join",
     "pq_verify",
-    # everything below position 50 was driver-green in rounds 11-13
+    # everything below position 50 was driver-green in rounds 12-14
     # with code unchanged this round; deferred past the sample window
 ]
 

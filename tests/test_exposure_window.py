@@ -17,71 +17,71 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# Round 14 window composition (50 slots exactly; see the block
+# Round 15 window composition (50 slots exactly; see the block
 # comments in __spark_entry__.py). Kept as constants so a window
 # refactor that silently drops a planned block fails loudly — but
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
-    "scd2_append_fastpath",
+    "events_stream_file_sink",
 ]
 
-# the complete r10 block (42 queries whose latest driver row is
-# round 10), as promised by the r13 rotation note
+# the complete r11 block (42 queries whose latest driver row is
+# round 11), as promised by the r14 rotation note
 STALE_REFILL = [
-    "cluster_safe_split",
-    "clustering_coefficient",
-    "cohort_retention",
-    "copurchase_triangles",
-    "daves_enacted_assignments",
-    "eav_pivot_roundtrip",
-    "event_transition_matrix",
-    "events_stream_dedup",
-    "events_stream_session",
-    "events_stream_sliding",
-    "events_stream_user_totals",
-    "feature_quantile_norm",
-    "format_roundtrip_json_csv",
-    "hll_overlap_estimate",
-    "hll_sketch_rollup",
-    "ivf_verify",
-    "join_delta_maintenance",
-    "medsl_config_projection",
-    "observed_load_metrics",
-    "partition_pruned_read",
-    "prefix_filter_jaccard",
-    "rename_normalizations",
-    "repetition_quality",
-    "salted_holistic_collect",
-    "scd2_current_view",
-    "scd2_double_load",
-    "scd2_idempotent_reload",
-    "scd2_pointintime_join",
-    "schema_evolution_read",
-    "sequence_packing",
-    "skew_replicated_join",
-    "snapshot_diff",
-    "source_mix_rebalance",
-    "stratified_sample_quota",
-    "table_profile_stats",
-    "trailing_window_features",
-    "train_val_test_split",
-    "validation_collision_ceiling",
-    "validation_count_reconciliation",
-    "validation_cross_row_consistency",
-    "validation_type_violations",
-    "zorder_layout",
+    "association_rules",
+    "bm25_scoring",
+    "cms_heavy_hitters",
+    "collocation_phrase_match",
+    "current_version_per_order",
+    "customer_rfm_segments",
+    "dense_id_assignment",
+    "doc_chunking",
+    "embedding_drift_monitor",
+    "embedding_split_leakage",
+    "event_cusum_changepoints",
+    "event_rate_anomaly",
+    "events_stream_join_attribution",
+    "events_stream_tumbling",
+    "events_tumbling_hourly",
+    "filters_membership",
+    "fk_integrity_audit",
+    "funnel_conversion_stages",
+    "fuzzy_blocked_match",
+    "golden_record_merge",
+    "gopher_quality_rules",
+    "group_median_discrete",
+    "incremental_exact_dedup",
+    "ivf_cosine_topk",
+    "join_fanout_skew_report",
+    "local_supplier_volume",
+    "order_gap_days",
+    "pii_redaction",
+    "pricing_summary",
+    "rank_dense_ntile",
+    "robust_length_filter",
+    "running_revenue_per_customer",
+    "session_id_assignment",
+    "session_path_topk",
+    "shingle_novelty",
+    "string_keys",
+    "tfidf_top_terms",
+    "time_decayed_engagement",
+    "timeline_gap_fill",
+    "token_count_bpe",
+    "topk_expensive_items",
+    "trend_slope_per_type",
 ]
 
-# r11-stale rows pulled forward for round-14 code/scale adjacency
-# (clustering per_cell coupling guard, kmeans sub_model contract
-# check, the geo scale battery) — see __spark_entry__.py Block C
+# queries whose executed plans changed this round (staged-qv probe
+# ranking, the scd2 probe localCheckpoint, the restaged kmeans/PQ
+# fixtures) — see __spark_entry__.py Block C
 TOUCHED = [
-    "hierarchical_cells_assign",
+    "ivf_multiprobe_twolevel",
+    "ivf_multiprobe_neardup",
+    "scd2_append_fastpath",
+    "scd2_double_load",
     "kmeans_train_assign",
     "semantic_dedup_survivors",
-    "ivf_blocked_neardup",
-    "geo_union_centroid",
-    "bucketed_colocated_join",
     "pq_verify",
 ]
 
