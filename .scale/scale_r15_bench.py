@@ -174,14 +174,19 @@ ivf_res = ivf_topk(
 ivf_rows = ivf_res.count()
 act["ivf_topk_twolevel_s"] = round(time.perf_counter() - t0, 1)
 
+# floor-parameter point first (the defect record: the driver-scale
+# literals stop resolving neighbors at production occupancy — the
+# knob-by-knob recovery table lives in pq_tuning_r15.py's block)
 books, codes = staged_pq(spark, BV256, 4, 16, 2)
 t0 = time.perf_counter()
 pq_res = pq_adc_topk(
     emb, queries, k=5, n_cells=512, n_probe=4, iters=2,
+    m_subs=4, n_codes=16, refine=8,  # the floor literals
     model=(assigned, cents), books=books, codes=codes,
 ).persist()
 pq_rows = pq_res.count()
 act["pq_adc_topk_s"] = round(time.perf_counter() - t0, 1)
+act["pq_floor_params"] = [4, 16, 8]
 print(f"ivf_topk(two-level) {act['ivf_topk_twolevel_s']}s "
       f"({ivf_rows} rows); pq_adc_topk {act['pq_adc_topk_s']}s "
       f"({pq_rows} rows)", flush=True)
@@ -208,6 +213,30 @@ def _recall(approx) -> float:
 
 act["recall_at5"] = {"ivf_twolevel": _recall(ivf_res), "pq": _recall(pq_res)}
 print("recall@5:", act["recall_at5"], flush=True)
+
+# the SHIPPED corpus-scaled regime (pq_params_for_corpus — picked by
+# the pq_tuning_r15.py knob sweep): build + query + recall at 256k
+from gerrydb_etl_spark.operators.pq import pq_params_for_corpus
+
+m_r, c_r, ref_r = pq_params_for_corpus(act["n256k"]["n_vecs"])
+t0 = time.perf_counter()
+ensure_staged_pq(spark, BV256, m_subs=m_r, n_codes=c_r, iters=2)
+rule_build = round(time.perf_counter() - t0, 1)
+books_r, codes_r = staged_pq(spark, BV256, m_r, c_r, 2)
+t0 = time.perf_counter()
+rule_res = pq_adc_topk(
+    emb, queries, k=5, n_cells=512, n_probe=4, iters=2,
+    m_subs=m_r, n_codes=c_r, refine=ref_r,
+    model=(assigned, cents), books=books_r, codes=codes_r,
+).persist()
+rule_res.count()
+act["pq_shipped_rule"] = {
+    "params": [m_r, c_r, ref_r],
+    "build_s": rule_build,
+    "query_s": round(time.perf_counter() - t0, 1),
+    "recall_at5": _recall(rule_res),
+}
+print("pq shipped rule:", act["pq_shipped_rule"], flush=True)
 out["pq_activation"] = act
 
 out["notes"] = (

@@ -54,6 +54,57 @@ from gerrydb_etl_spark.operators.similarity import fold_sum
 
 PQ_M = 4  # subspaces; dim must divide evenly
 
+# the corpus size where coarse-cell occupancy starts growing with the
+# corpus (cells_for_corpus's 512-cell cap x the vector family's
+# per_cell=125) — the same density point that activates the two-level
+# IVF probe, and the point where the SCALE_r15 activation run showed
+# the floor PQ parameters stop resolving neighbors (recall@5 0.109)
+PQ_ACTIVATE = 512 * 125
+
+
+def pq_params_for_corpus(
+    n_vecs: int,
+    floor_m: int = PQ_M,
+    floor_codes: int = 16,
+    floor_refine: int = 8,
+) -> tuple[int, int, int]:
+    """Corpus-scaled PQ parameters: (m_subs, n_codes, refine).
+
+    Below PQ_ACTIVATE the floors are returned unchanged — they are
+    the literals every driver-scale replay oracle was generated
+    with, so oracle parity is untouched (the cells_for_corpus
+    contract). Past it, cell occupancy grows with the corpus and the
+    floor books stop discriminating: at the 256k natural-geometry
+    activation point (SCALE_r15 pq_tuning) the shipped
+    (4, 16, 8) measured recall@5 = 0.109 against a 0.872 IVF
+    candidate ceiling — inside a dense cell most candidates quantize
+    to IDENTICAL code words, the ADC shortlist becomes tie-noise,
+    and the exact rescore cannot repair what never enters it. The
+    scaled regime, measured knob by knob at 256k:
+
+      * n_codes is the binding knob: 16 -> 64 codes per subspace
+        took recall 0.109 -> 0.662 (refine 16) at +34% query wall.
+        Capped at 64: 256 codes BOTH degraded the literal-codebook
+        codegen fold (90s query, 117s build) AND ranked worse
+        (0.362 at refine 4) — past the cap the right move is the
+        subcentroid-table join path, not bigger literals.
+      * refine repairs the remaining ADC ordering error only once
+        the codes discriminate: 16 -> 32 took 0.662 -> 0.781
+        (~90% of the IVF candidate ceiling) for +2s; at 16 codes
+        even refine=32 stalled at 0.338.
+      * doubling m to 8 doubles ADC join rows for less gain than
+        doubling codes (0.728 at m=8/c64/r32 vs 0.781 at m=4) —
+        the 16-dim subspaces are not the resolution bottleneck at
+        this dimensionality.
+
+    n_codes interpolates with corpus size (~occupancy/8 once the
+    cell cap binds) so mid-scale corpora do not jump straight to
+    the 64-code build cost."""
+    if n_vecs <= PQ_ACTIVATE:
+        return floor_m, floor_codes, floor_refine
+    codes = min(64, max(floor_codes, n_vecs // 4000))
+    return floor_m, codes, 32
+
 
 def _slice(col: Column, m: int, sub_dim: int) -> Column:
     """1-based subvector slice for subspace m."""

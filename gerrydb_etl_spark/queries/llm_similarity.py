@@ -677,6 +677,35 @@ _PQ_M, _PQ_CODES, _PQ_REFINE = 4, 16, 8
 _PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
 
 
+def _forced_pq_params(n: int) -> tuple[int, int, int]:
+    """Coupling guard (the _forced_per_cell pattern, 935644c): the
+    static PQ replay oracle is generated with the
+    (_PQ_M, _PQ_CODES, _PQ_REFINE) literals, so the EXECUTED
+    parameters must equal them at every oracle-verified corpus
+    size — a fixture regen pushing a driver corpus past
+    operators/pq.py PQ_ACTIVATE must fail loudly here instead of
+    silently hash-mismatching the oracle. Past the threshold, where
+    no oracle runs, the corpus-scaled rule takes over (the SCALE_r15
+    pq_tuning finding: the floor books stop resolving neighbors at
+    production occupancy — recall@5 0.109 at 256k)."""
+    from gerrydb_etl_spark.operators.pq import (
+        PQ_ACTIVATE,
+        pq_params_for_corpus,
+    )
+
+    got = pq_params_for_corpus(
+        n, floor_m=_PQ_M, floor_codes=_PQ_CODES, floor_refine=_PQ_REFINE
+    )
+    if n <= PQ_ACTIVATE and got != (_PQ_M, _PQ_CODES, _PQ_REFINE):
+        raise AssertionError(
+            f"PQ params {got} depart from the oracle literals "
+            f"({_PQ_M}, {_PQ_CODES}, {_PQ_REFINE}) at oracle-verified "
+            f"scale n={n} — regenerate the PQ replay oracle or keep "
+            "driver corpora below the activation threshold"
+        )
+    return got
+
+
 def _pq_subspace_ctes(m: int, k: int, iters: int) -> str:
     """Per-subspace fixed-point k-means replay: the clustering.py
     _kmeans_ctes chain re-emitted under a p{m} prefix over the
@@ -848,15 +877,25 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — a full value-hash oracle over a three-layer
     approximate index. Recall contract lives in pq_verify."""
     from gerrydb_etl_spark.operators.pq import pq_adc_topk
-    from gerrydb_etl_spark.store.staging import staged_ivf, staged_pq
+    from gerrydb_etl_spark.store.staging import (
+        corpus_count,
+        staged_ivf,
+        staged_pq,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    books, codes = staged_pq(spark, sf_dir, _PQ_M, _PQ_CODES, _IVF_ITERS)
+    # corpus-scaled PQ parameters behind the oracle-coupling guard:
+    # the literals at every driver scale, the measured production
+    # regime past PQ_ACTIVATE (SCALE_r15 pq_tuning)
+    m_subs, n_codes, refine = _forced_pq_params(
+        corpus_count(spark, sf_dir, "embeddings")
+    )
+    books, codes = staged_pq(spark, sf_dir, m_subs, n_codes, _IVF_ITERS)
     return pq_adc_topk(
         emb, queries, k=TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
-        iters=_IVF_ITERS, m_subs=_PQ_M, n_codes=_PQ_CODES,
-        refine=_PQ_REFINE,
+        iters=_IVF_ITERS, m_subs=m_subs, n_codes=n_codes,
+        refine=refine,
         model=staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS),
         books=books, codes=codes,
     )
@@ -880,16 +919,25 @@ def pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.9s, ADC+rescore on staged models 4.3s) — not the
     'O(corpus x queries) truth-set cost' previously assumed."""
     from gerrydb_etl_spark.operators.pq import pq_adc_topk
-    from gerrydb_etl_spark.store.staging import staged_ivf, staged_pq
+    from gerrydb_etl_spark.store.staging import (
+        corpus_count,
+        staged_ivf,
+        staged_pq,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     exact = cosine_topk(emb, queries, k=TOP_K)
-    books, codes = staged_pq(spark, sf_dir, _PQ_M, _PQ_CODES, _IVF_ITERS)
+    # same corpus-scaled params as the production twin — the recall
+    # contract must grade the parameters that actually ship
+    m_subs, n_codes, refine = _forced_pq_params(
+        corpus_count(spark, sf_dir, "embeddings")
+    )
+    books, codes = staged_pq(spark, sf_dir, m_subs, n_codes, _IVF_ITERS)
     approx = pq_adc_topk(
         emb, queries, k=TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
-        iters=_IVF_ITERS, m_subs=_PQ_M, n_codes=_PQ_CODES,
-        refine=_PQ_REFINE,
+        iters=_IVF_ITERS, m_subs=m_subs, n_codes=n_codes,
+        refine=refine,
         model=staged_ivf(spark, sf_dir, _IVF_CELLS, _IVF_ITERS),
         books=books, codes=codes,
     )

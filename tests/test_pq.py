@@ -86,3 +86,41 @@ def test_staged_pq_identical_to_inline(spark):
         for r in encode_codes(quant, inline_books).collect()
     }
     assert staged == inline
+
+
+def test_pq_params_for_corpus_rule():
+    """SCALE_r15 pq_tuning: floors (= the oracle literals) at every
+    driver scale; the measured production regime past PQ_ACTIVATE;
+    codes capped at 64 — the literal-codegen cliff where 256-code
+    books measured slower AND worse (90s query, recall 0.362)."""
+    from gerrydb_etl_spark.operators.pq import (
+        PQ_ACTIVATE,
+        pq_params_for_corpus,
+    )
+
+    for n in (100, 2_000, 20_000, PQ_ACTIVATE):
+        assert pq_params_for_corpus(n) == (4, 16, 8)
+    assert pq_params_for_corpus(256_000) == (4, 64, 32)
+    assert pq_params_for_corpus(10_000_000) == (4, 64, 32)
+    # codes interpolate monotonically between the floor and the cap
+    prev = 16
+    for n in (70_000, 100_000, 200_000, 400_000):
+        c = pq_params_for_corpus(n)[1]
+        assert prev <= c <= 64
+        prev = c
+
+
+def test_forced_pq_params_matches_oracle_literals():
+    """The coupling guard returns exactly the replay-oracle literals
+    at every oracle-verified corpus size and the scaled regime past
+    the activation threshold (the _forced_per_cell pattern)."""
+    from gerrydb_etl_spark.queries.llm_similarity import (
+        _PQ_CODES,
+        _PQ_M,
+        _PQ_REFINE,
+        _forced_pq_params,
+    )
+
+    for n in (60, 600, 2_000, 6_000):  # the driver corpus sizes
+        assert _forced_pq_params(n) == (_PQ_M, _PQ_CODES, _PQ_REFINE)
+    assert _forced_pq_params(256_000) == (4, 64, 32)
