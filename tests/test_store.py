@@ -251,3 +251,21 @@ def test_merge_probe_paths_value_identical(spark):
         ("c", 3, 2, None),
         ("d", 4, 2, None),
     }
+
+
+def test_staged_model_collects_are_memoized(spark):
+    """staged_ivf / staged_pq re-collected their bounded model tables
+    on every query call (1-2 driver jobs per vector query); the
+    collects are now memoized by staged-table name, which uniquely
+    determines contents (fingerprint + builder-code-hash name,
+    deterministic fixed-point builder)."""
+    from tests.conftest import SF_ORACLE
+
+    from gerrydb_etl_spark.store.staging import staged_ivf, staged_pq
+
+    _, cents1 = staged_ivf(spark, SF_ORACLE, 16, 2)
+    _, cents2 = staged_ivf(spark, SF_ORACLE, 16, 2)
+    assert cents1 is cents2  # served from the cache, not re-collected
+    books1, _ = staged_pq(spark, SF_ORACLE, 4, 16, 2)
+    books2, _ = staged_pq(spark, SF_ORACLE, 4, 16, 2)
+    assert books1 is books2
