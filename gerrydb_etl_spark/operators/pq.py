@@ -84,10 +84,13 @@ def pq_params_for_corpus(
 
       * n_codes is the binding knob: 16 -> 64 codes per subspace
         took recall 0.109 -> 0.662 (refine 16) at +34% query wall.
-        Capped at 64: 256 codes BOTH degraded the literal-codebook
-        codegen fold (90s query, 117s build) AND ranked worse
-        (0.362 at refine 4) — past the cap the right move is the
-        subcentroid-table join path, not bigger literals.
+        Capped at 64 BY MEASUREMENT: 256-code books rank WORSE
+        (0.731 vs 0.781 at refine 32 — over-quantized 16-dim
+        subspaces under the fixed-point first-k training) and cost
+        more even on the codebook-table join path
+        (PQ_LITERAL_CODE_CAP) that removed the literal-codegen
+        cliff (94.5s -> 51.9s query at 256 codes, values pinned
+        identical by tests/test_pq.py dispatch-parity).
       * refine repairs the remaining ADC ordering error only once
         the codes discriminate: 16 -> 32 took 0.662 -> 0.781
         (~90% of the IVF candidate ceiling) for +2s; at 16 codes
@@ -129,6 +132,47 @@ def train_codebooks(
     return books
 
 
+# Above this many codes per subspace the literal-codebook expression
+# paths fall off the codegen cliff: encode/_code_cells and adc_tables
+# inline one fold subtree PER CODEWORD, so a 4x256 book becomes a
+# ~50k-node expression whose analysis + whole-stage compile dominate
+# the job (measured 94.5s query / 109.9s build at 256k, SCALE_r15
+# pq_tuning — slower than the 64-code point it should beat). Past the
+# cap both paths dispatch to a codebook-TABLE broadcast join: the
+# codewords become rows, the fold becomes ONE O(1)-size expression
+# over (sub, cv) columns with the identical sequential spelling, and
+# the work rides data volume (n x m x codes rows) the way a 100 TB
+# encode must anyway.
+PQ_LITERAL_CODE_CAP = 64
+
+
+def _books_df(spark, books: list[dict[int, list[float]]]) -> DataFrame:
+    """The codebooks as a bounded (m, code, cv: array<double>) table
+    — the join-path twin of the literal arrays (m * k rows)."""
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(m=m, code=c, cv=[float(x) for x in v])
+            for m, book in enumerate(books)
+            for c, v in sorted(book.items())
+        ]
+    )
+
+
+def _sq_dist(sub: Column, cv: Column) -> Column:
+    """Sequential-fold squared distance — the ONE spelling shared by
+    the literal and join paths (and the SQL replay), so dispatch can
+    never change a value."""
+    return fold_sum(
+        F.zip_with(
+            sub,
+            cv,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+    )
+
+
 def _code_cells(sub: Column, book: dict[int, list[float]]) -> Column:
     """array<struct<d,c>> of (sequential-fold squared distance from
     the sliced vector to each codeword, code id) — operators/
@@ -141,13 +185,7 @@ def _code_cells(sub: Column, book: dict[int, list[float]]) -> Column:
     return F.transform(
         cent_lit,
         lambda cv, i: F.struct(
-            fold_sum(
-                F.zip_with(
-                    sub,
-                    cv,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                )
-            ).alias("d"),
+            _sq_dist(sub, cv).alias("d"),
             F.element_at(cid_lit, i + 1).alias("c"),
         ),
     )
@@ -161,11 +199,38 @@ def encode_codes(
     subspace's argmin is an independent literal-codebook expression
     bound to its own slice column first (expression-tree hygiene:
     composing the slices inline N times would duplicate the slice
-    subtree into every distance fold)."""
-    sub_dim = None
+    subtree into every distance fold). Past PQ_LITERAL_CODE_CAP
+    codewords per subspace the argmin dispatches to a broadcast join
+    against the codebook table instead (see the cap's note);
+    identical values — same fold spelling, same lower-code-id ties
+    (min over struct(d, c) orders by d then c either way)."""
+    n_codes = max(len(b) for b in books)
+    sub_dim = len(books[0][sorted(books[0])[0]])
+    if n_codes > PQ_LITERAL_CODE_CAP:
+        subs = quant.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[_slice(F.col("qv"), m, sub_dim) for m in range(len(books))]
+                )
+            ).alias("m", "sub"),
+        )
+        bdf = F.broadcast(_books_df(quant.sparkSession, books))
+        return (
+            subs.join(bdf, "m")
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(
+                    F.struct(
+                        _sq_dist(F.col("sub"), F.col("cv")).alias("d"),
+                        F.col("code").alias("c"),
+                    )
+                ).getField("c").alias("code")
+            )
+            .select("vec_id", "m", "code")
+        )
     bound = quant
     for m in range(len(books)):
-        sub_dim = len(books[m][sorted(books[m])[0]])
         bound = bound.withColumn(
             f"_s{m}", _slice(F.col("qv"), m, sub_dim)
         )
@@ -189,7 +254,45 @@ def adc_tables(
     sequentially in double and snapped to an exact BIGINT
     (floor(x + 0.5)) so the cross-subspace sums downstream are
     combine-order-free. n_queries * M * k rows — broadcast-sized by
-    construction."""
+    construction. Past PQ_LITERAL_CODE_CAP codewords per subspace
+    the table is built by joining the exploded query subvectors
+    against the codebook table instead of inlining one fold per
+    codeword (see the cap's note); identical values — same fold
+    spelling, same floor-snap."""
+    n_codes = max(len(b) for b in books)
+    if n_codes > PQ_LITERAL_CODE_CAP:
+        sub_dim = len(books[0][sorted(books[0])[0]])
+        q_nrm = F.sqrt(
+            fold_sum(
+                F.transform(
+                    "qv", lambda x: x.cast("double") * x.cast("double")
+                )
+            )
+        )
+        subs = queries_quant.select(
+            F.col("vec_id").alias("query_id"),
+            q_nrm.alias("q_nrm"),
+            F.posexplode(
+                F.array(
+                    *[_slice(F.col("qv"), m, sub_dim) for m in range(len(books))]
+                )
+            ).alias("m", "sub"),
+        )
+        bdf = F.broadcast(_books_df(queries_quant.sparkSession, books))
+        pdot = fold_sum(
+            F.zip_with(
+                F.col("sub"), F.col("cv"), lambda x, y: x.cast("double") * y
+            )
+        )
+        pnorm2 = fold_sum(F.transform(F.col("cv"), lambda y: y * y))
+        return subs.join(bdf, "m").select(
+            "query_id",
+            "q_nrm",
+            "m",
+            "code",
+            F.floor(pdot + F.lit(0.5)).cast("long").alias("pdot_q"),
+            F.floor(pnorm2 + F.lit(0.5)).cast("long").alias("pnorm2_q"),
+        )
     entries = []
     for m, book in enumerate(books):
         sub_dim = len(book[sorted(book)[0]])

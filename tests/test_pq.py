@@ -124,3 +124,47 @@ def test_forced_pq_params_matches_oracle_literals():
     for n in (60, 600, 2_000, 6_000):  # the driver corpus sizes
         assert _forced_pq_params(n) == (_PQ_M, _PQ_CODES, _PQ_REFINE)
     assert _forced_pq_params(256_000) == (4, 64, 32)
+
+
+def test_join_path_matches_literal_path_exactly(spark, monkeypatch):
+    """Past PQ_LITERAL_CODE_CAP the encode/ADC paths dispatch to a
+    codebook-table broadcast join instead of one inlined fold per
+    codeword (the SCALE_r15 codegen cliff). Dispatch must never
+    change a value: same fold spelling, same floor-snap, same
+    lower-code-id ties — pinned here by forcing the join path onto a
+    small book and comparing row sets exactly."""
+    from gerrydb_etl_spark.operators import pq as pq_mod
+
+    quant = _quant(spark)
+    books = train_codebooks(quant, 64, m_subs=4, k=16, iters=2)
+    queries = quant.filter(F.col("vec_id") < 3)
+
+    lit_codes = sorted(map(tuple, encode_codes(quant, books).collect()))
+    lit_adc = sorted(map(tuple, adc_tables(queries, books).collect()))
+
+    monkeypatch.setattr(pq_mod, "PQ_LITERAL_CODE_CAP", 1)
+    join_codes = sorted(map(tuple, encode_codes(quant, books).collect()))
+    join_adc = sorted(map(tuple, adc_tables(queries, books).collect()))
+
+    assert join_codes == lit_codes
+    assert join_adc == lit_adc
+
+
+def test_pq_adc_topk_identical_across_dispatch(spark, monkeypatch):
+    """End to end: the full IVF-PQ query returns byte-identical rows
+    whichever ADC/encode path the code cap selects."""
+    from gerrydb_etl_spark.operators import pq as pq_mod
+    from gerrydb_etl_spark.operators.pq import pq_adc_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    lit = sorted(map(tuple, pq_adc_topk(
+        emb, queries, k=3, n_cells=4, n_probe=2, iters=2,
+        m_subs=4, n_codes=8, refine=4,
+    ).collect()))
+    monkeypatch.setattr(pq_mod, "PQ_LITERAL_CODE_CAP", 1)
+    joined = sorted(map(tuple, pq_adc_topk(
+        emb, queries, k=3, n_cells=4, n_probe=2, iters=2,
+        m_subs=4, n_codes=8, refine=4,
+    ).collect()))
+    assert joined == lit
