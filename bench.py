@@ -483,17 +483,24 @@ def main() -> None:
         with open(rebase_path, "w") as f:
             json.dump(remaining, f, indent=1)
             f.write("\n")
+    baseline_doc = {
+        "sf": payload_sf,
+        "queries": base_queries,
+        "verify_lane": base_lane,
+        "ratchet": "min-across-runs; raises only via BENCH_REBASE.json"
+        " (audit: BENCH_REBASE_LOG.json)",
+    }
+    # preserve provenance keys (e.g. seeded_from) across rewrites —
+    # the seed note is part of the floors' audit trail
+    if baseline_src == os.path.basename(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                for k, v in json.load(f).items():
+                    baseline_doc.setdefault(k, v)
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(baseline_path, "w") as f:
-        json.dump(
-            {
-                "sf": payload_sf,
-                "queries": base_queries,
-                "verify_lane": base_lane,
-                "ratchet": "min-across-runs; raises only via BENCH_REBASE.json"
-                " (audit: BENCH_REBASE_LOG.json)",
-            },
-            f, indent=1, sort_keys=True,
-        )
+        json.dump(baseline_doc, f, indent=1, sort_keys=True)
         f.write("\n")
 
     sys.stdout.flush()
