@@ -85,12 +85,14 @@ def pq_params_for_corpus(
       * n_codes is the binding knob: 16 -> 64 codes per subspace
         took recall 0.109 -> 0.662 (refine 16) at +34% query wall.
         Capped at 64 BY MEASUREMENT: 256-code books rank WORSE
-        (0.731 vs 0.781 at refine 32 — over-quantized 16-dim
-        subspaces under the fixed-point first-k training) and cost
-        more even on the codebook-table join path
-        (PQ_LITERAL_CODE_CAP) that removed the literal-codegen
-        cliff (94.5s -> 51.9s query at 256 codes, values pinned
-        identical by tests/test_pq.py dispatch-parity).
+        (0.731 vs 0.781 at refine 32), doubling their training does
+        not rescue them (iters=4: 0.691 at a 327s build — the
+        deficit is intrinsic to 256 codewords per 16-dim subspace
+        on this geometry, not an under-training artifact), and they
+        cost more even on the codebook-table join path
+        (PQ_LITERAL_CODE_CAP) that removed adc_tables' unrolled-
+        fold cliff (94.5s -> 51.9s query at 256 codes, values
+        pinned identical by tests/test_pq.py dispatch-parity).
       * refine repairs the remaining ADC ordering error only once
         the codes discriminate: 16 -> 32 took 0.662 -> 0.781
         (~90% of the IVF candidate ceiling) for +2s; at 16 codes
@@ -132,17 +134,21 @@ def train_codebooks(
     return books
 
 
-# Above this many codes per subspace the literal-codebook expression
-# paths fall off the codegen cliff: encode/_code_cells and adc_tables
-# inline one fold subtree PER CODEWORD, so a 4x256 book becomes a
-# ~50k-node expression whose analysis + whole-stage compile dominate
-# the job (measured 94.5s query / 109.9s build at 256k, SCALE_r15
-# pq_tuning — slower than the 64-code point it should beat). Past the
-# cap both paths dispatch to a codebook-TABLE broadcast join: the
-# codewords become rows, the fold becomes ONE O(1)-size expression
-# over (sub, cv) columns with the identical sequential spelling, and
-# the work rides data volume (n x m x codes rows) the way a 100 TB
-# encode must anyway.
+# Above this many codes per subspace the literal-codebook paths stop
+# being the right plan. adc_tables was the hard cliff: it UNROLLED
+# one fold subtree per codeword (m x k struct entries in one array),
+# so a 4x256 book became a ~50k-node projection whose analysis +
+# compile dominated the job (measured 94.5s query at 256k, SCALE_r15
+# pq_tuning — slower than the 64-code point it should beat).
+# encode_codes' argmin is already the single-lambda loop pattern
+# (operators/kmeans.py assign — one transform walking a nested
+# literal array), but it still evaluates an O(k)-element interpreted
+# higher-order fold per row over a literal array that grows with the
+# book. Past the cap both paths dispatch to a codebook-TABLE
+# broadcast join: the codewords become rows, the fold becomes ONE
+# constant-size expression over (sub, cv) columns with the identical
+# sequential spelling, and the work rides data volume
+# (n x m x codes rows) the way a 100 TB encode must anyway.
 PQ_LITERAL_CODE_CAP = 64
 
 
