@@ -74,6 +74,58 @@ def apply_rebases(
     return applied, remaining
 
 
+def settle_rebase_requests(
+    applied: list[dict],
+    remaining: dict[str, str],
+    rebase_path: str,
+    rebase_log_path: str,
+    sf,
+    stamp: str,
+) -> None:
+    """Record applied re-bases and settle the request file. Unmatched
+    requests (a typoed or since-dropped query name) are warned on
+    stderr, logged with ``unmatched: true``, and CONSUMED — before
+    ADVICE r15 they were silently ignored AND left in the file, where
+    a future same-named query would be re-based to whatever that run
+    happened to measure."""
+    for n, reason in remaining.items():
+        print(
+            f"REBASE UNMATCHED {n}: no such query this run "
+            f"(reason given: {reason!r}) — request consumed, not applied",
+            file=sys.stderr,
+            flush=True,
+        )
+    if not (applied or remaining):
+        return
+    log: list = []
+    if os.path.exists(rebase_log_path):
+        try:
+            with open(rebase_log_path) as f:
+                log = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            log = []
+    log.extend(applied)
+    log.extend(
+        {
+            "query": n,
+            "reason": reason,
+            "unmatched": True,
+            "sf": sf,
+            "at": stamp,
+        }
+        for n, reason in remaining.items()
+    )
+    with open(rebase_log_path, "w") as f:
+        json.dump(log, f, indent=1)
+        f.write("\n")
+    # consume ALL requests (applied and unmatched) so a lingering
+    # request file cannot silently re-base the same query to every
+    # future run's value
+    with open(rebase_path, "w") as f:
+        json.dump({}, f, indent=1)
+        f.write("\n")
+
+
 def compact_line(payload: dict, timings: dict[str, float]) -> str:
     """Largest slowest-first prefix of ``timings`` that keeps the
     JSON line under LINE_BUDGET; the rest is summarized by count."""
@@ -466,23 +518,10 @@ def main() -> None:
         payload_sf,
         time.strftime("%Y-%m-%dT%H:%M:%S"),
     )
-    if applied:
-        log: list = []
-        if os.path.exists(rebase_log_path):
-            try:
-                with open(rebase_log_path) as f:
-                    log = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                log = []
-        log.extend(applied)
-        with open(rebase_log_path, "w") as f:
-            json.dump(log, f, indent=1)
-            f.write("\n")
-        # consume applied requests so a lingering request file cannot
-        # silently re-base the same query to every future run's value
-        with open(rebase_path, "w") as f:
-            json.dump(remaining, f, indent=1)
-            f.write("\n")
+    settle_rebase_requests(
+        applied, remaining, rebase_path, rebase_log_path, payload_sf,
+        time.strftime("%Y-%m-%dT%H:%M:%S"),
+    )
     baseline_doc = {
         "sf": payload_sf,
         "queries": base_queries,

@@ -104,11 +104,17 @@ def pq_params_for_corpus(
 
     n_codes interpolates with corpus size (~occupancy/8 once the
     cell cap binds) so mid-scale corpora do not jump straight to
-    the 64-code build cost."""
+    the 64-code build cost. refine scales WITH codes rather than
+    jumping straight to 32 (ADVICE r15): the 256k sweep showed
+    refine only repairs ADC ordering once the codes discriminate
+    (at 16 codes refine=32 stalled at 0.338 while paying ~4x the
+    shortlist rescore), so books still near the 16-code floor keep
+    the floor refine and the 32-code point upward gets refine=32."""
     if n_vecs <= PQ_ACTIVATE:
         return floor_m, floor_codes, floor_refine
     codes = min(64, max(floor_codes, n_vecs // 4000))
-    return floor_m, codes, 32
+    refine = 32 if codes >= 32 else floor_refine
+    return floor_m, codes, refine
 
 
 def _slice(col: Column, m: int, sub_dim: int) -> Column:

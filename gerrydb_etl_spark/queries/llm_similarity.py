@@ -676,32 +676,51 @@ def embedding_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_CODES, _PQ_REFINE = 4, 16, 8
 _PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
 
+# Guard-band ceiling for _forced_pq_params, mirroring clustering.py's
+# _GUARD_MAX_N: any driver/bench corpus sits FAR below operators/
+# pq.py PQ_ACTIVATE (64k; the sf0.1 embeddings table is ~6k vectors),
+# so a corpus landing INSIDE (PQ_ACTIVATE, 2 * PQ_ACTIVATE] is a
+# fixture that grew past the activation point while the static replay
+# oracle still encodes the floor literals — fail loudly there instead
+# of silently shipping scaled params against a literal-generated
+# oracle (ADVICE r15: the old `n <= PQ_ACTIVATE and got != literals`
+# branch was dead code, because pq_params_for_corpus returns the
+# literals below PQ_ACTIVATE by construction). A corpus jumping
+# straight past the band in one regen is out of oracle territory
+# altogether — the intentional-scale regime, where the scaled rule
+# governs and the SCALE_r15/r16 recall measurements apply.
+def _pq_guard_max_n() -> int:
+    from gerrydb_etl_spark.operators.pq import PQ_ACTIVATE
+
+    return 2 * PQ_ACTIVATE
+
 
 def _forced_pq_params(n: int) -> tuple[int, int, int]:
     """Coupling guard (the _forced_per_cell pattern, 935644c): the
     static PQ replay oracle is generated with the
     (_PQ_M, _PQ_CODES, _PQ_REFINE) literals, so the EXECUTED
-    parameters must equal them at every oracle-verified corpus
-    size — a fixture regen pushing a driver corpus past
-    operators/pq.py PQ_ACTIVATE must fail loudly here instead of
-    silently hash-mismatching the oracle. Past the threshold, where
-    no oracle runs, the corpus-scaled rule takes over (the SCALE_r15
-    pq_tuning finding: the floor books stop resolving neighbors at
-    production occupancy — recall@5 0.109 at 256k)."""
-    from gerrydb_etl_spark.operators.pq import (
-        PQ_ACTIVATE,
-        pq_params_for_corpus,
-    )
+    parameters must equal them at every corpus size an oracle could
+    plausibly run at — including the band just past operators/pq.py
+    PQ_ACTIVATE, where pq_params_for_corpus starts returning scaled
+    params by construction. A fixture regen pushing a driver corpus
+    into (PQ_ACTIVATE, 2 * PQ_ACTIVATE] must fail loudly here
+    instead of silently hash-mismatching the oracle. Past the band,
+    where no oracle runs, the corpus-scaled rule takes over (the
+    SCALE_r15 pq_tuning finding: the floor books stop resolving
+    neighbors at production occupancy — recall@5 0.109 at 256k)."""
+    from gerrydb_etl_spark.operators.pq import pq_params_for_corpus
 
+    guard_max = _pq_guard_max_n()
     got = pq_params_for_corpus(
         n, floor_m=_PQ_M, floor_codes=_PQ_CODES, floor_refine=_PQ_REFINE
     )
-    if n <= PQ_ACTIVATE and got != (_PQ_M, _PQ_CODES, _PQ_REFINE):
+    if n <= guard_max and got != (_PQ_M, _PQ_CODES, _PQ_REFINE):
         raise AssertionError(
             f"PQ params {got} depart from the oracle literals "
-            f"({_PQ_M}, {_PQ_CODES}, {_PQ_REFINE}) at oracle-verified "
-            f"scale n={n} — regenerate the PQ replay oracle or keep "
-            "driver corpora below the activation threshold"
+            f"({_PQ_M}, {_PQ_CODES}, {_PQ_REFINE}) inside the oracle "
+            f"guard band (n={n} <= {guard_max}) — regenerate "
+            "the PQ replay oracle or keep driver corpora below the "
+            "activation threshold"
         )
     return got
 

@@ -90,12 +90,16 @@ def scd2_merge(
     yet materialize overlapping keys at write time, silently
     appending a second open version for an existing key (ADVICE
     r14). The merge therefore pins ``incoming`` with a lazy
-    localCheckpoint before probing: the probe job materializes the
-    batch once, and every branch — the fast-path union AND the
-    close/insert joins, which consume ``incoming`` three times —
-    reads those same pinned rows. Output values are identical
-    either way — with no overlapping key the close join closes
-    nothing and the skip-unchanged filter keeps every row.
+    localCheckpoint before ANY branch reads it — not just the probe
+    path: the probe_append=False plan also consumes ``incoming`` in
+    multiple branches (to_insert and the eff_keys/closed join both
+    derive from it), so an unpinned nondeterministic batch could
+    close one key set while inserting another (ADVICE r15). The
+    first action materializes the batch once; every branch — the
+    fast-path union AND the close/insert joins — reads those same
+    pinned rows. Output values are identical either way — with no
+    overlapping key the close join closes nothing and the
+    skip-unchanged filter keeps every row.
 
     Contract: ``incoming`` must have at most one row per key —
     duplicate keys would create two open versions. Enforce upstream
@@ -106,11 +110,13 @@ def scd2_merge(
     ver = _as_version(version)
     value_cols = [c for c in incoming.columns if c not in keys]
 
+    # pin the batch so every consumer — probe, fast-path union, and
+    # the close/insert joins — reads the SAME rows (the determinism
+    # note above); lazy, so a deterministic single-read plan pays one
+    # materialization at its first action either way
+    incoming = incoming.localCheckpoint(eager=False)
+
     if probe_append:
-        # pin the batch so the probe's verdict and the final plan are
-        # about the SAME rows (see the determinism note above); lazy —
-        # the probe's take(1) is the materializing job either way
-        incoming = incoming.localCheckpoint(eager=False)
         overlap = incoming.select(*keys).join(
             current.filter(F.col(VALID_TO).isNull()).select(*keys),
             keys,

@@ -268,7 +268,24 @@ def run_stream_to_files(
     distributed analogue of the drain collect: blocks live in
     executor storage, never the driver) so every temp dir can be
     removed before returning. A production caller would instead
-    keep the epoch directory as the published table."""
+    keep the epoch directory as the published table.
+
+    Complete mode ONLY: the last-epoch read is the full answer
+    precisely because each complete-mode epoch rewrites the whole
+    aggregate. Under append/update the epochs are DELTAS — returning
+    the last one would silently drop every earlier micro-batch's
+    rows (ADVICE r15) — so any other mode raises; an append-mode
+    caller wants the union of all committed epochs, which is
+    idempotent_batch_sink + a multi-dir read (the
+    run_stream_to_versioned_store shape)."""
+    if output_mode != "complete":
+        raise ValueError(
+            f"run_stream_to_files supports output_mode='complete' only "
+            f"(got {output_mode!r}): the last committed epoch IS the "
+            "answer only when every epoch rewrites the full aggregate; "
+            "for append-mode epochs use idempotent_batch_sink and read "
+            "the union of committed batch dirs"
+        )
     stage = _stage_events_dir(sf_dir)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     out_root = tempfile.mkdtemp(prefix="stream_files_")

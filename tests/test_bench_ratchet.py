@@ -6,7 +6,7 @@ re-base request that leaves an audit record."""
 import json
 import os
 
-from bench import apply_rebases, ratchet_floors
+from bench import apply_rebases, ratchet_floors, settle_rebase_requests
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,6 +57,41 @@ def test_rebase_matches_verify_lane():
     )
     assert lane["v_verify"] == 1.2
     assert not remaining
+
+
+def test_unmatched_rebase_is_warned_logged_and_consumed(tmp_path, capsys):
+    """ADVICE r15: an unmatched request (typoed / since-dropped
+    query) used to be silently ignored AND left in the request file,
+    where a future same-named query would be re-based to whatever
+    that run measured. It is now warned on stderr, logged with
+    ``unmatched: true``, and consumed from the request file."""
+    req = tmp_path / "BENCH_REBASE.json"
+    log = tmp_path / "BENCH_REBASE_LOG.json"
+    req.write_text(json.dumps({"typoed_query": "why"}))
+
+    settle_rebase_requests(
+        [], {"typoed_query": "why"}, str(req), str(log), 0.1,
+        "2026-08-16T00:00:00",
+    )
+    assert "REBASE UNMATCHED typoed_query" in capsys.readouterr().err
+    assert json.loads(req.read_text()) == {}  # consumed
+    recorded = json.loads(log.read_text())
+    assert recorded == [
+        {
+            "query": "typoed_query",
+            "reason": "why",
+            "unmatched": True,
+            "sf": 0.1,
+            "at": "2026-08-16T00:00:00",
+        }
+    ]
+
+
+def test_settle_is_noop_without_requests(tmp_path):
+    req = tmp_path / "BENCH_REBASE.json"
+    log = tmp_path / "BENCH_REBASE_LOG.json"
+    settle_rebase_requests([], {}, str(req), str(log), 0.1, "t")
+    assert not req.exists() and not log.exists()
 
 
 def test_shipped_baseline_is_ratcheted():
