@@ -243,6 +243,15 @@ def main() -> None:
     # (winnowing k=3 / k=5) — same write-once-reuse-many economics
     _staged("token_hashes", ensure_staged_token_hashes, spark, sf_dir)
     _staged("token_codes", ensure_staged_token_codes, spark, sf_dir)
+    # ...and the BPE-segmented vocabulary (trained merges + greedy
+    # segmentation, VERDICT r15 item 1): shared tokenizer model state
+    # of the three bpe_* heads — inline, each re-paid the merge
+    # training collect + pair-count window + fold-chain codegen
+    from gerrydb_etl_spark.store.staging import (
+        ensure_staged_segmented_vocab,
+    )
+
+    _staged("segmented_vocab", ensure_staged_segmented_vocab, spark, sf_dir)
 
     # ...and the trained k-means model (SemDeDup's coarse quantizer):
     # write-once corpus state with the same fingerprint-keyed

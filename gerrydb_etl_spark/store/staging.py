@@ -200,6 +200,48 @@ def staged_token_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(ensure_staged_token_codes(spark, sf_dir))
 
 
+def staged_segvocab_name(sf_dir: str) -> str:
+    # the derivation tag hashes the WHOLE train+apply pipeline (the
+    # builder, the per-merge fold, and the tokenizer) plus the merge
+    # count, so editing any of them — or changing BPE_APPLY_MERGES —
+    # mints a new table name and can never silently reuse a stale
+    # segmentation
+    from gerrydb_etl_spark.functions.text import tokenize
+    from gerrydb_etl_spark.queries import llm_text
+
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    code = _derivation_tag(
+        llm_text._segmented_vocab_build, llm_text._apply_merge, tokenize
+    )
+    return f"st_bpeseg_m{llm_text.BPE_APPLY_MERGES}_{code}_{tag}"
+
+
+def ensure_staged_segmented_vocab(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the BPE-segmented vocabulary (word, freq, n_chars,
+    n_pieces, pieces) once per session + source fingerprint: the
+    trained-and-applied greedy segmenter is write-once tokenizer
+    model state shared by bpe_segment_apply, bpe_doc_tokenize, and
+    bpe_fertility_by_lang — inline, each consumer re-paid the merge
+    training (driver collect + single-partition pair-count window)
+    AND the BPE_APPLY_MERGES chained fold projections' codegen
+    compile per query (the r15 driver-flagged bpe regressions'
+    shared cost, VERDICT r15 item 1). Values identical to the
+    inline spelling by construction, so the recursive-CTE replay
+    oracles are unchanged."""
+    from gerrydb_etl_spark.queries.llm_text import _segmented_vocab_build
+
+    return _ensure_staged(
+        spark,
+        staged_segvocab_name(sf_dir),
+        lambda: _segmented_vocab_build(spark, sf_dir),
+    )
+
+
+def staged_segmented_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged segmented vocabulary (staging on first use)."""
+    return spark.table(ensure_staged_segmented_vocab(spark, sf_dir))
+
+
 def staged_components_name(sf_dir: str) -> str:
     # the derivation tag hashes the WHOLE pair+closure pipeline
     # (shingling, Jaccard thresholding incl. the stop-shingle cap,

@@ -174,6 +174,7 @@ def test_staged_table_tags_track_builder_source(monkeypatch):
         staging.staged_shingle_name(sf, 3),
         staging.staged_token_hash_name(sf),
         staging.staged_token_codes_name(sf),
+        staging.staged_segvocab_name(sf),
         staging.staged_components_name(sf),
         staging.staged_kmeans_name(sf, 8, 3),
         staging.staged_lsh_sigs_name(sf, 4, 8),
@@ -199,6 +200,7 @@ def test_staged_table_tags_track_builder_source(monkeypatch):
         staging.staged_shingle_name(sf, 3),
         staging.staged_token_hash_name(sf),
         staging.staged_token_codes_name(sf),
+        staging.staged_segvocab_name(sf),
         staging.staged_components_name(sf),
         staging.staged_kmeans_name(sf, 8, 3),
         staging.staged_lsh_sigs_name(sf, 4, 8),
@@ -269,3 +271,20 @@ def test_staged_model_collects_are_memoized(spark):
     books1, _ = staged_pq(spark, SF_ORACLE, 4, 16, 2)
     books2, _ = staged_pq(spark, SF_ORACLE, 4, 16, 2)
     assert books1 is books2
+
+
+def test_staged_segmented_vocab_matches_inline(spark):
+    """The staged BPE-segmented vocabulary (VERDICT r15 item 1) must
+    equal the inline derivation row for row — staging moves WHERE the
+    segmenter runs (once per session instead of per query), never
+    what it computes, which is what keeps the recursive-CTE replay
+    oracles valid."""
+    from gerrydb_etl_spark.queries.llm_text import _segmented_vocab_build
+    from gerrydb_etl_spark.store.staging import staged_segmented_vocab
+
+    sf = "/root/testdata/sf0.001"
+    staged = {
+        tuple(r) for r in staged_segmented_vocab(spark, sf).collect()
+    }
+    inline = {tuple(r) for r in _segmented_vocab_build(spark, sf).collect()}
+    assert staged == inline and staged
