@@ -307,6 +307,51 @@ def main() -> None:
     repeat_cap = max(
         repeats, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CAP", "5"))
     )
+    # FLOOR-PROBE runs (VERDICT r15 item 2): the stabilization loop
+    # above triggers on run-DISAGREEMENT only — it never fires when
+    # every run is consistently slow, which was exactly the r15
+    # regression quartet's signature (both repeats 3.1-9.7x over
+    # their ratcheted floors; min-of-2 cannot reject a slow phase
+    # spanning both repeats). Any query whose in-run floor exceeds
+    # its RATCHETED baseline floor by the flag bar therefore keeps
+    # earning extra runs (up to flag_runs total), so a flagged
+    # number rests on >= flag_runs samples: either one of them
+    # escapes the slow phase and the flag clears, or the excursion
+    # is confirmed across that many runs and is real signal.
+    flag_runs = max(
+        repeats, int(os.environ.get("SPARK_GRAFT_BENCH_FLAG_RUNS", "4"))
+    )
+
+    # the per-scale ratcheted baseline is loaded BEFORE the
+    # measurement loop now: the floor-probe rule compares against it
+    # mid-run (it also still drives the post-run regression flags)
+    here_dir = os.path.dirname(os.path.abspath(__file__))
+    bench_full_path = os.path.join(here_dir, "BENCH_FULL.json")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    payload_sf = float(sf) if sf.replace(".", "").isdigit() else sf
+    baseline_path = os.path.join(here_dir, f"BENCH_BASELINE_sf{sf}.json")
+    prior_queries: dict[str, float] = {}
+    prior_lane: dict[str, float] = {}
+    baseline_src = None
+    for cand in (baseline_path, bench_full_path):
+        if not os.path.exists(cand):
+            continue
+        try:
+            with open(cand) as f:
+                prior = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if prior.get("sf") == payload_sf:
+            prior_queries = prior.get("queries", {}) or {}
+            prior_lane = prior.get("verify_lane", {}) or {}
+            baseline_src = os.path.basename(cand)
+            break
+
+    def _over_flag_bar(name: str, times: list[float],
+                       before: dict[str, float]) -> bool:
+        prior = before.get(name)
+        return prior is not None and min(times) > 1.6 * prior + 1.0
+
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
 
@@ -346,6 +391,11 @@ def main() -> None:
         times = [_one_run(spec) for _ in range(repeats)]
         while _two_lowest_disagree(times) and len(times) < repeat_cap:
             times.append(_one_run(spec))
+        while (
+            _over_flag_bar(name, times, prior_queries)
+            and len(times) < flag_runs
+        ):
+            times.append(_one_run(spec))
         runs[name] = times
         timings[name] = min(times)
 
@@ -364,6 +414,11 @@ def main() -> None:
     for name in sorted(n for n in REGISTRY if n.endswith("_verify")):
         times = [_one_run(REGISTRY[name]) for _ in range(repeats)]
         while _two_lowest_disagree(times) and len(times) < repeat_cap:
+            times.append(_one_run(REGISTRY[name]))
+        while (
+            _over_flag_bar(name, times, prior_lane)
+            and len(times) < flag_runs
+        ):
             times.append(_one_run(REGISTRY[name]))
         verify_lane_runs[name] = times
         verify_lane[name] = min(times)
@@ -389,28 +444,9 @@ def main() -> None:
     # query with a reason in BENCH_REBASE.json ({"query": "reason"});
     # the run applies it, appends the (query, prior, new, reason)
     # record to BENCH_REBASE_LOG.json, and consumes the request, so
-    # every raised floor leaves an audit trail.
-    here_dir = os.path.dirname(os.path.abspath(__file__))
-    bench_full_path = os.path.join(here_dir, "BENCH_FULL.json")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    payload_sf = float(sf) if sf.replace(".", "").isdigit() else sf
-    baseline_path = os.path.join(here_dir, f"BENCH_BASELINE_sf{sf}.json")
-    prior_queries: dict[str, float] = {}
-    prior_lane: dict[str, float] = {}
-    baseline_src = None
-    for cand in (baseline_path, bench_full_path):
-        if not os.path.exists(cand):
-            continue
-        try:
-            with open(cand) as f:
-                prior = json.load(f)
-        except (json.JSONDecodeError, OSError):
-            continue
-        if prior.get("sf") == payload_sf:
-            prior_queries = prior.get("queries", {}) or {}
-            prior_lane = prior.get("verify_lane", {}) or {}
-            baseline_src = os.path.basename(cand)
-            break
+    # every raised floor leaves an audit trail. (The baseline itself
+    # is loaded before the measurement loop — the floor-probe rule
+    # reads it mid-run.)
 
     def _regressed(now: dict[str, float], before: dict[str, float]) -> dict:
         return {
@@ -453,6 +489,7 @@ def main() -> None:
         "unit": "sec",
         "sf": payload_sf,
         "repeats": repeats,
+        "flag_runs": flag_runs,
         "variance_pct": variance_pct,
     }
 
