@@ -28,85 +28,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # ---- ROUND 15 WINDOW (50 slots exactly) --------------------------
-    # Block A (1): never-driver-sampled FIRST — the foreachBatch
-    # file-sink streaming twin registered this round (VERDICT r14
-    # item 6): the driver-unbounded route past the memory sink's
-    # MEMSINK_MAX_ROWS ceiling, under the same batch tumbling oracle
-    # as events_stream_tumbling.
-    "events_stream_file_sink",
-    # Block B (42): the complete r11 block — every query whose
-    # latest driver row is round 11, exactly as the r14 rotation
-    # note promised (VERDICT r14 item 3). After this round no
-    # query's latest driver row predates r12.
-    "association_rules",
-    "bm25_scoring",
-    "cms_heavy_hitters",
-    "collocation_phrase_match",
-    "current_version_per_order",
-    "customer_rfm_segments",
-    "dense_id_assignment",
-    "doc_chunking",
-    "embedding_drift_monitor",
-    "embedding_split_leakage",
-    "event_cusum_changepoints",
-    "event_rate_anomaly",
-    "events_stream_join_attribution",
-    "events_stream_tumbling",
-    "events_tumbling_hourly",
-    "filters_membership",
-    "fk_integrity_audit",
-    "funnel_conversion_stages",
-    "fuzzy_blocked_match",
-    "golden_record_merge",
-    "gopher_quality_rules",
-    "group_median_discrete",
-    "incremental_exact_dedup",
-    "ivf_cosine_topk",
-    "join_fanout_skew_report",
-    "local_supplier_volume",
-    "order_gap_days",
-    "pii_redaction",
-    "pricing_summary",
-    "rank_dense_ntile",
-    "robust_length_filter",
-    "running_revenue_per_customer",
-    "session_id_assignment",
-    "session_path_topk",
-    "shingle_novelty",
-    "string_keys",
-    "tfidf_top_terms",
-    "time_decayed_engagement",
-    "timeline_gap_fill",
-    "token_count_bpe",
-    "topk_expensive_items",
-    "trend_slope_per_type",
-    # Block C (7): queries whose EXECUTED PLANS changed this round,
-    # pulled forward under the touched-code rule even though all
-    # were driver-green r12-r14 — ivf_multiprobe_twolevel and
-    # ivf_multiprobe_neardup now rank probes from the staged
-    # assignment's qv instead of re-quantizing the raw scan
-    # (drift_r15 recovery; values identical, plan materially
-    # different); scd2_append_fastpath and scd2_double_load execute
-    # the new localCheckpoint-pinned probe batch (the ADVICE r14
-    # determinism fix — the other three scd2_* heads share the same
-    # merge path, were r14-sampled, and were locally oracle-verified
-    # this round); kmeans_train_assign and semantic_dedup_survivors
-    # consume the restaged k-means fixture after the dead outer
-    # fan_out removal; pq_verify reads the restaged IVF/PQ models
-    # whose layout the staging-tag churn rebuilt. (events_stream_*
-    # drain through the new memory-sink guard, but the guard is a
-    # count + compare above the unchanged aggregate plan, and
-    # events_stream_tumbling is already in Block B.)
-    "ivf_multiprobe_twolevel",
-    "ivf_multiprobe_neardup",
-    "scd2_append_fastpath",
-    "scd2_double_load",
-    "kmeans_train_assign",
-    "semantic_dedup_survivors",
-    "pq_verify",
-    # everything below position 50 was driver-green in rounds 12-14
-    # with code unchanged this round; deferred past the sample window
+    # ---- ROUND 16 WINDOW (50 slots exactly) --------------------------
+    # Block A (1): this round's most plan-changed query. The three
+    # bpe heads now read the session-staged segmented vocabulary
+    # (VERDICT r15 item 1) instead of retraining merges per query;
+    # bpe_segment_apply IS the staged table surfaced row for row, so
+    # its recursive-CTE oracle row is the strictest driver check of
+    # the new fixture (bpe_doc_tokenize was r15-sampled and is
+    # locally oracle-green on the staged path; bpe_fertility_by_lang
+    # is r13 and rotates next round). The other r16 plan changes —
+    # the SCD-2 pin hoist (scd2_* heads, r13-r15 rows) and the PQ
+    # guard band (no driver-scale plan change: literals returned
+    # below the band) — were all locally oracle-verified this round
+    # and none predates r13, so the r12 block below takes their
+    # slots per the rotation rule (VERDICT r15 item 3).
+    "bpe_segment_apply",
+    # Block B (49): the complete r12 block — every query whose
+    # latest driver row is round 12, exactly as the r15 rotation
+    # note promised. After this round no query's latest driver row
+    # predates r13.
+    "approx_distinct_customers",
+    "benchmark_decontam",
+    "bpe_merge_candidates",
+    "cdc_chunking",
+    "config_driven_projection",
+    "containment_dedup",
+    "count_distinct_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_exact_text",
+    "doc_fingerprint",
+    "docs_stream_dedup_ingest",
+    "dsir_importance_weights",
+    "embedding_cosine_topk",
+    "embedding_quantize",
+    "embeddings_stream_index_ingest",
+    "epoch_shuffle_order",
+    "events_stream_store_ingest",
+    "full_outer_key_overlap",
+    "geo_point_roundtrip",
+    "grouping_sets_revenue",
+    "incremental_agg_maintenance",
+    "ivf_blocked_neardup_strict",
+    "lang_id_heuristic",
+    "media_byte_stats",
+    "media_decode_features",
+    "media_frame_sample",
+    "minhash_near_dup",
+    "minhash_verify",
+    "ngram_jaccard_dedup",
+    "order_hierarchy_paths",
+    "outer_join_order_counts",
+    "pagerank_fixed_point",
+    "passage_dedup",
+    "region_nation_revenue",
+    "right_outer_parts",
+    "rrf_hybrid_retrieval",
+    "set_versioning_double_load",
+    "simhash_near_dup",
+    "simhash_verify",
+    "stats_quantiles_moments",
+    "substring_dedup_spans",
+    "text_stats",
+    "token_topk",
+    "top_revenue_orders",
+    "topk_orders_per_customer",
+    "utm_zone_epsg",
+    "winnow_fingerprints",
+    "winnow_near_dup",
+    # everything below position 50 was driver-green in rounds 13-15
+    # with code either unchanged this round or locally
+    # oracle-verified post-change; deferred past the sample window
 ]
 
 

@@ -17,73 +17,75 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# Round 15 window composition (50 slots exactly; see the block
+# Round 16 window composition (50 slots exactly; see the block
 # comments in __spark_entry__.py). Kept as constants so a window
 # refactor that silently drops a planned block fails loudly — but
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
-    "events_stream_file_sink",
+    # Block A: this round's most plan-changed query — the staged
+    # segmented vocabulary surfaced row for row (VERDICT r15 item 1)
+    "bpe_segment_apply",
 ]
 
-# the complete r11 block (42 queries whose latest driver row is
-# round 11), as promised by the r14 rotation note
+# the complete r12 block (49 queries whose latest driver row is
+# round 12), as promised by the r15 rotation note
 STALE_REFILL = [
-    "association_rules",
-    "bm25_scoring",
-    "cms_heavy_hitters",
-    "collocation_phrase_match",
-    "current_version_per_order",
-    "customer_rfm_segments",
-    "dense_id_assignment",
-    "doc_chunking",
-    "embedding_drift_monitor",
-    "embedding_split_leakage",
-    "event_cusum_changepoints",
-    "event_rate_anomaly",
-    "events_stream_join_attribution",
-    "events_stream_tumbling",
-    "events_tumbling_hourly",
-    "filters_membership",
-    "fk_integrity_audit",
-    "funnel_conversion_stages",
-    "fuzzy_blocked_match",
-    "golden_record_merge",
-    "gopher_quality_rules",
-    "group_median_discrete",
-    "incremental_exact_dedup",
-    "ivf_cosine_topk",
-    "join_fanout_skew_report",
-    "local_supplier_volume",
-    "order_gap_days",
-    "pii_redaction",
-    "pricing_summary",
-    "rank_dense_ntile",
-    "robust_length_filter",
-    "running_revenue_per_customer",
-    "session_id_assignment",
-    "session_path_topk",
-    "shingle_novelty",
-    "string_keys",
-    "tfidf_top_terms",
-    "time_decayed_engagement",
-    "timeline_gap_fill",
-    "token_count_bpe",
-    "topk_expensive_items",
-    "trend_slope_per_type",
+    "approx_distinct_customers",
+    "benchmark_decontam",
+    "bpe_merge_candidates",
+    "cdc_chunking",
+    "config_driven_projection",
+    "containment_dedup",
+    "count_distinct_customers",
+    "customers_with_orders",
+    "customers_without_orders",
+    "dedup_exact_text",
+    "doc_fingerprint",
+    "docs_stream_dedup_ingest",
+    "dsir_importance_weights",
+    "embedding_cosine_topk",
+    "embedding_quantize",
+    "embeddings_stream_index_ingest",
+    "epoch_shuffle_order",
+    "events_stream_store_ingest",
+    "full_outer_key_overlap",
+    "geo_point_roundtrip",
+    "grouping_sets_revenue",
+    "incremental_agg_maintenance",
+    "ivf_blocked_neardup_strict",
+    "lang_id_heuristic",
+    "media_byte_stats",
+    "media_decode_features",
+    "media_frame_sample",
+    "minhash_near_dup",
+    "minhash_verify",
+    "ngram_jaccard_dedup",
+    "order_hierarchy_paths",
+    "outer_join_order_counts",
+    "pagerank_fixed_point",
+    "passage_dedup",
+    "region_nation_revenue",
+    "right_outer_parts",
+    "rrf_hybrid_retrieval",
+    "set_versioning_double_load",
+    "simhash_near_dup",
+    "simhash_verify",
+    "stats_quantiles_moments",
+    "substring_dedup_spans",
+    "text_stats",
+    "token_topk",
+    "top_revenue_orders",
+    "topk_orders_per_customer",
+    "utm_zone_epsg",
+    "winnow_fingerprints",
+    "winnow_near_dup",
 ]
 
-# queries whose executed plans changed this round (staged-qv probe
-# ranking, the scd2 probe localCheckpoint, the restaged kmeans/PQ
-# fixtures) — see __spark_entry__.py Block C
-TOUCHED = [
-    "ivf_multiprobe_twolevel",
-    "ivf_multiprobe_neardup",
-    "scd2_append_fastpath",
-    "scd2_double_load",
-    "kmeans_train_assign",
-    "semantic_dedup_survivors",
-    "pq_verify",
-]
+# no separate touched block this round: the remaining r16 plan
+# changes (the SCD-2 pin hoist, the PQ guard band) sit on queries
+# whose latest driver rows are r13-r15 and were all locally
+# oracle-verified post-change; the r12 block takes the slots
+TOUCHED: list[str] = []
 
 
 def _sampled_by_round() -> dict[str, int]:
