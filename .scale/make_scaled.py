@@ -83,7 +83,22 @@ write("supplier", f"""
          s_name, s_nationkey, s_acctbal
   FROM read_parquet('{SRC}/supplier.parquet') s, {reps} e
 """)
-for t in ["part", "nation", "region", "events"]:
+# events: R replicas with DISJOINT event/user id spaces and the
+# SAME event-time range — window structure (window count, watermark
+# geometry) is preserved while row volume and keyed-state
+# cardinality (users, dedup ids) scale linearly. The r15 battery
+# silently COPIED events unscaled (this loop below used to include
+# it), so its events_stream_* "slopes" of 0.97-1.03 were x1-vs-x1
+# artifacts — caught by the SCALE_r16 input row-count assertion
+# (VERDICT r15 item 7), which exists precisely for this failure.
+write("events", f"""
+  SELECT ev.event_id + e.r * 1000000 AS event_id,
+         ev.ts,
+         ev.user_id + e.r * 10000 AS user_id,
+         ev.event_type, ev.value, ev.props
+  FROM read_parquet('{SRC}/events.parquet') ev, {reps} e
+""")
+for t in ["part", "nation", "region"]:
     dest = f"{OUT}/{t}.parquet"
     if not os.path.exists(dest):
         shutil.copy(f"{SRC}/{t}.parquet", dest)

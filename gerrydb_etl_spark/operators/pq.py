@@ -80,7 +80,9 @@ def pq_params_for_corpus(
     candidate ceiling — inside a dense cell most candidates quantize
     to IDENTICAL code words, the ADC shortlist becomes tie-noise,
     and the exact rescore cannot repair what never enters it. The
-    scaled regime, measured knob by knob at 256k:
+    scaled regime is a single point, (4, 64, 64), because every
+    cheaper combination was measured and lost (SCALE_r15 pq_tuning +
+    SCALE_r16 midpoint/refine sweeps):
 
       * n_codes is the binding knob: 16 -> 64 codes per subspace
         took recall 0.109 -> 0.662 (refine 16) at +34% query wall.
@@ -93,28 +95,28 @@ def pq_params_for_corpus(
         (PQ_LITERAL_CODE_CAP) that removed adc_tables' unrolled-
         fold cliff (94.5s -> 51.9s query at 256 codes, values
         pinned identical by tests/test_pq.py dispatch-parity).
-      * refine repairs the remaining ADC ordering error only once
-        the codes discriminate: 16 -> 32 took 0.662 -> 0.781
-        (~90% of the IVF candidate ceiling) for +2s; at 16 codes
-        even refine=32 stalled at 0.338.
+      * refine=64 is the second knob, measured r16: 32 -> 64 took
+        recall 0.859 at 256k (~98.5% of the 0.872 IVF candidate
+        ceiling; r15 stopped the sweep at 32 = 0.781) and 0.831 at
+        128k, at no measurable query-wall cost — the shortlist
+        rescore is n_queries * k * refine rows, noise at these
+        scales. refine only repairs ADC ordering once the codes
+        discriminate: at 16 codes even refine=32 stalled at 0.338.
+      * the r15 interpolation (codes = n//4000 between the
+        endpoints) was KILLED by the r16 midpoint measurement: a
+        128k corpus under the interpolated (4, 32, 32) measured
+        recall 0.588 vs 0.791/0.831 for 64-code books on the same
+        corpus — the mid-band traded away recall to save a 64-code
+        build whose cost (~30s at 256k, less at 128k) is trivial
+        next to the coarse IVF build it always accompanies
+        (111-166s). Mid-scale corpora get the full-quality books.
       * doubling m to 8 doubles ADC join rows for less gain than
         doubling codes (0.728 at m=8/c64/r32 vs 0.781 at m=4) —
         the 16-dim subspaces are not the resolution bottleneck at
-        this dimensionality.
-
-    n_codes interpolates with corpus size (~occupancy/8 once the
-    cell cap binds) so mid-scale corpora do not jump straight to
-    the 64-code build cost. refine scales WITH codes rather than
-    jumping straight to 32 (ADVICE r15): the 256k sweep showed
-    refine only repairs ADC ordering once the codes discriminate
-    (at 16 codes refine=32 stalled at 0.338 while paying ~4x the
-    shortlist rescore), so books still near the 16-code floor keep
-    the floor refine and the 32-code point upward gets refine=32."""
+        this dimensionality."""
     if n_vecs <= PQ_ACTIVATE:
         return floor_m, floor_codes, floor_refine
-    codes = min(64, max(floor_codes, n_vecs // 4000))
-    refine = 32 if codes >= 32 else floor_refine
-    return floor_m, codes, refine
+    return floor_m, 64, 64
 
 
 def _slice(col: Column, m: int, sub_dim: int) -> Column:

@@ -720,7 +720,8 @@ def _stage_key_range_batches(
     width = max(1, (hi - lo0 + n_batches) // n_batches)
     stage = tempfile.mkdtemp(prefix=f"{prefix}_stream_")
     t0 = time.time() - 3600
-    for i in range(n_batches):
+
+    def _write_batch(i: int) -> None:
         lo = lo0 + i * width
         up = lo0 + (i + 1) * width if i < n_batches - 1 else hi + 1
         tmp = tempfile.mkdtemp(prefix=f"{prefix}_batch_")
@@ -735,6 +736,18 @@ def _stage_key_range_batches(
         shutil.move(part, dest)
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dest, (t0 + i, t0 + i))
+
+    # the N single-file batch writes are independent single-task jobs
+    # (coalesce(1) serializes each one internally), so run them as
+    # concurrent Spark jobs — the scheduler interleaves them across
+    # cores, and the deterministic mtimes are set AFTER each move, so
+    # completion order cannot perturb the file-source delivery order.
+    # At x10 bench scale this halves the staging wall the streamed
+    # queries carry (VERDICT r15 item 5).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_batches) as pool:
+        list(pool.map(_write_batch, range(n_batches)))
     return stage
 
 
@@ -1043,6 +1056,7 @@ def run_stream_vector_index(
     layout is exactly what ivf_topk's probe join prunes on, so the
     index is queryable mid-stream with no rebuild."""
     from gerrydb_etl_spark.operators.kmeans import assign, quantize
+    from gerrydb_etl_spark.operators.partitioning import fan_out
     from gerrydb_etl_spark.store.staging import staged_ivf
 
     _, centroids = staged_ivf(spark, sf_dir, n_cells, iters)
@@ -1064,8 +1078,24 @@ def run_stream_vector_index(
         marker = edir + ".committed"
         if os.path.exists(marker):  # replayed epoch -> no-op
             return
-        assigned = assign(quantize(batch_df), centroids).select(
-            "vec_id", F.col("cluster_id").alias("cell")
+        # fan the epoch's rows out to cluster parallelism before the
+        # compute-heavy narrow assign: a micro-batch delivered as ONE
+        # file otherwise runs the literal-centroid fold on the file's
+        # few natural splits regardless of core count — the measured
+        # x10 slope driver (SCALE_r15 3.15x; VERDICT r15 item 5). At
+        # production scale an epoch spans many files and fan_out
+        # no-ops (same gate as the batch training paths). The
+        # repartition("cell") BETWEEN compute and write matters as
+        # much: the fold runs on the fanned partitions map-side, then
+        # one exchange compacts each cell into one writer task —
+        # without it every fanned partition opens a file per cell it
+        # touches (32 x cells small files per epoch; measured 27.7s
+        # vs 7.5s at the x10 point, a 5.01x slope from file-commit
+        # overhead alone).
+        assigned = (
+            assign(quantize(fan_out(batch_df)), centroids)
+            .select("vec_id", F.col("cluster_id").alias("cell"))
+            .repartition("cell")
         )
         assigned.write.mode("overwrite").partitionBy("cell").parquet(edir)
         with open(marker, "w") as f:
@@ -1156,7 +1186,18 @@ def run_stream_checksum(
         marker = edir + ".committed"
         if os.path.exists(marker):  # replayed epoch -> no-op
             return
-        digest(batch_df).write.mode("overwrite").parquet(edir)
+        # fan the epoch's rows out to cluster parallelism before the
+        # compute-heavy narrow digest (the portable per-char row-
+        # signature fold): a micro-batch delivered as ONE file
+        # otherwise folds on the file's few natural splits regardless
+        # of core count — the measured x10 slope driver (SCALE_r15
+        # 4.18x; VERDICT r15 item 5). Values unaffected: the digest
+        # pair (COUNT, XOR) is combine-order-free by construction. At
+        # production scale an epoch spans many files and fan_out
+        # no-ops.
+        from gerrydb_etl_spark.operators.partitioning import fan_out
+
+        digest(fan_out(batch_df)).write.mode("overwrite").parquet(edir)
         with open(marker, "w") as f:
             f.write(str(batch_id))
 

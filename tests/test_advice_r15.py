@@ -26,34 +26,37 @@ def test_forced_pq_params_guard_band_is_live():
         _forced_pq_params,
     )
 
-    # at and below the activation point: literals, no raise — and in
-    # the band's first sliver (codes still floor at n//4000 <= 16,
-    # refine held at floor by the ADVICE r15 scaling rule) the rule
-    # coincidentally RETURNS the literals, so the oracle stays valid
-    # and the guard stays quiet
-    for n in (60, 6_000, PQ_ACTIVATE, PQ_ACTIVATE + 1, 16 * 4_000):
+    # at and below the activation point: literals, no raise
+    for n in (60, 6_000, PQ_ACTIVATE):
         assert _forced_pq_params(n) == (_PQ_M, _PQ_CODES, _PQ_REFINE)
-    # inside the band where the scaled rule DIVERGES from the
-    # literals -> loud failure, not a silent oracle hash mismatch
-    for n in (17 * 4_000, 100_000, 2 * PQ_ACTIVATE):
+    # inside the band the scaled rule diverges from the literals
+    # immediately (one production point past activation, SCALE_r16)
+    # -> loud failure, not a silent oracle hash mismatch
+    for n in (PQ_ACTIVATE + 1, 100_000, 2 * PQ_ACTIVATE):
         with pytest.raises(AssertionError, match="guard band"):
             _forced_pq_params(n)
     # past the band: the intentional-scale regime, scaled rule governs
-    assert _forced_pq_params(256_000) == (4, 64, 32)
+    assert _forced_pq_params(256_000) == (4, 64, 64)
 
 
-def test_pq_refine_scales_with_codes():
-    """ADVICE r15 (operators/pq.py): refine=32 at near-floor code
-    books buys nothing (0.338 recall at 16 codes in the 256k sweep)
-    while paying ~4x the shortlist rescore, so the mid-band keeps
-    the floor refine until the books discriminate (codes >= 32)."""
-    from gerrydb_etl_spark.operators.pq import pq_params_for_corpus
+def test_pq_mid_band_is_gone():
+    """ADVICE r15 flagged the interpolation mid-band (codes near 16
+    with refine already 32 — the worst measured knob combination).
+    The SCALE_r16 midpoint measurement resolved it by KILLING the
+    interpolation: past PQ_ACTIVATE there is exactly one production
+    point, (4, 64, 64) — the interpolated (4,32,32) at 128k recalled
+    0.588 vs 0.831 for the full books on the same corpus, and the
+    64-code build cost is trivial next to the coarse IVF build."""
+    from gerrydb_etl_spark.operators.pq import (
+        PQ_ACTIVATE,
+        pq_params_for_corpus,
+    )
 
-    m, c, r = pq_params_for_corpus(70_000)
-    assert c < 32 and r == 8, (m, c, r)  # mid-band: floor refine
-    m, c, r = pq_params_for_corpus(128_000)
-    assert (c, r) == (32, 32), (m, c, r)  # books discriminate
-    assert pq_params_for_corpus(256_000) == (4, 64, 32)
+    seen = {
+        pq_params_for_corpus(n)
+        for n in (PQ_ACTIVATE + 1, 70_000, 128_000, 256_000, 10_000_000)
+    }
+    assert seen == {(4, 64, 64)}, seen
 
 
 def test_scd2_merge_pins_incoming_on_close_insert_path(spark, tmp_path):

@@ -89,10 +89,16 @@ def test_staged_pq_identical_to_inline(spark):
 
 
 def test_pq_params_for_corpus_rule():
-    """SCALE_r15 pq_tuning: floors (= the oracle literals) at every
-    driver scale; the measured production regime past PQ_ACTIVATE;
-    codes capped at 64 — the literal-codegen cliff where 256-code
-    books measured slower AND worse (90s query, recall 0.362)."""
+    """SCALE_r15 pq_tuning + SCALE_r16 midpoint/refine sweeps: floors
+    (= the oracle literals) at every driver scale; ONE measured
+    production point (4, 64, 64) past PQ_ACTIVATE — the r15
+    interpolation was killed by the r16 midpoint measurement (the
+    interpolated (4,32,32) at 128k recalled 0.588 vs 0.831 for the
+    full books on the same corpus), and refine=64 was measured
+    strictly better at both 128k and 256k (0.859 vs 0.781 at the
+    endpoint) at no query-wall cost. codes stay capped at 64 — the
+    literal-codegen cliff where 256-code books measured slower AND
+    worse."""
     from gerrydb_etl_spark.operators.pq import (
         PQ_ACTIVATE,
         pq_params_for_corpus,
@@ -100,14 +106,8 @@ def test_pq_params_for_corpus_rule():
 
     for n in (100, 2_000, 20_000, PQ_ACTIVATE):
         assert pq_params_for_corpus(n) == (4, 16, 8)
-    assert pq_params_for_corpus(256_000) == (4, 64, 32)
-    assert pq_params_for_corpus(10_000_000) == (4, 64, 32)
-    # codes interpolate monotonically between the floor and the cap
-    prev = 16
-    for n in (70_000, 100_000, 200_000, 400_000):
-        c = pq_params_for_corpus(n)[1]
-        assert prev <= c <= 64
-        prev = c
+    for n in (PQ_ACTIVATE + 1, 128_000, 256_000, 10_000_000):
+        assert pq_params_for_corpus(n) == (4, 64, 64)
 
 
 def test_forced_pq_params_matches_oracle_literals():
@@ -123,7 +123,7 @@ def test_forced_pq_params_matches_oracle_literals():
 
     for n in (60, 600, 2_000, 6_000):  # the driver corpus sizes
         assert _forced_pq_params(n) == (_PQ_M, _PQ_CODES, _PQ_REFINE)
-    assert _forced_pq_params(256_000) == (4, 64, 32)
+    assert _forced_pq_params(256_000) == (4, 64, 64)
 
 
 def test_join_path_matches_literal_path_exactly(spark, monkeypatch):
