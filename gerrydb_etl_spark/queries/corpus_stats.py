@@ -232,10 +232,15 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the conjunction. Every comparison is cross-multiplied into
     integers (total_chars*10 >= 30*n_words instead of mean >= 3.0)
     so no division-order float can diverge between engines. Narrow
-    map over the scan — zero shuffles."""
+    map over the scan — zero shuffles; fanned to cluster parallelism
+    first (gated no-op at production split counts) because the
+    tokenize/fold stack otherwise runs on the scan's few natural
+    splits — measured 5.69x wall for 10x data on 2-of-32 cores
+    (SCALE_r16 curation_families)."""
     from gerrydb_etl_spark.functions.text import STOPWORDS, tokenize
+    from gerrydb_etl_spark.operators.partitioning import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     w = tokenize("text")
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     m = docs.select(

@@ -371,9 +371,16 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: a pure narrow map — regex matching runs JVM-side inside
     whole-stage codegen (Spark regexp_* are built-in expressions, not
-    UDFs); nothing shuffles.
+    UDFs); nothing shuffles. fan_out (gated no-op once the scan
+    yields >= parallelism splits) because a pure narrow map inherits
+    the SCAN's partitioning: the r16 curation battery measured a
+    9.05x wall for 10x data with the regex stack running on the x10
+    file's TWO natural splits — 3.35s on 2 of 32 cores
+    (SCALE_r16 curation_families).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     synth = F.concat(
         F.col("text"),
         F.lit(" contact user"),
