@@ -72,7 +72,13 @@ def collocation_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Positions
     are 1-based original word indices; adjacent pairs with an empty
     token on either side are skipped in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanned to cluster parallelism (gated no-op at production
+    # split counts): the narrow text compute otherwise inherits
+    # the scan's few splits — measured 4.91x for 10x data on the scan's two splits
+    # (SCALE_r16 curation_families post_fanout).
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     # adjacent pairs via zip_with over two slices — element refs, no
     # per-element element_at(ws, i) (which re-evaluates the split

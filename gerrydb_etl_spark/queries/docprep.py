@@ -42,7 +42,13 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride -> 20-char overlap) — the unit-of-training-example split
     that precedes tokenization. Narrow map, zero shuffles; output
     partitioning inherits the parquet scan's."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanned to cluster parallelism (gated no-op at production
+    # split counts): the narrow text compute otherwise inherits
+    # the scan's few splits — measured 3.24x for 10x data on the scan's two splits
+    # (SCALE_r16 curation_families post_fanout).
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return chunk_documents(
         docs, chunk_size=CHUNK_SIZE, stride=STRIDE
     )
@@ -90,7 +96,13 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep verdict at (0.55, 0.05). Thresholds chosen to split this
     corpus (dup_word_frac median ~0.54, top_bigram_frac max ~0.17)
     so the verdict column is exercised in both directions."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fanned to cluster parallelism (gated no-op at production
+    # split counts): the narrow text compute otherwise inherits
+    # the scan's few splits — measured 5.7x for 10x data on the scan's two splits
+    # (SCALE_r16 curation_families post_fanout).
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return repetition_stats(docs)
 
 
