@@ -122,10 +122,18 @@ def test_column_pruning_reaches_scan(spark):
 
 def test_chunking_has_no_exchange(spark):
     """doc_chunking is a pure narrow map (sequence/explode/substring)
-    — any Exchange appearing in its plan means someone added a
-    shuffle to an embarrassingly parallel operator."""
+    — a KEYED Exchange (hash/range) appearing in its plan means
+    someone added a real shuffle to an embarrassingly parallel
+    operator. The one allowed exception is the single round-robin
+    fan-out of the raw scan (SCALE_r16 curation_families: the narrow
+    compute otherwise inherits the scan's few splits — 3.24x wall
+    for 10x data on 2 of 32 cores; gated no-op at production split
+    counts), which moves each row once with no key and no
+    aggregation barrier."""
     plan = _executed_plan(spark, "doc_chunking")
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
 
 
 def test_partition_pruning_reaches_scan(spark):
