@@ -43,6 +43,38 @@ def write(table, sql):
 
 reps = f"(SELECT unnest(generate_series(0, {R-1})) AS r)"
 
+# Replica id-space guards (ADVICE r16): the strides below (event_id +
+# r*1_000_000, user_id + r*10_000, doc/vec_id + r*10_000, order/cust/
+# supp keys) are safe for the CURRENT sf0.1 source but were never
+# asserted — a regenerated or larger source would silently overlap
+# replica id spaces, the same silent mis-scaling class the r16
+# row-count assertions just caught. Assert source max ids < stride
+# BEFORE replicating, mirroring the 6r-mod-64 rotation guard above.
+_STRIDES = {
+    "events": [("event_id", 1_000_000), ("user_id", 10_000)],
+    "documents": [("doc_id", 10_000)],
+    "embeddings": [("vec_id", 10_000)],
+    "orders": [("o_orderkey", 1_000_000_000), ("o_custkey", 10_000_000)],
+    "lineitem": [
+        ("l_orderkey", 1_000_000_000),
+        ("l_partkey", 10_000_000),
+        ("l_suppkey", 1_000_000),
+    ],
+    "customer": [("c_custkey", 10_000_000)],
+    "supplier": [("s_suppkey", 1_000_000)],
+}
+for _t, _cols in _STRIDES.items():
+    for _c, _stride in _cols:
+        _mx = con.execute(
+            f"SELECT max({_c}) FROM read_parquet('{SRC}/{_t}.parquet')"
+        ).fetchone()[0]
+        if _mx >= _stride:
+            raise SystemExit(
+                f"{_t}.{_c}: source max {_mx} >= replica stride "
+                f"{_stride} — replica id spaces would overlap; widen "
+                "the stride before building scaled corpora"
+            )
+
 write("documents", f"""
   SELECT d.doc_id + e.r * 10000 AS doc_id,
          CASE WHEN e.r = 0 THEN d.text

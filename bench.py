@@ -349,8 +349,17 @@ def main() -> None:
 
     def _over_flag_bar(name: str, times: list[float],
                        before: dict[str, float]) -> bool:
+        # Two triggers, either earns the floor-probe runs:
+        #   absolute: > 1.6x prior + 1s (the judge's regression bar);
+        #   relative: > 2.5x prior with NO absolute term (VERDICT r16
+        #     item 1 — the +1s term let sub-second queries drift 3x
+        #     without ever earning a probe, exactly how the r15
+        #     quartet incubated in miniature).
         prior = before.get(name)
-        return prior is not None and min(times) > 1.6 * prior + 1.0
+        if prior is None:
+            return False
+        floor = min(times)
+        return floor > 1.6 * prior + 1.0 or floor > 2.5 * prior
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -455,8 +464,22 @@ def main() -> None:
             if n in before and now[n] > 1.6 * before[n] + 1.0
         }
 
+    # relative-drift record (VERDICT r16 item 1b): queries >= 2.5x
+    # their ratcheted floor, regardless of the +1s absolute term.
+    # Recorded separately from the regression flags (whose bar is the
+    # judge's) so sub-second drift is visible in BENCH_FULL even when
+    # it never crosses the absolute bar.
+    def _rel_drift(now: dict[str, float], before: dict[str, float]) -> dict:
+        return {
+            n: {"now": now[n], "prior": before[n]}
+            for n in now
+            if n in before and before[n] > 0 and now[n] > 2.5 * before[n]
+        }
+
     regressions = _regressed(timings, prior_queries)
     lane_regressions = _regressed(verify_lane, prior_lane)
+    rel_drift = _rel_drift(timings, prior_queries)
+    lane_rel_drift = _rel_drift(verify_lane, prior_lane)
     for lane_tag, flagged in (
         ("headline", regressions), ("verify_lane", lane_regressions)
     ):
@@ -521,6 +544,7 @@ def main() -> None:
 
     payload["regressions"] = len(regressions)
     payload["verify_lane_regressions"] = len(lane_regressions)
+    payload["relative_drift_over_2_5x"] = len(rel_drift)
     payload["baseline_compared"] = baseline_src is not None
     full = dict(
         payload,
@@ -535,6 +559,9 @@ def main() -> None:
         baseline_source=baseline_src,
         regressed_vs_prior=regressions,
         verify_lane_regressed_vs_prior=lane_regressions,
+        relative_drift_over_2_5x=rel_drift,
+        verify_lane_relative_drift_over_2_5x=lane_rel_drift,
+        relative_probe_bar="floor > 2.5 * prior_floor (no absolute term)",
     )
     with open(bench_full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

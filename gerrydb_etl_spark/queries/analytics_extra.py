@@ -76,9 +76,15 @@ def collocation_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split counts): the narrow text compute otherwise inherits
     # the scan's few splits — measured 4.91x for 10x data on the scan's two splits
     # (SCALE_r16 curation_families post_fanout).
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     ws = F.split("text", " ")
     # adjacent pairs via zip_with over two slices — element refs, no
     # per-element element_at(ws, i) (which re-evaluates the split

@@ -238,9 +238,15 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits — measured 5.69x wall for 10x data on 2-of-32 cores
     (SCALE_r16 curation_families)."""
     from gerrydb_etl_spark.functions.text import STOPWORDS, tokenize
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     w = tokenize("text")
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     m = docs.select(

@@ -378,9 +378,15 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     file's TWO natural splits — 3.35s on 2 of 32 cores
     (SCALE_r16 curation_families).
     """
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     synth = F.concat(
         F.col("text"),
         F.lit(" contact user"),

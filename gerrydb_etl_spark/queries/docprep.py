@@ -46,9 +46,15 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split counts): the narrow text compute otherwise inherits
     # the scan's few splits — measured 3.24x for 10x data on the scan's two splits
     # (SCALE_r16 curation_families post_fanout).
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     return chunk_documents(
         docs, chunk_size=CHUNK_SIZE, stride=STRIDE
     )
@@ -100,9 +106,15 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split counts): the narrow text compute otherwise inherits
     # the scan's few splits — measured 5.7x for 10x data on the scan's two splits
     # (SCALE_r16 curation_families post_fanout).
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     return repetition_stats(docs)
 
 

@@ -689,6 +689,14 @@ _PQ_SUB = 16  # 64-dim embeddings / 4 subspaces
 # straight past the band in one regen is out of oracle territory
 # altogether — the intentional-scale regime, where the scaled rule
 # governs and the SCALE_r15/r16 recall measurements apply.
+# Boundary note (ADVICE r16): the band is INCLUSIVE at exactly
+# n == 2*PQ_ACTIVATE (128k), so a query-path corpus at precisely the
+# measured (4,64,64) production point still raises — intentional
+# fail-loud: the 128k recall measurements (SCALE_r16, recall 0.831)
+# were taken through the operators directly, never through the
+# oracle-coupled query path, and keeping the boundary inside the
+# band means no corpus size exists where scaled params and a literal
+# oracle can meet.
 def _pq_guard_max_n() -> int:
     from gerrydb_etl_spark.operators.pq import PQ_ACTIVATE
 

@@ -91,9 +91,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan: zero shuffles; fanned to cluster parallelism first
     (gated no-op at production split counts — measured 2.32x for 10x
     data on the scan's two splits, SCALE_r16 curation_families)."""
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     t = tokenize(F.col("text"))
     return docs.select(
         "doc_id",
@@ -140,9 +146,15 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanned to cluster parallelism first (gated no-op at production
     split counts — measured 3.76x for 10x data on the scan's two
     splits, SCALE_r16 curation_families)."""
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     return docs.select("doc_id", "lang", lang_id(tokenize(F.col("text"))).alias("predicted"))
 
 
@@ -705,9 +717,15 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster parallelism first (gated no-op at production split
     counts — measured 6.29x for 10x data on the scan's two splits,
     SCALE_r16 curation_families)."""
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_SPLIT_PATTERN), 0)
     return docs.select(
         "doc_id",

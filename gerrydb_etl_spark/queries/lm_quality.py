@@ -269,19 +269,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target. The target set is the benchmark residue class
     (doc_id % {BENCH_MOD} = 0), matching benchmark_decontam.
 
-    Plan shape: one token explode → narrow hash-to-bucket map → one
-    map-side-combined count per bucket for raw and target (both
-    FEATURE_BUCKETS-bounded — tiny), ratio table joined back to the
-    token stream on the bucket key (broadcast: ≤ {FEATURE_BUCKETS}
-    rows) → one per-doc aggregation. Nothing collects to the driver.
+    Plan shape: one token explode → narrow hash-to-bucket map → ONE
+    conditional aggregation yielding both raw and target counts per
+    bucket in a single pass over the token stream (FEATURE_BUCKETS-
+    bounded — tiny), ratio table joined back to the token stream on
+    the bucket key (broadcast: ≤ {FEATURE_BUCKETS} rows) → one
+    per-doc aggregation. Nothing collects to the driver.
     The explode's map side is fanned to cluster parallelism first
     (gated no-op at production split counts): measured 4.0x wall for
     10x data on the scan's two natural splits (SCALE_r16
     curation_families).
     """
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"),
+        chunk_bytes=TEXT_CHUNK_BYTES,
+    )
     tok = docs.select(
         "doc_id",
         F.explode(tokenize(F.col("text"))).alias("tok"),
@@ -292,17 +299,26 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % FEATURE_BUCKETS
         ).alias("f"),
     )
-    raw = tok.groupBy("f").agg(F.count("*").alias("rcnt"))
-    tgt = (
-        tok.where(F.col("doc_id") % BENCH_MOD == 0)
-        .groupBy("f")
-        .agg(F.count("*").alias("tcnt"))
-    )
-    ratios = raw.join(tgt, "f", "left").select(
-        "f",
-        F.expr(
-            f"({RATIO_SCALE} * (COALESCE(tcnt, 0) + 1)) div (rcnt + 1)"
-        ).alias("ratio_e6"),
+    # raw and target counts in ONE pass over the token stream (r17:
+    # the separate raw/tgt aggregations each re-ran the explode and
+    # met in a join — one conditional aggregation halves the token
+    # passes and drops that join at every scale; the target count is
+    # a filtered count, so COUNT(IF(..)) is exactly the old
+    # COALESCE(tgt.tcnt, 0))
+    ratios = (
+        tok.groupBy("f")
+        .agg(
+            F.count("*").alias("rcnt"),
+            F.count(
+                F.when(F.col("doc_id") % BENCH_MOD == 0, F.lit(1))
+            ).alias("tcnt"),
+        )
+        .select(
+            "f",
+            F.expr(
+                f"({RATIO_SCALE} * (tcnt + 1)) div (rcnt + 1)"
+            ).alias("ratio_e6"),
+        )
     )
     return (
         tok.join(F.broadcast(ratios), "f")

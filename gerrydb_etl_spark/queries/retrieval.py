@@ -72,10 +72,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 5.21x wall for 10x data with the explode running on the
     scan's two natural splits (SCALE_r16 curation_families).
     """
-    from gerrydb_etl_spark.operators.partitioning import fan_out
+    from gerrydb_etl_spark.operators.partitioning import (
+        TEXT_CHUNK_BYTES,
+        fan_out,
+    )
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"))
-    n_docs = docs.count()
+    raw = load_table(spark, sf_dir, "documents")
+    # count the RAW scan (ADVICE r16): the scalar N needs no
+    # parallelism, and counting the fanned frame would pay the
+    # round-robin repartition of the whole corpus for a number the
+    # unshuffled scan already yields
+    n_docs = raw.count()
+    docs = fan_out(raw, chunk_bytes=TEXT_CHUNK_BYTES)
     tf = (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")

@@ -61,7 +61,17 @@ def _ensure_staged(spark: SparkSession, name: str, build) -> str:
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
-    build().write.mode("overwrite").format("parquet").saveAsTable(name)
+    # REBALANCE before the write (r17): builders that fan their
+    # compute to cluster parallelism otherwise write one file PER
+    # TASK — a 32-file staged fixture of a few MB whose every
+    # consumer then pays 32-task scan scheduling (the small-files
+    # antipattern; embedding_drift_monitor's r16 floor drift traced
+    # here, .scale/drift_r17.json). The AQE-managed rebalance sizes
+    # output files to the advisory partition size at ANY scale:
+    # tiny fixture -> 1 file, 100 TB fixture -> many ~64 MB files.
+    build().hint("rebalance").write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(name)
     return name
 
 
