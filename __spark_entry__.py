@@ -28,79 +28,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # ---- ROUND 16 WINDOW (50 slots exactly) --------------------------
-    # Block A (1): this round's most plan-changed query. The three
-    # bpe heads now read the session-staged segmented vocabulary
-    # (VERDICT r15 item 1) instead of retraining merges per query;
-    # bpe_segment_apply IS the staged table surfaced row for row, so
-    # its recursive-CTE oracle row is the strictest driver check of
-    # the new fixture (bpe_doc_tokenize was r15-sampled and is
-    # locally oracle-green on the staged path; bpe_fertility_by_lang
-    # is r13 and rotates next round). The other r16 plan changes —
-    # the SCD-2 pin hoist (scd2_* heads, r13-r15 rows) and the PQ
-    # guard band (no driver-scale plan change: literals returned
-    # below the band) — were all locally oracle-verified this round
-    # and none predates r13, so the r12 block below takes their
-    # slots per the rotation rule (VERDICT r15 item 3).
-    "bpe_segment_apply",
-    # Block B (49): the complete r12 block — every query whose
-    # latest driver row is round 12, exactly as the r15 rotation
-    # note promised. After this round no query's latest driver row
-    # predates r13.
-    "approx_distinct_customers",
-    "benchmark_decontam",
-    "bpe_merge_candidates",
-    "cdc_chunking",
-    "config_driven_projection",
-    "containment_dedup",
-    "count_distinct_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "dedup_exact_text",
-    "doc_fingerprint",
-    "docs_stream_dedup_ingest",
+    # ---- ROUND 17 WINDOW (50 slots exactly) --------------------------
+    # Block A (3): this round's most plan-changed queries not already
+    # inside the r13 refill below. embedding_drift_monitor and
+    # dsir_importance_weights were fully rewritten (the even/odd
+    # self-join -> one conditional pivot; the raw/tgt double
+    # aggregation -> one conditional agg) while recovering their r16
+    # floor drift; repetition_quality is the oldest driver row (r14)
+    # among the heads that took the chunked fan_out this round. The
+    # remaining r17 plan changes (the chunk_bytes fan-out cap on ten
+    # more text heads, the staged-fixture REBALANCE write layout, the
+    # multi-file stream epochs) sit on queries that are either inside
+    # the r13 block below (orders_stream_checksum, bpe_doc_tokenize,
+    # pq_adc_topk, embedding_neardup, neardup_clusters,
+    # cluster_survivor_selection) or carry r15/r16 rows and were
+    # locally oracle-verified post-change.
+    "embedding_drift_monitor",
     "dsir_importance_weights",
-    "embedding_cosine_topk",
-    "embedding_quantize",
-    "embeddings_stream_index_ingest",
-    "epoch_shuffle_order",
-    "events_stream_store_ingest",
-    "full_outer_key_overlap",
-    "geo_point_roundtrip",
-    "grouping_sets_revenue",
-    "incremental_agg_maintenance",
-    "ivf_blocked_neardup_strict",
-    "lang_id_heuristic",
-    "media_byte_stats",
-    "media_decode_features",
-    "media_frame_sample",
-    "minhash_near_dup",
-    "minhash_verify",
-    "ngram_jaccard_dedup",
-    "order_hierarchy_paths",
-    "outer_join_order_counts",
-    "pagerank_fixed_point",
-    "passage_dedup",
-    "region_nation_revenue",
-    "right_outer_parts",
-    "rrf_hybrid_retrieval",
-    "set_versioning_double_load",
-    "simhash_near_dup",
-    "simhash_verify",
-    "stats_quantiles_moments",
-    "substring_dedup_spans",
-    "text_stats",
-    "token_topk",
-    "top_revenue_orders",
-    "topk_orders_per_customer",
-    "utm_zone_epsg",
-    "winnow_fingerprints",
-    "winnow_near_dup",
-    # everything below position 50 was driver-green in rounds 13-15
+    "repetition_quality",
+    # Block B (47): the complete r13 block — every query whose
+    # latest driver row is round 13, exactly as the r16 rotation
+    # note promised. After this round no query's latest driver row
+    # predates r14.
+    "alias_resolution_join",
+    "ann_cosine_topk",
+    "ann_verify",
+    "asof_join_clicks_views",
+    "bigram_surprisal_filter",
+    "bpe_doc_tokenize",
+    "bpe_fertility_by_lang",
+    "bucket_checksum_diff",
+    "cdc_fuzzy_chunk_match",
+    "cdc_incremental_dedup",
+    "census_header_schema",
+    "classifier_trailing_char",
+    "cluster_survivor_selection",
+    "corpus_curation_filter",
+    "corrupt_record_quarantine",
+    "cube_returnflag_status",
+    "curriculum_packing",
+    "dedup_full_row",
+    "dim_upsert_if_absent",
+    "dpp_runtime_pruned_join",
+    "eav_long_table",
+    "embedding_int8_recall",
+    "embedding_neardup",
+    "embedding_neardup_verify",
+    "events_json_props",
+    "events_session_windows",
+    "events_sliding_windows",
+    "except_order_keys",
+    "histogram_quantile_rollup",
+    "image_dhash_neardup",
+    "incremental_minhash_dedup",
+    "intersect_nation_keys",
+    "ivf_index_quality",
+    "locality_hierarchy_paths",
+    "media_strict_decode",
+    "mode_part_brand",
+    "nations_per_region",
+    "neardup_clusters",
+    "orders_stream_checksum",
+    "pivot_status_by_flag",
+    "pq_adc_topk",
+    "priority_sample_topk",
+    "range_join_ship_window",
+    "rollup_order_priority",
+    "semantic_decontam",
+    "temperature_mix_weights",
+    "union_distinct_keys",
+    # everything below position 50 was driver-green in rounds 14-16
     # with code either unchanged this round or locally
     # oracle-verified post-change; deferred past the sample window
 ]
-
 
 def _ordered_registry():
     from gerrydb_etl_spark.queries import REGISTRY

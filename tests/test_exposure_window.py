@@ -17,74 +17,77 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# Round 16 window composition (50 slots exactly; see the block
+# Round 17 window composition (50 slots exactly; see the block
 # comments in __spark_entry__.py). Kept as constants so a window
 # refactor that silently drops a planned block fails loudly — but
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
-    # Block A: this round's most plan-changed query — the staged
-    # segmented vocabulary surfaced row for row (VERDICT r15 item 1)
-    "bpe_segment_apply",
-]
-
-# the complete r12 block (49 queries whose latest driver row is
-# round 12), as promised by the r15 rotation note
-STALE_REFILL = [
-    "approx_distinct_customers",
-    "benchmark_decontam",
-    "bpe_merge_candidates",
-    "cdc_chunking",
-    "config_driven_projection",
-    "containment_dedup",
-    "count_distinct_customers",
-    "customers_with_orders",
-    "customers_without_orders",
-    "dedup_exact_text",
-    "doc_fingerprint",
-    "docs_stream_dedup_ingest",
+    # Block A: this round's most plan-changed queries — the two
+    # floor-drift rewrites (conditional pivot / fused conditional
+    # aggregation) and the oldest-rowed head that took the chunked
+    # fan_out (VERDICT r16 item 1)
+    "embedding_drift_monitor",
     "dsir_importance_weights",
-    "embedding_cosine_topk",
-    "embedding_quantize",
-    "embeddings_stream_index_ingest",
-    "epoch_shuffle_order",
-    "events_stream_store_ingest",
-    "full_outer_key_overlap",
-    "geo_point_roundtrip",
-    "grouping_sets_revenue",
-    "incremental_agg_maintenance",
-    "ivf_blocked_neardup_strict",
-    "lang_id_heuristic",
-    "media_byte_stats",
-    "media_decode_features",
-    "media_frame_sample",
-    "minhash_near_dup",
-    "minhash_verify",
-    "ngram_jaccard_dedup",
-    "order_hierarchy_paths",
-    "outer_join_order_counts",
-    "pagerank_fixed_point",
-    "passage_dedup",
-    "region_nation_revenue",
-    "right_outer_parts",
-    "rrf_hybrid_retrieval",
-    "set_versioning_double_load",
-    "simhash_near_dup",
-    "simhash_verify",
-    "stats_quantiles_moments",
-    "substring_dedup_spans",
-    "text_stats",
-    "token_topk",
-    "top_revenue_orders",
-    "topk_orders_per_customer",
-    "utm_zone_epsg",
-    "winnow_fingerprints",
-    "winnow_near_dup",
+    "repetition_quality",
 ]
 
-# no separate touched block this round: the remaining r16 plan
-# changes (the SCD-2 pin hoist, the PQ guard band) sit on queries
-# whose latest driver rows are r13-r15 and were all locally
-# oracle-verified post-change; the r12 block takes the slots
+# the complete r13 block (47 queries whose latest driver row is
+# round 13), as promised by the r16 rotation note
+STALE_REFILL = [
+    "alias_resolution_join",
+    "ann_cosine_topk",
+    "ann_verify",
+    "asof_join_clicks_views",
+    "bigram_surprisal_filter",
+    "bpe_doc_tokenize",
+    "bpe_fertility_by_lang",
+    "bucket_checksum_diff",
+    "cdc_fuzzy_chunk_match",
+    "cdc_incremental_dedup",
+    "census_header_schema",
+    "classifier_trailing_char",
+    "cluster_survivor_selection",
+    "corpus_curation_filter",
+    "corrupt_record_quarantine",
+    "cube_returnflag_status",
+    "curriculum_packing",
+    "dedup_full_row",
+    "dim_upsert_if_absent",
+    "dpp_runtime_pruned_join",
+    "eav_long_table",
+    "embedding_int8_recall",
+    "embedding_neardup",
+    "embedding_neardup_verify",
+    "events_json_props",
+    "events_session_windows",
+    "events_sliding_windows",
+    "except_order_keys",
+    "histogram_quantile_rollup",
+    "image_dhash_neardup",
+    "incremental_minhash_dedup",
+    "intersect_nation_keys",
+    "ivf_index_quality",
+    "locality_hierarchy_paths",
+    "media_strict_decode",
+    "mode_part_brand",
+    "nations_per_region",
+    "neardup_clusters",
+    "orders_stream_checksum",
+    "pivot_status_by_flag",
+    "pq_adc_topk",
+    "priority_sample_topk",
+    "range_join_ship_window",
+    "rollup_order_priority",
+    "semantic_decontam",
+    "temperature_mix_weights",
+    "union_distinct_keys",
+]
+
+# no separate touched block this round: the remaining r17 plan
+# changes (chunked fan_out on ten more text heads, the staged-fixture
+# REBALANCE layout, multi-file stream epochs) sit on queries either
+# inside the r13 refill or carrying r15/r16 rows, all locally
+# oracle-verified post-change
 TOUCHED: list[str] = []
 
 
