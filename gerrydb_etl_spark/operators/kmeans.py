@@ -251,6 +251,19 @@ def _blocked_qd(assigned: DataFrame) -> tuple[DataFrame, list[str]]:
     cell_cols = ["cluster_id"] + (
         ["sub_id"] if "sub_id" in assigned.columns else []
     )
+    # fan the assignment to cluster parallelism before the per-row
+    # fold (r17): the staged model fixtures are REBALANCE-written
+    # (store/staging.py), so at bench scale the assignment scan is
+    # ONE file — without the fan-out the norm folds below and the
+    # checkpoint write run on one task (measured: the four blocked-
+    # pair consumers regressed 3.7-6.2x when the fixture collapsed
+    # from 32 files to 1; the relative floor-probe caught it). At
+    # production the assignment spans many files and this no-ops.
+    # Vector path: full parallelism, no chunk_bytes (incompressible
+    # float payload, fold-heavy work per byte).
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    assigned = fan_out(assigned)
     # norms are folded ONCE PER ROW here; recomputing them
     # inside the pair filter would triple the per-pair fold
     # work (same fix as the vector-family rescore path)
