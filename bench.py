@@ -276,6 +276,39 @@ def main() -> None:
     _staged("pq", ensure_staged_pq, spark, sf_dir,
             m_subs=4, n_codes=16, iters=2)
 
+    # ...and the one-pass cell splits (the second quantizer level the
+    # forced-split queries consume — r17): write-once index state with
+    # the same economics as the base k-means/IVF models above; the
+    # two consumers each re-trained the grouped Lloyd pass inline per
+    # call before this.
+    from gerrydb_etl_spark.queries.clustering import (
+        _forced_per_cell,
+        _HITERS,
+        _HK,
+        _HPER,
+        _TLPER,
+    )
+    from gerrydb_etl_spark.store.staging import (
+        corpus_count,
+        ensure_staged_ivf,
+        ensure_staged_kmeans,
+        ensure_staged_split,
+    )
+
+    n_emb = corpus_count(spark, sf_dir, "embeddings")
+    k4_name = ensure_staged_kmeans(spark, sf_dir, k=_HK, iters=_HITERS)
+    _staged(
+        "split_kmeans_k4", ensure_staged_split, spark, k4_name,
+        spark.table(k4_name).select("vec_id", "cluster_id", "qv"),
+        _forced_per_cell(n_emb, _HPER),
+    )
+    ivf4_name, _ivf4c = ensure_staged_ivf(spark, sf_dir, _HK, _HITERS)
+    _staged(
+        "split_ivf_c4", ensure_staged_split, spark, ivf4_name,
+        spark.table(ivf4_name).select("vec_id", "cluster_id", "qv"),
+        _forced_per_cell(n_emb, _TLPER),
+    )
+
     # ...and the near-dup component assignment (doc, cluster_rep):
     # the closure shared by neardup_clusters and
     # cluster_survivor_selection (VERDICT r7 item 2) — computed once

@@ -455,6 +455,75 @@ def ensure_staged_ivf(
     return name, cname
 
 
+def staged_split_names(
+    base_table: str, per_cell: int, iters: int
+) -> tuple[str, str]:
+    """(assignment_table, subcentroid_table) names for the staged
+    one-pass cell split over ``base_table``. The base name already
+    embeds the source fingerprint and its builder's derivation tag;
+    the split suffix re-embeds the kmeans module tag so a split-code
+    edit restages even if the base fixture survives."""
+    from gerrydb_etl_spark.operators import kmeans as kmeans_mod
+
+    code = _derivation_tag(kmeans_mod)
+    a = f"{base_table}_sp{per_cell}_i{iters}_{code}"
+    return a, a + "_subcents"
+
+
+def ensure_staged_split(
+    spark: SparkSession,
+    base_table: str,
+    assigned: DataFrame,
+    per_cell: int,
+    iters: int = 2,
+) -> tuple[str, str]:
+    """Stage the ONE-PASS (max_levels=1) oversized-cell split of a
+    staged quantizer assignment: the refined (vec_id, cluster_id,
+    sub_id, qv) assignment AND the fine codebook (cluster_id, sub,
+    cv) it was computed against. The split is the second LEVEL of
+    the trained quantizer — write-once corpus state with the same
+    economics as the staged k-means/IVF models it refines (a
+    production index persists its fine codebook; re-running grouped
+    Lloyd per query multiplies index build cost by consumer count).
+    Fixed-point training: staged values are identical to inline, so
+    the full-replay DuckDB oracles are unaffected. max_levels is
+    pinned to 1 because that is the contract every oracle-replayed
+    consumer pins (the recursive default stays at the production
+    activation sites, which train inline)."""
+    from gerrydb_etl_spark.operators.kmeans import split_oversized_cells
+
+    aname, cname = staged_split_names(base_table, per_cell, iters)
+    if spark.catalog.tableExists(aname) and spark.catalog.tableExists(
+        cname
+    ):
+        return aname, cname
+    # partial staleness must rebuild BOTH (the ensure_staged_ivf pair
+    # rule: a sub assignment is only valid against its codebook)
+    for t in (aname, cname):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    split, subcents = split_oversized_cells(
+        assigned, per_cell=per_cell, iters=iters, max_levels=1
+    )
+    _ensure_staged(spark, aname, lambda: split)
+    _ensure_staged(spark, cname, lambda: subcents)
+    return aname, cname
+
+
+def staged_split(
+    spark: SparkSession,
+    base_table: str,
+    assigned: DataFrame,
+    per_cell: int,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """(split assignment, subcentroids) from the staged one-pass
+    split (staging on first use)."""
+    aname, cname = ensure_staged_split(
+        spark, base_table, assigned, per_cell, iters
+    )
+    return spark.table(aname), spark.table(cname)
+
+
 # driver-side model collects, memoized by staged-table name: the
 # centroid dict / codebook list is re-collected on EVERY query call
 # otherwise (one driver job each — the vector family pays 1-2 such
