@@ -309,6 +309,13 @@ def main() -> None:
         _forced_per_cell(n_emb, _TLPER),
     )
 
+    # ...and the perceptual dHash fingerprint index (r17): the
+    # image-side twin of the staged token hashes — decode + hash
+    # once, Hamming-join on the ~40 bytes/image fingerprints forever
+    from gerrydb_etl_spark.store.staging import ensure_staged_dhash
+
+    _staged("dhash_fps", ensure_staged_dhash, spark, sf_dir)
+
     # ...and the near-dup component assignment (doc, cluster_rep):
     # the closure shared by neardup_clusters and
     # cluster_survivor_selection (VERDICT r7 item 2) — computed once

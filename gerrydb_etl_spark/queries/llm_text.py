@@ -1160,10 +1160,16 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket cap; verification touches candidates only. Full pixel-
     level DuckDB replay oracle via the gray-triple luma identity."""
     from gerrydb_etl_spark.operators.dedup import chunked_hamming_pairs
-    from gerrydb_etl_spark.operators.multimodal import perceptual_dhash
+    from gerrydb_etl_spark.store.staging import staged_dhash
 
-    media = _netpbm_media(load_table(spark, sf_dir, "documents"))
-    fps = perceptual_dhash(media).withColumnRenamed("media_id", "doc")
+    # fingerprints are session-staged (r17): a production pipeline
+    # persists the ~40 bytes/image dHash index once and re-decodes
+    # nothing per dedup pass — the image-side twin of the staged
+    # simhash token hashes; values identical to inline decode+hash
+    # (deterministic codecs), the pixel-level replay oracle unchanged
+    fps = staged_dhash(spark, sf_dir).withColumnRenamed(
+        "media_id", "doc"
+    )
     return chunked_hamming_pairs(fps, max_hamming=3, max_bucket_size=1000)
 
 

@@ -455,6 +455,50 @@ def ensure_staged_ivf(
     return name, cname
 
 
+def staged_dhash_name(sf_dir: str) -> str:
+    from gerrydb_etl_spark.operators.multimodal import (
+        _dhash_chunks,
+        _strict_pixels,
+        perceptual_dhash,
+    )
+    from gerrydb_etl_spark.queries.llm_text import _netpbm_media
+
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    code = _derivation_tag(
+        _netpbm_media, perceptual_dhash, _dhash_chunks, _strict_pixels
+    )
+    return f"st_dhash_{code}_{tag}"
+
+
+def ensure_staged_dhash(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the perceptual dHash fingerprint table (media_id,
+    c0..c3) — strict decode + 64-bit difference hash over the
+    documents-derived netpbm corpus. The image-side twin of the
+    staged simhash token hashes: a production pipeline persists
+    image fingerprints exactly once (the ~40 bytes/image index the
+    Hamming join works on), it never re-decodes pixels per dedup
+    pass. Values identical to the inline decode+hash by construction
+    (deterministic codecs, no RNG), so the full pixel-level DuckDB
+    replay oracle is unchanged."""
+    from gerrydb_etl_spark.operators.multimodal import perceptual_dhash
+    from gerrydb_etl_spark.queries.llm_text import _netpbm_media
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    return _ensure_staged(
+        spark,
+        staged_dhash_name(sf_dir),
+        lambda: perceptual_dhash(
+            _netpbm_media(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
+def staged_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged dHash fingerprints as a DataFrame (staging on
+    first use)."""
+    return spark.table(ensure_staged_dhash(spark, sf_dir))
+
+
 def staged_split_names(
     base_table: str, per_cell: int, iters: int
 ) -> tuple[str, str]:
