@@ -30,22 +30,24 @@ def entry(spark: SparkSession) -> DataFrame:
 _EXPOSURE_PRIORITY = [
     # ---- ROUND 17 WINDOW (50 slots exactly) --------------------------
     # Block A (3): this round's most plan-changed queries not already
-    # inside the r13 refill below. embedding_drift_monitor and
-    # dsir_importance_weights were fully rewritten (the even/odd
-    # self-join -> one conditional pivot; the raw/tgt double
-    # aggregation -> one conditional agg) while recovering their r16
-    # floor drift; repetition_quality is the oldest driver row (r14)
-    # among the heads that took the chunked fan_out this round. The
-    # remaining r17 plan changes (the chunk_bytes fan-out cap on ten
-    # more text heads, the staged-fixture REBALANCE write layout, the
-    # multi-file stream epochs) sit on queries that are either inside
-    # the r13 block below (orders_stream_checksum, bpe_doc_tokenize,
+    # inside the r13 refill below, ranked by (change magnitude,
+    # staleness). hierarchical_cells_assign (r14 row) and
+    # ivf_multiprobe_twolevel (r15) had their executed plans REPLACED
+    # by the staged one-pass split reads; embedding_drift_monitor
+    # (r15) was rewritten to the conditional-pivot aggregation while
+    # recovering its r16 floor drift. The remaining r17 plan changes
+    # — dsir_importance_weights' fused aggregation (r16 row),
+    # repetition_quality's chunked fan-out (r14), the chunk_bytes cap
+    # on ten more text heads, the staged-fixture REBALANCE layout,
+    # the staged dHash index, the multi-file stream epochs — sit on
+    # queries that are either inside the r13 block below
+    # (orders_stream_checksum, image_dhash_neardup, bpe_doc_tokenize,
     # pq_adc_topk, embedding_neardup, neardup_clusters,
-    # cluster_survivor_selection) or carry r15/r16 rows and were
-    # locally oracle-verified post-change.
+    # cluster_survivor_selection) or carry recent rows and were
+    # locally oracle-verified post-change at BOTH sweep scales.
+    "hierarchical_cells_assign",
+    "ivf_multiprobe_twolevel",
     "embedding_drift_monitor",
-    "dsir_importance_weights",
-    "repetition_quality",
     # Block B (47): the complete r13 block — every query whose
     # latest driver row is round 13, exactly as the r16 rotation
     # note promised. After this round no query's latest driver row

@@ -23,12 +23,12 @@ import __spark_entry__ as entry
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
     # Block A: this round's most plan-changed queries — the two
-    # floor-drift rewrites (conditional pivot / fused conditional
-    # aggregation) and the oldest-rowed head that took the chunked
-    # fan_out (VERDICT r16 item 1)
+    # heads whose executed plans were replaced by staged one-pass
+    # split reads, and the conditional-pivot floor-drift rewrite
+    # (VERDICT r16 item 1)
+    "hierarchical_cells_assign",
+    "ivf_multiprobe_twolevel",
     "embedding_drift_monitor",
-    "dsir_importance_weights",
-    "repetition_quality",
 ]
 
 # the complete r13 block (47 queries whose latest driver row is
