@@ -297,8 +297,9 @@ def ivf_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_model = split_oversized_cells(assigned, per_cell=125)
     return multiprobe_pairs(emb, tau=_MP_TAU, centroids=cents,
                             probes=_MP_PROBES, sub_model=sub_model,
-                            # staged qv, already fanned — skip the
-                            # raw re-quantize + exchange (drift_r15)
+                            # staged qv, fanned by the staged reader
+                            # (store/staging.py _fanned_model_read)
+                            # — skip the raw re-quantize (drift_r15)
                             quant=assigned.select("vec_id", "qv"))
 
 

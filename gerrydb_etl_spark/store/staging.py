@@ -335,12 +335,40 @@ def ensure_staged_kmeans(
     )
 
 
+def _fanned_model_read(spark: SparkSession, name: str) -> DataFrame:
+    """Read a staged VECTOR-MODEL table with the gated fan_out.
+
+    The r17 REBALANCE-at-write collapses fixture-scale staged tables
+    to ONE parquet file, and the vector consumers do fold-heavy work
+    (per-row norm folds, candidate-pair cosine chains) whose join
+    side is often BROADCAST — a broadcast hash join inherits the
+    streamed side's scan partitioning, so the whole fold chain runs
+    on one task regardless of cluster size (the _blocked_qd failure
+    class, caught by the relative floor-probe; this reader closes
+    the same hole for the ivf_topk / multiprobe_pairs /
+    assign_cells consumers — measured at sf0.1: the five-query
+    staged-vector family sat 1.5-2.6x over its floors on a quiet
+    host and recovered to/below them with the fanned read). At
+    production file counts the gate no-ops: no extra corpus
+    exchange ships. Token-instance staged reads (simhash shingle
+    hashes) stay UNFANNED — the measured negative A/B
+    (operators/dedup.py, 3.46s vs 2.14s): their next op is an
+    aggregation shuffle that already restores parallelism, and the
+    exploded rows are corpus x tokens wide, so the repartition moves
+    far more bytes than the vector models' raw (id, qv) rows."""
+    from gerrydb_etl_spark.operators.partitioning import fan_out
+
+    return fan_out(spark.table(name))
+
+
 def staged_kmeans(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
     """The staged k-means assignment as a DataFrame (staging on
     first use)."""
-    return spark.table(ensure_staged_kmeans(spark, sf_dir, k, iters))
+    return _fanned_model_read(
+        spark, ensure_staged_kmeans(spark, sf_dir, k, iters)
+    )
 
 
 def staged_lsh_sigs_name(sf_dir: str, bits: int, tables: int) -> str:
@@ -565,7 +593,9 @@ def staged_split(
     aname, cname = ensure_staged_split(
         spark, base_table, assigned, per_cell, iters
     )
-    return spark.table(aname), spark.table(cname)
+    # assignment fanned (vector-model read, see _fanned_model_read);
+    # the subcentroid table is k x sub rows — broadcast-sized, no fan
+    return _fanned_model_read(spark, aname), spark.table(cname)
 
 
 # driver-side model collects, memoized by staged-table name: the
@@ -591,7 +621,7 @@ def staged_ivf(
             r["cluster_id"]: list(r["cv"])
             for r in spark.table(cname).collect()
         }
-    return spark.table(name), _CENTROID_CACHE[cname]
+    return _fanned_model_read(spark, name), _CENTROID_CACHE[cname]
 
 
 def staged_pq_name(sf_dir: str, m_subs: int, n_codes: int, iters: int) -> str:
