@@ -13,6 +13,8 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from gerrydb_etl_spark.operators.partitioning import (
     TEXT_CHUNK_BYTES,
     _input_bytes,
@@ -112,3 +114,79 @@ def test_unknown_input_size_keeps_full_target(spark):
     assert (
         out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     )
+
+
+# ---- staged vector-model reads (r17 coda) ---------------------------
+# The REBALANCE-at-write collapses fixture-scale staged tables to one
+# parquet file, and the vector consumers' broadcast hash joins inherit
+# the streamed side's scan partitioning — so the staged readers must
+# go through the same gate (store/staging.py _fanned_model_read;
+# measured A/B in PERF.md round-17 coda and SCALE_r17.json
+# staged_reader_fan).
+
+
+def test_staged_model_read_fans_single_file_table(spark):
+    """A managed table whose scan yields one partition (the
+    rebalanced fixture layout) must come back at defaultParallelism
+    through the staged reader."""
+    from gerrydb_etl_spark.store.staging import _fanned_model_read
+
+    name = "t_fanout_gate_single"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .coalesce(1)
+        .write.saveAsTable(name)
+    )
+    try:
+        assert spark.table(name).rdd.getNumPartitions() == 1
+        out = _fanned_model_read(spark, name)
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_staged_model_read_noop_at_production_file_counts(spark):
+    """A staged table already split to >= parallelism files (the
+    production rebalance output at real model sizes) must read
+    through with NO round-robin exchange — the no-extra-shuffle
+    claim at 100 TB."""
+    from gerrydb_etl_spark.store.staging import _fanned_model_read
+
+    par = spark.sparkContext.defaultParallelism
+    name = "t_fanout_gate_presplit"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .repartition(par)
+        .write.saveAsTable(name)
+    )
+    try:
+        assert spark.table(name).rdd.getNumPartitions() >= par
+        out = _fanned_model_read(spark, name)
+        plan = out._jdf.queryExecution().executedPlan().toString().lower()
+        assert "roundrobinpartitioning" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_staged_vector_readers_are_fanned_at_fixture_scale(spark):
+    """The real readers: staged_kmeans / staged_ivf assignments at a
+    fixture-scale source must carry the fan (their staged tables are
+    one file after the rebalance, and their consumers broadcast-join
+    against them)."""
+    from gerrydb_etl_spark.store.staging import staged_ivf, staged_kmeans
+
+    par = spark.sparkContext.defaultParallelism
+    asn = staged_kmeans(spark, SF_SMOKE, k=8, iters=3)
+    assert asn.rdd.getNumPartitions() >= min(
+        par, 8
+    ), "staged_kmeans read is not fanned"
+    assigned, cents = staged_ivf(spark, SF_SMOKE, 16, 2)
+    assert assigned.rdd.getNumPartitions() >= min(
+        par, 16
+    ), "staged_ivf assignment read is not fanned"
+    assert isinstance(cents, dict) and cents
