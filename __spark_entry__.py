@@ -39,12 +39,15 @@ _EXPOSURE_PRIORITY = [
     # — dsir_importance_weights' fused aggregation (r16 row),
     # repetition_quality's chunked fan-out (r14), the chunk_bytes cap
     # on ten more text heads, the staged-fixture REBALANCE layout,
-    # the staged dHash index, the multi-file stream epochs — sit on
-    # queries that are either inside the r13 block below
-    # (orders_stream_checksum, image_dhash_neardup, bpe_doc_tokenize,
-    # pq_adc_topk, embedding_neardup, neardup_clusters,
-    # cluster_survivor_selection) or carry recent rows and were
-    # locally oracle-verified post-change at BOTH sweep scales.
+    # the staged dHash index, the multi-file stream epochs, and the
+    # coda's fanned staged vector-model reads (PERF.md round-17
+    # coda; 22 consumer plans) — sit on queries that are either
+    # inside the r13 block below (orders_stream_checksum,
+    # image_dhash_neardup, bpe_doc_tokenize, pq_adc_topk,
+    # embedding_neardup, neardup_clusters, cluster_survivor_selection)
+    # or carry recent rows and were locally oracle-verified
+    # post-change at BOTH sweep scales (the closing 192/192 sweeps
+    # re-ran AFTER the coda landed).
     "hierarchical_cells_assign",
     "ivf_multiprobe_twolevel",
     "embedding_drift_monitor",
