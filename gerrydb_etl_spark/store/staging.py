@@ -336,26 +336,35 @@ def ensure_staged_kmeans(
 
 
 def _fanned_model_read(spark: SparkSession, name: str) -> DataFrame:
-    """Read a staged VECTOR-MODEL table with the gated fan_out.
+    """Read the staged IVF assignment with the gated fan_out.
 
     The r17 REBALANCE-at-write collapses fixture-scale staged tables
-    to ONE parquet file, and the vector consumers do fold-heavy work
-    (per-row norm folds, candidate-pair cosine chains) whose join
-    side is often BROADCAST — a broadcast hash join inherits the
-    streamed side's scan partitioning, so the whole fold chain runs
-    on one task regardless of cluster size (the _blocked_qd failure
-    class, caught by the relative floor-probe; this reader closes
-    the same hole for the ivf_topk / multiprobe_pairs /
-    assign_cells consumers — measured at sf0.1: the five-query
-    staged-vector family sat 1.5-2.6x over its floors on a quiet
-    host and recovered to/below them with the fanned read). At
-    production file counts the gate no-ops: no extra corpus
-    exchange ships. Token-instance staged reads (simhash shingle
-    hashes) stay UNFANNED — the measured negative A/B
-    (operators/dedup.py, 3.46s vs 2.14s): their next op is an
-    aggregation shuffle that already restores parallelism, and the
-    exploded rows are corpus x tokens wide, so the repartition moves
-    far more bytes than the vector models' raw (id, qv) rows."""
+    to ONE parquet file, and the ivf_topk / multiprobe_pairs
+    consumers do fold-heavy work (per-row norm folds, candidate-pair
+    cosine chains) whose query side is BROADCAST — a broadcast hash
+    join inherits the streamed side's scan partitioning, so the whole
+    fold chain runs on one task regardless of cluster size (the
+    _blocked_qd failure class, reached through a different reader).
+    Measured interleaved A/B at sf0.1 (PERF.md round-17 coda):
+    embedding_split_leakage 2.710 -> 1.767s, ivf_index_quality
+    1.100 -> 0.918, ivf_multiprobe_neardup 1.668 -> 1.396 with the
+    fanned read; holds at x10 (SCALE_r17 staged_reader_fan). At
+    production file counts the gate no-ops: no extra corpus exchange
+    ships.
+
+    SCOPE — measured per reader, not blanket: staged_kmeans and
+    staged_split stay PLAIN. Their heavy consumers fan internally
+    (_blocked_qd, operators/kmeans.py:266), and their remaining
+    consumers are light sub-second aggregations where the 1->32
+    repartition's task overhead dominates (the dsir chunk_bytes
+    finding, same round): embedding_drift_monitor 0.344 plain vs
+    0.707 fanned, hierarchical_cells_assign 0.072 vs 0.136;
+    kmeans_train_assign / semantic_dedup_survivors / twolevel at
+    parity (deltas < 0.15s inside session noise). Token-instance
+    staged reads (simhash shingle hashes) also stay unfanned — the
+    measured negative A/B (operators/dedup.py, 3.46s vs 2.14s):
+    their next op is an aggregation shuffle that already restores
+    parallelism, and the exploded rows are corpus x tokens wide."""
     from gerrydb_etl_spark.operators.partitioning import fan_out
 
     return fan_out(spark.table(name))
@@ -365,10 +374,10 @@ def staged_kmeans(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
 ) -> DataFrame:
     """The staged k-means assignment as a DataFrame (staging on
-    first use)."""
-    return _fanned_model_read(
-        spark, ensure_staged_kmeans(spark, sf_dir, k, iters)
-    )
+    first use). Plain read — the fold-heavy consumers fan inside
+    _blocked_qd, and the light ones regress under a reader-level
+    fan (see _fanned_model_read SCOPE)."""
+    return spark.table(ensure_staged_kmeans(spark, sf_dir, k, iters))
 
 
 def staged_lsh_sigs_name(sf_dir: str, bits: int, tables: int) -> str:
@@ -593,9 +602,10 @@ def staged_split(
     aname, cname = ensure_staged_split(
         spark, base_table, assigned, per_cell, iters
     )
-    # assignment fanned (vector-model read, see _fanned_model_read);
-    # the subcentroid table is k x sub rows — broadcast-sized, no fan
-    return _fanned_model_read(spark, aname), spark.table(cname)
+    # plain reads: the split consumers measured parity-or-regression
+    # under a reader-level fan (see _fanned_model_read SCOPE); the
+    # subcentroid table is k x sub rows — broadcast-sized regardless
+    return spark.table(aname), spark.table(cname)
 
 
 # driver-side model collects, memoized by staged-table name: the

@@ -173,20 +173,25 @@ def test_staged_model_read_noop_at_production_file_counts(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
-def test_staged_vector_readers_are_fanned_at_fixture_scale(spark):
-    """The real readers: staged_kmeans / staged_ivf assignments at a
-    fixture-scale source must carry the fan (their staged tables are
-    one file after the rebalance, and their consumers broadcast-join
-    against them)."""
+def test_staged_reader_fan_scope(spark):
+    """The measured per-reader contract (_fanned_model_read SCOPE):
+    the staged IVF assignment — whose ivf_topk/multiprobe consumers
+    broadcast their query side and so inherit this scan's
+    partitioning for their fold chains — reads FANNED; staged_kmeans
+    reads PLAIN (its heavy consumers fan inside _blocked_qd, its
+    light sub-second consumers regress 2x under a reader-level
+    fan)."""
     from gerrydb_etl_spark.store.staging import staged_ivf, staged_kmeans
 
     par = spark.sparkContext.defaultParallelism
-    asn = staged_kmeans(spark, SF_SMOKE, k=8, iters=3)
-    assert asn.rdd.getNumPartitions() >= min(
-        par, 8
-    ), "staged_kmeans read is not fanned"
     assigned, cents = staged_ivf(spark, SF_SMOKE, 16, 2)
     assert assigned.rdd.getNumPartitions() >= min(
         par, 16
     ), "staged_ivf assignment read is not fanned"
     assert isinstance(cents, dict) and cents
+    asn = staged_kmeans(spark, SF_SMOKE, k=8, iters=3)
+    plan = asn._jdf.queryExecution().executedPlan().toString().lower()
+    assert "roundrobinpartitioning" not in plan, (
+        "staged_kmeans must read plain — the fan regresses its "
+        "light consumers (measured, PERF.md round-17 coda)"
+    )
