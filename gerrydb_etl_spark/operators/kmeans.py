@@ -45,6 +45,8 @@ k ~ sqrt(N); the cells, not the corpus, bound the join).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,12 +97,37 @@ def _cells(centroids: dict[int, list[float]]) -> Column:
     the ONE literal-centroid expression both ``assign`` (argmin) and
     ``assign_topn`` (sorted top-n) are built from, so the tie-break
     and literal encoding cannot drift between the cell assignment
-    and the IVF probe ranking."""
+    and the IVF probe ranking.
+
+    The two literal arrays are built as ONE parsed SQL expression
+    each instead of k*dim nested F.lit()/F.array() calls: every
+    F.lit is a py4j round trip, and at (k=16, dim=64) the 1k+ round
+    trips cost ~0.6s of DRIVER time per query construction — paid by
+    every assign/assign_topn consumer in the vector family (the r17
+    optimization round's plan-construction finding; guide §7.3).
+    repr() of a Python float is shortest-roundtrip, so the parsed
+    `<repr>D` double literals are bit-identical to the F.lit
+    spelling and every value-hash oracle is unchanged."""
     cids = sorted(centroids)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in centroids[cid]]) for cid in cids]
+    for cid in cids:
+        if not all(math.isfinite(x) for x in centroids[cid]):
+            raise ValueError(
+                f"non-finite centroid component in cluster {cid} — "
+                "cannot encode as a SQL double literal"
+            )
+    cent_lit = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"{float(x)!r}D" for x in centroids[cid])
+            + ")"
+            for cid in cids
+        )
+        + ")"
     )
-    cid_lit = F.array(*[F.lit(cid) for cid in cids])
+    cid_lit = F.expr(
+        "array(" + ", ".join(str(int(c)) for c in cids) + ")"
+    )
     return F.transform(
         cent_lit,
         lambda cv, i: F.struct(

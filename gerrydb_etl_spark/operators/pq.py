@@ -157,7 +157,21 @@ def train_codebooks(
 # constant-size expression over (sub, cv) columns with the identical
 # sequential spelling, and the work rides data volume
 # (n x m x codes rows) the way a 100 TB encode must anyway.
-PQ_LITERAL_CODE_CAP = 64
+#
+# Cap = 0 (r17 optimization round): the join path is now the ONLY
+# production dispatch. The r15 cap kept the literal spelling for
+# small books on execution-cost grounds, but its CONSTRUCTION cost
+# was never measured: building m x k fold subtrees is thousands of
+# py4j Column round trips on the driver — measured 5.1s to CONSTRUCT
+# the (4, 16) adc_tables expression vs ~1.1s to execute the whole
+# pq_adc_topk query (guide §7.3: single-threaded driver work is
+# invisible in stage metrics). The join path constructs three folds
+# total regardless of book size and executes a tiny broadcast join;
+# values are identical by the fold-spelling contract, pinned by
+# test_join_path_matches_literal_path_exactly and the property
+# suite. The literal spelling is retained solely as the executable
+# reference those parity tests compare against.
+PQ_LITERAL_CODE_CAP = 0
 
 
 def _books_df(spark, books: list[dict[int, list[float]]]) -> DataFrame:

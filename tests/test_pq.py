@@ -139,6 +139,9 @@ def test_join_path_matches_literal_path_exactly(spark, monkeypatch):
     books = train_codebooks(quant, 64, m_subs=4, k=16, iters=2)
     queries = quant.filter(F.col("vec_id") < 3)
 
+    # the shipped cap is 0 (join path always — the r17 construction
+    # finding); force the literal reference spelling explicitly
+    monkeypatch.setattr(pq_mod, "PQ_LITERAL_CODE_CAP", 10**9)
     lit_codes = sorted(map(tuple, encode_codes(quant, books).collect()))
     lit_adc = sorted(map(tuple, adc_tables(queries, books).collect()))
 
@@ -158,6 +161,7 @@ def test_pq_adc_topk_identical_across_dispatch(spark, monkeypatch):
 
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
+    monkeypatch.setattr(pq_mod, "PQ_LITERAL_CODE_CAP", 10**9)
     lit = sorted(map(tuple, pq_adc_topk(
         emb, queries, k=3, n_cells=4, n_probe=2, iters=2,
         m_subs=4, n_codes=8, refine=4,

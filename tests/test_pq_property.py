@@ -57,6 +57,9 @@ def test_dispatch_parity_and_numpy_argmin(spark, vecs, monkeypatch):
     books = train_codebooks(quant, DIM, m_subs=2, k=3, iters=2)
     queries = quant.filter(F.col("vec_id") < 2)
 
+    # shipped cap is 0 (join path always); force the literal
+    # reference spelling for the comparison arm
+    monkeypatch.setattr(pq_mod, "PQ_LITERAL_CODE_CAP", 10**9)
     lit_codes = sorted(map(tuple, encode_codes(quant, books).collect()))
     lit_adc = sorted(map(tuple, adc_tables(queries, books).collect()))
 
