@@ -316,6 +316,15 @@ def main() -> None:
 
     _staged("dhash_fps", ensure_staged_dhash, spark, sf_dir)
 
+    # ...and the co-purchase co-occurrence index (r17): the
+    # market-basket pair table (u, v, support) the graph family
+    # (triangles, clustering coefficient, association rules) shares —
+    # inline, each consumer re-ran the basket explosion + support
+    # aggregation per query.
+    from gerrydb_etl_spark.store.staging import ensure_staged_copurchase
+
+    _staged("copurchase_pairs", ensure_staged_copurchase, spark, sf_dir)
+
     # ...and the near-dup component assignment (doc, cluster_rep):
     # the closure shared by neardup_clusters and
     # cluster_survivor_selection (VERDICT r7 item 2) — computed once

@@ -22,6 +22,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def copurchase_pair_supports(li: DataFrame, min_support: int) -> DataFrame:
+    """Support-counted co-purchase pairs (u < v, support >=
+    min_support) from (ok, pk) order-line rows — the edge derivation
+    shared by the whole market-basket graph family (triangles,
+    clustering coefficient, association rules). ONE wide shuffle
+    builds the per-order item sets (collect_list + array_distinct
+    dedups repeat lines in-bucket — no separate distinct shuffle),
+    then the C(n,2) pair explosion is narrow (bounded by
+    items-per-order, never a cross-corpus product) and one
+    map-side-combined count aggregates supports. Staged once per
+    session by store/staging.ensure_staged_copurchase — write-once
+    corpus index state like the shingle inverted index."""
+    baskets = li.groupBy("ok").agg(
+        F.sort_array(F.array_distinct(F.collect_list("pk"))).alias("ps")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts for an undirected simple graph.
 

@@ -158,35 +158,17 @@ _EDGES_CTE = f"""
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Support-filtered co-purchase edges (u < v). One wide shuffle
-    builds the per-order item sets (collect_list + array_distinct
-    dedups repeat lines in-bucket — no separate distinct shuffle),
-    then the C(n,2) pair explosion is narrow (bucket_pairs' kernel
-    shape, bounded by items-per-order)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias(
-            "ps"
-        )
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    return (
-        baskets.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= MIN_SUPPORT)
-        .select("u", "v")
-    )
+    """Support-filtered co-purchase edges (u < v), read from the
+    session-staged co-occurrence index
+    (store/staging.ensure_staged_copurchase — the basket explosion +
+    support aggregation staged once per corpus version, the same
+    write-once economics as the shingle inverted index; r17).
+    Values identical to the inline derivation by construction (the
+    staging writer IS operators/triangles.copurchase_pair_supports),
+    so the basket-replay oracles are unchanged."""
+    from gerrydb_etl_spark.store.staging import staged_copurchase
+
+    return staged_copurchase(spark, sf_dir, MIN_SUPPORT).select("u", "v")
 
 
 @query(
@@ -224,11 +206,10 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis ranks on, and the per-node companion of the global
     transitivity ratio. Every node of the graph is reported (zero
     triangles ⇒ cc 0), unlike copurchase_triangles' triangle-members
-    view. The edge set is localCheckpoint-ed once so the degree
-    count and the triangle operator (which persists internally) both
-    read materialized edges rather than re-running the basket
-    explosion."""
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    view. The degree count and the triangle operator (which persists
+    internally) both read the session-staged edge table directly —
+    materialized parquet, so no per-query checkpoint is needed."""
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -290,44 +271,35 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     confidence support(u,v)/n(u) and integer lift
     support·N / (n(u)·n(v)) in 1e-6 units — the apriori decision
     metrics, exact (lift > 1e6 ⇔ positively associated). The pair
-    supports come from the same single-shuffle basket explosion as
-    the triangle family; item counts are one map-side-combined
-    groupBy joined onto the (few, support-filtered) rules, and the
+    supports come from the session-staged co-occurrence index the
+    triangle family shares (r17); item counts are one
+    map-side-combined groupBy over the distinct (order, item) rows
+    joined onto the (few, support-filtered) rules, and the
     corpus order count is one scalar folded as a literal (a 1-row
     cross join would compile to the banned
     BroadcastNestedLoopJoin). The min-support filter is what keeps
     the rule set — and therefore every join here — sparse at 100 TB;
     it is applied BEFORE any per-item join, so no unfiltered pair
     ever shuffles twice."""
+    from gerrydb_etl_spark.store.staging import staged_copurchase
+
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
     )
-    # three consumers (order count, pair supports, item counts) share
-    # the basket build — persist it and checkpoint the small rule
-    # output so the cache can be released (pagerank/triangles
-    # lifecycle contract)
-    baskets = li.groupBy("ok").agg(
-        F.sort_array(F.array_distinct(F.collect_list("pk"))).alias("ps")
-    ).persist()
-    n_orders = baskets.count()
-    pairs_expr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("u"), y.alias("v")),
-            ),
-        )
-    )
-    pair = (
-        baskets.select(F.explode(pairs_expr).alias("p"))
-        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= MIN_SUPPORT)
-    )
+    # the pair supports come from the session-staged co-occurrence
+    # index (r17 — same write-once economics as the shingle index;
+    # values identical to the inline basket explosion by
+    # construction). The remaining model inputs derive straight from
+    # the distinct (ok, pk) line rows: n(item) = orders containing
+    # the item == the basket-explode count (ps is the DISTINCT item
+    # set per order), and the order count is the distinct-ok count ==
+    # the basket count — both one map-side-combined aggregation, no
+    # basket build, no persist lifecycle.
+    n_orders = li.select("ok").distinct().count()
+    pair = staged_copurchase(spark, sf_dir, MIN_SUPPORT)
     item = (
-        baskets.select(F.explode("ps").alias("pk"))
+        li.dropDuplicates(["ok", "pk"])
         .groupBy("pk")
         .agg(F.count("*").alias("n_item"))
     )
@@ -348,20 +320,16 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ic = item.select(
         F.col("pk").alias("consequent"), F.col("n_item").alias("n_c")
     )
-    try:
-        return (
-            both.join(ia, "antecedent")
-            .join(ic, "consequent")
-            .select(
-                "antecedent",
-                "consequent",
-                "support",
-                F.expr("(1000000 * support) div n_a").alias("conf_ppm"),
-                F.expr(
-                    f"(1000000 * support * {n_orders}) div (n_a * n_c)"
-                ).alias("lift_x1e6"),
-            )
-            .localCheckpoint(eager=True)
+    return (
+        both.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.expr("(1000000 * support) div n_a").alias("conf_ppm"),
+            F.expr(
+                f"(1000000 * support * {n_orders}) div (n_a * n_c)"
+            ).alias("lift_x1e6"),
         )
-    finally:
-        baskets.unpersist()
+    )

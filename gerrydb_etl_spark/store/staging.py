@@ -31,6 +31,7 @@ import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.store.bucketing import _source_fingerprint
 
@@ -294,6 +295,57 @@ def staged_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The staged (doc, cluster_rep) assignment (staging on first
     use)."""
     return spark.table(ensure_staged_components(spark, sf_dir))
+
+
+def staged_copurchase_name(sf_dir: str, min_support: int) -> str:
+    from gerrydb_etl_spark.operators.triangles import (
+        copurchase_pair_supports,
+    )
+
+    tag = _source_fingerprint(sf_dir, tables=("lineitem",))
+    code = _derivation_tag(copurchase_pair_supports)
+    return f"st_copur{min_support}_{code}_{tag}"
+
+
+def ensure_staged_copurchase(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> str:
+    """Stage the support-filtered co-purchase pair table (u < v,
+    support >= min_support) once per session + source fingerprint —
+    the market-basket co-occurrence index the graph family
+    (copurchase_triangles, clustering_coefficient,
+    association_rules) shares. Inline, each consumer re-ran the
+    basket explosion + support aggregation (~1.2s each at bench
+    scale; at 100 TB the explosion is a full corpus shuffle a
+    production pipeline pays exactly once per corpus version).
+    Values identical to the inline spelling by construction (the
+    staging writer IS copurchase_pair_supports), so the
+    basket-replay DuckDB oracles are unchanged."""
+    from gerrydb_etl_spark.operators.triangles import (
+        copurchase_pair_supports,
+    )
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pk"),
+        )
+        return copurchase_pair_supports(li, min_support)
+
+    return _ensure_staged(
+        spark, staged_copurchase_name(sf_dir, min_support), build
+    )
+
+
+def staged_copurchase(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """The staged (u, v, support) co-purchase pairs (staging on
+    first use)."""
+    return spark.table(
+        ensure_staged_copurchase(spark, sf_dir, min_support)
+    )
 
 
 def staged_kmeans_name(sf_dir: str, k: int, iters: int) -> str:
