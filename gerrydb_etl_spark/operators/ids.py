@@ -12,11 +12,21 @@ Scalable spelling (the two-phase zipWithIndex, DataFrame-native):
 1. ``repartitionByRange(key)`` + ``sortWithinPartitions(key)`` —
    one range shuffle; partition p holds a contiguous, sorted key
    range, all partitions in parallel.
-2. Count rows per partition (map-side agg; #partitions rows to the
-   driver — bounded and tiny) and prefix-sum into per-partition
-   start offsets.
-3. A narrow Arrow-batched pass adds ``offset[pid] + position`` —
-   no further shuffle; the expensive ordering work stays step 1.
+2. Count rows per partition (map-side agg; #partitions rows —
+   bounded model state) and prefix-sum into per-partition start
+   offsets.
+3. A narrow pass adds ``offset[pid] + position`` — no further
+   shuffle; the expensive ordering work stays step 1.
+
+The id pass is JVM-native (r17): in-partition position comes from
+``monotonically_increasing_id()`` (pid·2³³ + physical position over
+the pinned layout — exactly the position the old Arrow pass
+enumerated) and the offsets ride a broadcast hash join on the
+bounded per-partition count table, so the assignment plan has no
+BatchEvalPython/ArrowEvalPython node and no driver collect
+barrier. The offset prefix-sum is a single-partition window over
+#shuffle-partitions rows — the same bounded model-state scale
+contract as the driver-side fold it replaces (guide §4/§5).
 
 Determinism requires the key to be unique (ties would make
 intra-partition order unstable); callers pass the full unique key.
@@ -33,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from gerrydb_etl_spark.operators.checkpointing import checkpoint_once
 
@@ -56,6 +67,11 @@ def assign_dense_ids(
     cluster pass ``checkpoint_dir`` to use a RELIABLE checkpoint
     (HDFS/S3-backed, survives executor loss) — the same two-mode
     pattern as operators/components.py.
+
+    Positions use ``monotonically_increasing_id``'s 33-bit
+    per-partition counter, so a single range partition past 2³³ rows
+    (~8.6 B — orders of magnitude past any sane task size; raise
+    ``num_partitions`` long before that) would alias positions.
     """
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
@@ -74,33 +90,41 @@ def assign_dense_ids(
     )
     parted = checkpoint_once(parted, checkpoint_dir)
 
-    counts = parted.groupBy("_pid").count().collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
-
-    out_schema = T.StructType(
-        [f for f in parted.schema.fields if f.name != "_pid"]
-        + [T.StructField(id_col, T.LongType(), False)]
+    # Offsets stay DISTRIBUTED (r17): the per-partition count table
+    # is #partitions rows — bounded model state — so its exclusive
+    # prefix sum is a single-partition window over that bounded
+    # frame (the same scale contract as the driver-side fold it
+    # replaces, without the blocking collect). Empty partitions
+    # simply have no counts row and contribute 0 to every later
+    # offset.
+    counts = parted.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offs = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
     )
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        start = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if start is None:
-                start = b_offsets.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[id_col] = range(start + seen, start + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    return parted.mapInPandas(add_ids, out_schema)
+    # In-partition position from monotonically_increasing_id over the
+    # PINNED layout: the checkpoint fixes partition membership and
+    # physical row order (range-partitioned, sorted), so
+    # mid = pid·2³³ + position and position = mid % 2³³ — exactly the
+    # enumeration the old Arrow pass produced, with no Python
+    # boundary. The broadcast hash join on _pid keeps the big side's
+    # partitioning (no shuffle); both branches read the one
+    # checkpointed materialization, so the boundary-consistency
+    # contract is unchanged.
+    return (
+        parted.withColumn("_mid", F.monotonically_increasing_id())
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(
+            id_col,
+            (F.col("_off") + F.col("_mid") % F.lit(1 << 33)).cast("long"),
+        )
+        .drop("_pid", "_mid", "_off")
+    )
 
 
 def assign_prefix_sums(

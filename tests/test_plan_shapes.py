@@ -16,6 +16,8 @@ Invariants (verified plan audit, round 4):
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from gerrydb_etl_spark.queries import REGISTRY
@@ -186,20 +188,36 @@ def test_dsir_ratio_join_broadcasts_the_ratio_table(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def _assert_dense_id_plan(plan: str) -> None:
+    """The r17 dense-ID contract: the id pass is JVM-native (no
+    Python boundary at all), the offsets ride a broadcast hash join
+    (the corpus side never reshuffles), and the ONLY window / single
+    -partition exchange permitted is the bounded per-partition
+    counts prefix-sum — every Window node must aggregate the `_n`
+    counts column (#shuffle-partitions rows of model state), never a
+    corpus column."""
+    assert "MapInPandas" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    windows = re.findall(r"Window \[[^\r\n]*", plan)
+    assert windows, "offsets window missing from the dense-id plan"
+    for w in windows:
+        assert "sum(_n#" in w, f"non-bounded window in dense-id plan: {w}"
+    # any single-partition exchange must be one of the bounded
+    # offsets windows' inputs — never a corpus funnel
+    assert plan.count("Exchange SinglePartition") <= len(windows), plan
+
+
 def test_epoch_shuffle_has_no_per_epoch_window(spark):
     """epoch_shuffle_order ranks through the two-phase dense-ID
     assigner: every shuffle partition sorts a narrow (epoch, mix)
-    key range in parallel. The plan must contain NO window operator
-    (a Window.partitionBy("epoch") spelling funnels the corpus
-    through N_EPOCHS=3 reducers) and no single-partition exchange
-    (a global-sort row_number would funnel it through one)."""
+    key range in parallel. A Window.partitionBy("epoch") spelling
+    would funnel the corpus through N_EPOCHS=3 reducers; a
+    global-sort row_number through one. The only window allowed is
+    the assigner's bounded counts prefix-sum (r17 JVM-native id
+    pass)."""
     plan = _executed_plan(spark, "epoch_shuffle_order")
-    assert "Window" not in plan, plan
-    assert "SinglePartition" not in plan, plan
-    # the ranking work is assign_dense_ids' offset-adding Arrow pass
-    # over the checkpointed range-sorted layout (the range shuffle
-    # itself sits behind the checkpoint's lineage truncation)
-    assert "MapInPandas" in plan, plan
+    _assert_dense_id_plan(plan)
 
 
 def test_dpp_prunes_fact_scan_at_runtime(spark):
@@ -223,15 +241,14 @@ def test_priority_sample_topk_is_distributed(spark):
 
 def test_rfm_quartiles_have_no_single_partition_exchange(spark):
     """customer_rfm_segments' three quartile ranks must run through
-    the two-phase dense-ID assigner (range shuffle + Arrow offset
-    pass per dimension) — no global rank window and no
-    single-partition Exchange anywhere in the executed plan. This is
-    the one query the round-10 verdict flagged `weak` for shipping
-    three unpartitioned rank() windows."""
+    the two-phase dense-ID assigner (range shuffle + JVM-native
+    offset pass per dimension) — no global rank window funneling the
+    corpus through one reducer. This is the one query the round-10
+    verdict flagged `weak` for shipping three unpartitioned rank()
+    windows; the r17 contract additionally bans the Python boundary
+    the old Arrow pass paid."""
     plan = _executed_plan(spark, "customer_rfm_segments")
-    assert "Window" not in plan, plan
-    assert "SinglePartition" not in plan, plan
-    assert "MapInPandas" in plan, plan
+    _assert_dense_id_plan(plan)
 
 
 def test_curriculum_packing_is_window_free(spark):
