@@ -162,6 +162,19 @@ def expand_paths(
         F.col(parent_col).alias("parent"),
         F.col(label_col).alias("label"),
     )
+    # The UnionLoop executes its body once per level, and the body
+    # re-derives this edge table from scratch each time (the executed
+    # plan holds the caller's full scan/union/projection subtree
+    # inside the loop — a depth-d tree re-pays it d+2 times: once per
+    # level plus the empty-frontier probe). Materialize the
+    # loop-invariant ONCE with a lazy local checkpoint: the
+    # tree-check / backstop-sizing aggregate below is already an
+    # eager action over exactly these rows, so the materialization
+    # rides a job this function was paying anyway, and every loop
+    # iteration then reads the pinned blocks (narrow 3-column rows,
+    # MEMORY_AND_DISK — the same loop-invariant-persist contract as
+    # operators/pagerank.py edges).
+    nodes = nodes.localCheckpoint(eager=False)
     nodes.createOrReplaceTempView(view)
     # Spark guards recursive CTEs with a 1M-row accumulator limit
     # (spark.sql.cteRecursionRowLimit) — a runaway-query backstop
