@@ -493,6 +493,14 @@ def cdc_fuzzy_chunk_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("cset") > 0)
     )
+    # (doc_id, chunk_idx) -> (chunk_fp, cset) is FUNCTIONAL (one
+    # chunk per id pair), so the heavy cset arrays can stay out of
+    # the band-bucket join entirely: candidates are generated and
+    # deduped on narrow id rows and the arrays re-attached once per
+    # surviving pair (guide §2.2 — shuffle fewer bytes). base feeds
+    # the signature pass plus both array re-joins; pin it so the
+    # chunker runs once, not once per consumer branch.
+    base = base.localCheckpoint(eager=False)
     sigs = base.select(
         "doc_id",
         "chunk_idx",
@@ -523,20 +531,24 @@ def cdc_fuzzy_chunk_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_CFM_BANDS)
         ]
     )
+    # narrow band table: (doc_id, chunk_idx, band, key) only — the
+    # arrays never ride the bucket join or the candidate DISTINCT.
+    # Three branches consume it (incoming, existing's data path, and
+    # _drop_hot_keys' over-cap groupBy); pin it so the MinHash
+    # signature pass runs once.
     blocked = sigs.select(
-        "doc_id", "chunk_idx", "chunk_fp", "cset",
-        F.explode(bands).alias("bk"),
+        "doc_id", "chunk_idx", F.explode(bands).alias("bk")
     ).select(
-        "doc_id", "chunk_idx", "chunk_fp", "cset",
+        "doc_id", "chunk_idx",
         F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
-    )
+    ).localCheckpoint(eager=False)
     existing = _drop_hot_keys(
         blocked.filter(F.col("doc_id") % 2 == 0), ["band", "key"], _CFM_CAP
     )
     incoming = blocked.filter(
         (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
     )
-    cand = (
+    pair_ids = (
         incoming.alias("i")
         .join(
             existing.alias("e"),
@@ -547,14 +559,24 @@ def cdc_fuzzy_chunk_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("i.doc_id").alias("doc_id"),
             F.col("i.chunk_idx").alias("chunk_idx"),
-            F.col("i.chunk_fp").alias("ifp"),
-            F.col("i.cset").alias("iset"),
             F.col("e.doc_id").alias("match_doc"),
             F.col("e.chunk_idx").alias("match_idx"),
-            F.col("e.chunk_fp").alias("efp"),
-            F.col("e.cset").alias("eset"),
         )
         .distinct()
+    )
+    cand = pair_ids.join(
+        base.select(
+            "doc_id", "chunk_idx",
+            F.col("chunk_fp").alias("ifp"), F.col("cset").alias("iset"),
+        ),
+        ["doc_id", "chunk_idx"],
+    ).join(
+        base.select(
+            F.col("doc_id").alias("match_doc"),
+            F.col("chunk_idx").alias("match_idx"),
+            F.col("chunk_fp").alias("efp"), F.col("cset").alias("eset"),
+        ),
+        ["match_doc", "match_idx"],
     )
     common = F.size(F.array_intersect("iset", "eset"))
     scored = cand.select(
