@@ -75,18 +75,36 @@ def _verified_pairs(
     rows: DataFrame, pref: DataFrame, t_num: int, t_den: int
 ) -> DataFrame:
     p1 = pref.select(
-        F.col("doc").alias("d1"), F.col("n_sh").alias("n1"), "shingle"
+        F.col("doc").alias("d1"), F.col("n_sh").alias("n1"),
+        F.col("pos").alias("p1"), "shingle",
     )
     p2 = pref.select(
-        F.col("doc").alias("d2"), F.col("n_sh").alias("n2"), "shingle"
+        F.col("doc").alias("d2"), F.col("n_sh").alias("n2"),
+        F.col("pos").alias("p2"), "shingle",
     )
-    # length filter: t*n1 <= n2 and t*n2 <= n1 (cross-multiplied)
+    # length filter: t*n1 <= n2 and t*n2 <= n1 (cross-multiplied).
+    # Positional filter (PPJoin, lossless): a pair needs overlap
+    # alpha = ceil(t_num*(n1+n2)/(t_num+t_den)); for the FIRST
+    # shared shingle in the global (df, shingle) order every common
+    # shingle sits at-or-after positions (p1, p2), so common <=
+    # min(n1-p1, n2-p2) + 1 on that row — any qualifying pair keeps
+    # at least that row, and rows whose positional bound cannot
+    # reach alpha are pruned BEFORE the DISTINCT and the two
+    # verification joins (integer cross-multiplied: ub >= ceil(X/Y)
+    # <=> Y*ub >= X for positive ints).
+    pos_ub = F.least(
+        F.col("n1") - F.col("p1"), F.col("n2") - F.col("p2")
+    ) + F.lit(1)
     cand = (
         p1.join(p2, "shingle")
         .where(
             (F.col("d1") < F.col("d2"))
             & (t_num * F.col("n1") <= t_den * F.col("n2"))
             & (t_num * F.col("n2") <= t_den * F.col("n1"))
+            & (
+                (t_num + t_den) * pos_ub
+                >= t_num * (F.col("n1") + F.col("n2"))
+            )
         )
         .select("d1", "d2", "n1", "n2")
         .distinct()
