@@ -163,18 +163,27 @@ MEMSINK_MAX_ROWS = int(
 def _drain_memory_sink(
     spark: SparkSession, name: str, max_rows: int | None = None
 ) -> DataFrame:
-    """Materialize a memory-sink table into a driver-local DataFrame
-    and drop the sink's temp view, so repeated streaming runs leave
-    no registered tables behind. The collect is bounded by the
-    windowed-aggregate cardinality (state-store output), never by
-    the input row count — and that bound is ENFORCED at
-    MEMSINK_MAX_ROWS: a stream whose group cardinality outgrows the
-    driver (complete-mode windows over unbounded time ranges) fails
-    with a named error instead of an OOM. The sink accumulated in
-    the driver while the stream ran, so the guard documents the
-    ceiling and names the scale path (run_stream_to_files, whose
-    output never touches the driver) rather than pretending to
-    prevent the allocation."""
+    """Materialize a memory-sink table executor-side and drop the
+    sink's temp view, so repeated streaming runs leave no registered
+    tables behind. The sink's rows are pinned with an eager
+    localCheckpoint — block storage, never a Python round-trip. The
+    pre-r18 spelling collected every row into driver Python and
+    re-uploaded it through createDataFrame (per-row pickle + schema
+    verification both ways); the stage-split probe measured that
+    round-trip at ~2.3 s of events_stream_join_attribution's ~4.8 s
+    wall (.scale/opt_r18_stream_split.json — guide §4: eliminate the
+    JVM<->Python boundary, §5: no driver loops in query paths). Rows
+    and schema are exactly the sink table's either way.
+
+    The materialized size is bounded by the windowed-aggregate
+    cardinality (state-store output), never by the input row count —
+    and that bound is ENFORCED at MEMSINK_MAX_ROWS: a stream whose
+    group cardinality outgrows the driver (complete-mode windows
+    over unbounded time ranges) fails with a named error instead of
+    an OOM. The sink accumulated in the driver while the stream ran,
+    so the guard documents the ceiling and names the scale path
+    (run_stream_to_files, whose output never touches the driver)
+    rather than pretending to prevent the allocation."""
     cap = MEMSINK_MAX_ROWS if max_rows is None else max_rows
     snap = spark.table(name)
     n = snap.count()
@@ -189,9 +198,9 @@ def _drain_memory_sink(
             "SPARK_GRAFT_MEMSINK_MAX_ROWS if the driver is sized "
             "for it"
         )
-    rows, schema = snap.collect(), snap.schema
+    pinned = snap.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, schema)
+    return pinned
 
 
 def run_stream_to_memory(
