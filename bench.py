@@ -321,9 +321,43 @@ def main() -> None:
     # (triangles, clustering coefficient, association rules) shares —
     # inline, each consumer re-ran the basket explosion + support
     # aggregation per query.
+    from gerrydb_etl_spark.queries.graph import MIN_SUPPORT
     from gerrydb_etl_spark.store.staging import ensure_staged_copurchase
 
-    _staged("copurchase_pairs", ensure_staged_copurchase, spark, sf_dir)
+    # min_support passed explicitly from the consumers' constant
+    # (ADVICE r17): the staged-table name is support-keyed, so a
+    # drifted default here would silently stage a dead fixture and
+    # leave the graph queries re-staging mid-query
+    _staged(
+        "copurchase_pairs", ensure_staged_copurchase, spark, sf_dir,
+        MIN_SUPPORT,
+    )
+
+    # ...and the document fingerprint indexes (r18): SimHash 64-bit
+    # fingerprints and MOSS winnowing fingerprints at both consumer
+    # shapes — write-once corpus state exactly like the dHash index
+    # (fingerprints exist to be persisted and matched against, never
+    # recomputed per dedup pass); the DuckDB oracles replay the full
+    # fingerprint computation from raw documents and are unchanged.
+    from gerrydb_etl_spark.queries.passages import (
+        WINNOW_K,
+        WINNOW_ND_K,
+        WINNOW_W,
+    )
+    from gerrydb_etl_spark.store.staging import (
+        ensure_staged_simhash_fps,
+        ensure_staged_winnow,
+    )
+
+    _staged("simhash_fps", ensure_staged_simhash_fps, spark, sf_dir)
+    _staged(
+        f"winnow_k{WINNOW_K}", ensure_staged_winnow, spark, sf_dir,
+        WINNOW_K, WINNOW_W,
+    )
+    _staged(
+        f"winnow_k{WINNOW_ND_K}", ensure_staged_winnow, spark, sf_dir,
+        WINNOW_ND_K, WINNOW_W,
+    )
 
     # ...and the near-dup component assignment (doc, cluster_rep):
     # the closure shared by neardup_clusters and

@@ -422,14 +422,16 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, the WHOLE pipeline (including the cap) replays in DuckDB
     and this query carries a full value-hash oracle; simhash_verify
     additionally anchors recall against the exact-Jaccard truth
-    set. Reads the session-staged per-token hash rows (identical
-    values to the inline char fold — store/staging.py)."""
-    from gerrydb_etl_spark.store.staging import staged_token_hashes
+    set. Reads the session-staged per-document fingerprint index
+    (r18 — the text twin of the staged image dHash: identical
+    values to the inline token-hash aggregation by construction,
+    store/staging.py ensure_staged_simhash_fps)."""
+    from gerrydb_etl_spark.store.staging import staged_simhash_fps
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(
         docs, "doc_id", "text", max_hamming=3, max_bucket_size=1000,
-        token_hashes=staged_token_hashes(spark, sf_dir),
+        fingerprints=staged_simhash_fps(spark, sf_dir),
     ).select("d1", "d2", "hamming")
 
 
@@ -458,11 +460,11 @@ def simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000,
         shingles=staged_shingles(spark, sf_dir, 3),
     )
-    from gerrydb_etl_spark.store.staging import staged_token_hashes
+    from gerrydb_etl_spark.store.staging import staged_simhash_fps
 
     found = simhash_pairs(
         docs, "doc_id", "text", max_hamming=3,
-        token_hashes=staged_token_hashes(spark, sf_dir),
+        fingerprints=staged_simhash_fps(spark, sf_dir),
     ).select("d1", "d2", F.lit(1).alias("_hit"))
     marked = truth.join(found, ["d1", "d2"], "left")
     n_true = F.count("*")

