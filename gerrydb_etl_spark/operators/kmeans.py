@@ -316,28 +316,44 @@ def _same_cell_pairs(
 ) -> DataFrame:
     """(d1 < d2, cell key, cosine) for every same-cell pair at or
     above ``tau``, cosine folded over the quantized doubles."""
-    # the join key is cluster_id — only k distinct values, so
-    # an unsalted shuffle caps parallelism at k tasks. Salt
-    # the b side by row hash and replicate the a side over
-    # the salts: k x salts tasks, each holding an a-cluster
+    # When the key is the TOP-LEVEL cluster_id alone there are only k
+    # distinct values, so an unsalted shuffle caps parallelism at k
+    # tasks: salt the b side by row hash and replicate the a side
+    # over the salts — k x salts tasks, each holding an a-cluster
     # against 1/salts of its b rows (operators/skew.py
-    # replicated-join pattern, deterministic salt).
-    salts = 16
+    # replicated-join pattern, deterministic salt). With the REFINED
+    # (cluster_id, sub_id) key the salt is pure overhead (r18 A/B,
+    # .scale/opt_r18_tl_salts_ab.json: twolevel 2.57 -> 2.23 s
+    # unsalted, values identical): subcell count scales with the
+    # corpus (~n / per_cell — already past cluster parallelism at
+    # bench scale) and per-block occupancy is bounded by the split
+    # contract (<= split_factor * per_cell), so the unsalted join
+    # spreads naturally with no hot key for the salt to defuse,
+    # while the a-side replication multiplied the shuffled vector
+    # payload 16x.
+    salts = 16 if len(cell_cols) == 1 else 1
     a = qd.select(
         *cell_cols,
         F.col("vec_id").alias("a_id"),
         F.col("dv").alias("a_dv"),
         F.col("nrm").alias("a_nrm"),
-    ).withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    )
     b = qd.select(
         *cell_cols,
         F.col("vec_id").alias("b_id"),
         F.col("dv").alias("b_dv"),
         F.col("nrm").alias("b_nrm"),
-    ).withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
+    )
+    join_keys = list(cell_cols)
+    if salts > 1:
+        a = a.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+        )
+        b = b.withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
+        join_keys.append("__salt")
     dot_ab = fold_sum(F.zip_with(F.col("a_dv"), F.col("b_dv"), lambda x, y: x * y))
     return (
-        a.join(b, [*cell_cols, "__salt"])
+        a.join(b, join_keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             F.col("a_id").alias("d1"),
