@@ -97,7 +97,29 @@ def assign_dense_ids(
     # replaces, without the blocking collect). Empty partitions
     # simply have no counts row and contribute 0 to every later
     # offset.
-    counts = parted.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # Fail-loud guard (ADVICE r17): positions alias past 2³³ rows in
+    # ONE range partition, so the bounded counts table — not the data
+    # path — carries the check. The guard rides the _n column itself
+    # (every offset depends on it), so column pruning cannot elide it;
+    # cost is one comparison per partition row.
+    n_guarded = F.when(F.col("_n") < F.lit(1 << 33), F.col("_n")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("assign_dense_ids: a range partition holds "),
+                F.col("_n").cast("string"),
+                F.lit(
+                    " rows, past the 2^33 per-partition position domain"
+                    " of monotonically_increasing_id — raise"
+                    " num_partitions"
+                ),
+            )
+        ).cast("long")
+    )
+    counts = (
+        parted.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .select("_pid", n_guarded.alias("_n"))
+    )
     offs = counts.select(
         "_pid",
         F.coalesce(
