@@ -28,7 +28,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # without a driver row. Queries green last round with unchanged code
 # sit below the window.
 _EXPOSURE_PRIORITY = [
-    # ---- ROUND 17 WINDOW (50 slots exactly) --------------------------
+    # ---- ROUND 18 WINDOW (50 slots exactly) --------------------------
+    # Block A (18): every query whose EXECUTED PLAN changed in the r18
+    # optimization round, each locally oracle-verified at sf0.001 AND
+    # sf0.01 through this contract at the point of change:
+    # - the six memory-sink streaming heads (drain pinned
+    #   executor-side instead of the collect + createDataFrame Python
+    #   round-trip);
+    # - the staged-fingerprint dedup consumers (simhash_near_dup +
+    #   its verify twin, winnow_fingerprints, winnow_near_dup);
+    # - ivf_multiprobe_twolevel (unsalted refined-subcell pair join);
+    # - the four overlapping-merge SCD-2 heads (probe_append=False
+    #   pins the one-pass close-and-insert plan);
+    # - the three dense-ID consumers (2^33 fail-loud guard on the
+    #   bounded counts table).
+    "events_stream_join_attribution",
+    "events_stream_session",
+    "events_stream_dedup",
+    "events_stream_user_totals",
+    "events_stream_tumbling",
+    "events_stream_sliding",
+    "simhash_near_dup",
+    "simhash_verify",
+    "winnow_fingerprints",
+    "winnow_near_dup",
+    "ivf_multiprobe_twolevel",
+    "scd2_pointintime_join",
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    "scd2_current_view",
+    "customer_rfm_segments",
+    "epoch_shuffle_order",
+    "dense_id_assignment",
+    # Block B (32): the queries that have gone longest without a
+    # driver row — the alphabetical head of the r14 cohort (every
+    # query below the window was driver-green in r14-r17 with code
+    # unchanged this round). The r14 tail that does not fit
+    # (validation_*, windows family, etc.) leads the r19 window.
+    "bucketed_colocated_join",
+    "cluster_safe_split",
+    "clustering_coefficient",
+    "cohort_retention",
+    "copurchase_triangles",
+    "daves_enacted_assignments",
+    "eav_pivot_roundtrip",
+    "event_transition_matrix",
+    "feature_quantile_norm",
+    "format_roundtrip_json_csv",
+    "geo_union_centroid",
+    "hll_overlap_estimate",
+    "hll_sketch_rollup",
+    "ivf_blocked_neardup",
+    "ivf_verify",
+    "join_delta_maintenance",
+    "medsl_config_projection",
+    "observed_load_metrics",
+    "partition_pruned_read",
+    "prefix_filter_jaccard",
+    "rename_normalizations",
+    "repetition_quality",
+    "salted_holistic_collect",
+    "schema_evolution_read",
+    "sequence_packing",
+    "skew_replicated_join",
+    "snapshot_diff",
+    "source_mix_rebalance",
+    "stratified_sample_quota",
+    "table_profile_stats",
+    "trailing_window_features",
+    "train_val_test_split",
+]
+
+_EXPOSURE_R17 = [
+    # ---- ROUND 17 WINDOW (kept for the audit trail) ------------------
     # Block A (3): this round's most plan-changed queries not already
     # inside the r13 refill below, ranked by (change magnitude,
     # staleness). hierarchical_cells_assign (r14 row) and

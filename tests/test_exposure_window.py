@@ -17,77 +17,73 @@ import pathlib
 
 import __spark_entry__ as entry
 
-# Round 17 window composition (50 slots exactly; see the block
+# Round 18 window composition (50 slots exactly; see the block
 # comments in __spark_entry__.py). Kept as constants so a window
 # refactor that silently drops a planned block fails loudly — but
 # correctness-critical invariants below are artifact-derived.
 NEW_THIS_ROUND = [
-    # Block A: this round's most plan-changed queries — the two
-    # heads whose executed plans were replaced by staged one-pass
-    # split reads, and the conditional-pivot floor-drift rewrite
-    # (VERDICT r16 item 1)
-    "hierarchical_cells_assign",
+    # Block A: every query whose executed plan changed in the r18
+    # optimization round (streaming drain pin, staged fingerprint
+    # indexes, unsalted refined-subcell pair join, SCD-2 probe pin,
+    # dense-ID counts guard)
+    "events_stream_join_attribution",
+    "events_stream_session",
+    "events_stream_dedup",
+    "events_stream_user_totals",
+    "events_stream_tumbling",
+    "events_stream_sliding",
+    "simhash_near_dup",
+    "simhash_verify",
+    "winnow_fingerprints",
+    "winnow_near_dup",
     "ivf_multiprobe_twolevel",
-    "embedding_drift_monitor",
+    "scd2_pointintime_join",
+    "scd2_double_load",
+    "scd2_idempotent_reload",
+    "scd2_current_view",
+    "customer_rfm_segments",
+    "epoch_shuffle_order",
+    "dense_id_assignment",
 ]
 
-# the complete r13 block (47 queries whose latest driver row is
-# round 13), as promised by the r16 rotation note
+# the alphabetical head of the r14 cohort (longest without a driver
+# row; the rest of r14 leads the r19 window)
 STALE_REFILL = [
-    "alias_resolution_join",
-    "ann_cosine_topk",
-    "ann_verify",
-    "asof_join_clicks_views",
-    "bigram_surprisal_filter",
-    "bpe_doc_tokenize",
-    "bpe_fertility_by_lang",
-    "bucket_checksum_diff",
-    "cdc_fuzzy_chunk_match",
-    "cdc_incremental_dedup",
-    "census_header_schema",
-    "classifier_trailing_char",
-    "cluster_survivor_selection",
-    "corpus_curation_filter",
-    "corrupt_record_quarantine",
-    "cube_returnflag_status",
-    "curriculum_packing",
-    "dedup_full_row",
-    "dim_upsert_if_absent",
-    "dpp_runtime_pruned_join",
-    "eav_long_table",
-    "embedding_int8_recall",
-    "embedding_neardup",
-    "embedding_neardup_verify",
-    "events_json_props",
-    "events_session_windows",
-    "events_sliding_windows",
-    "except_order_keys",
-    "histogram_quantile_rollup",
-    "image_dhash_neardup",
-    "incremental_minhash_dedup",
-    "intersect_nation_keys",
-    "ivf_index_quality",
-    "locality_hierarchy_paths",
-    "media_strict_decode",
-    "mode_part_brand",
-    "nations_per_region",
-    "neardup_clusters",
-    "orders_stream_checksum",
-    "pivot_status_by_flag",
-    "pq_adc_topk",
-    "priority_sample_topk",
-    "range_join_ship_window",
-    "rollup_order_priority",
-    "semantic_decontam",
-    "temperature_mix_weights",
-    "union_distinct_keys",
+    "bucketed_colocated_join",
+    "cluster_safe_split",
+    "clustering_coefficient",
+    "cohort_retention",
+    "copurchase_triangles",
+    "daves_enacted_assignments",
+    "eav_pivot_roundtrip",
+    "event_transition_matrix",
+    "feature_quantile_norm",
+    "format_roundtrip_json_csv",
+    "geo_union_centroid",
+    "hll_overlap_estimate",
+    "hll_sketch_rollup",
+    "ivf_blocked_neardup",
+    "ivf_verify",
+    "join_delta_maintenance",
+    "medsl_config_projection",
+    "observed_load_metrics",
+    "partition_pruned_read",
+    "prefix_filter_jaccard",
+    "rename_normalizations",
+    "repetition_quality",
+    "salted_holistic_collect",
+    "schema_evolution_read",
+    "sequence_packing",
+    "skew_replicated_join",
+    "snapshot_diff",
+    "source_mix_rebalance",
+    "stratified_sample_quota",
+    "table_profile_stats",
+    "trailing_window_features",
+    "train_val_test_split",
 ]
 
-# no separate touched block this round: the remaining r17 plan
-# changes (chunked fan_out on ten more text heads, the staged-fixture
-# REBALANCE layout, multi-file stream epochs) sit on queries either
-# inside the r13 refill or carrying r15/r16 rows, all locally
-# oracle-verified post-change
+# Block A already holds every r18-touched query
 TOUCHED: list[str] = []
 
 
