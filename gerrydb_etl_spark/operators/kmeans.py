@@ -316,44 +316,39 @@ def _same_cell_pairs(
 ) -> DataFrame:
     """(d1 < d2, cell key, cosine) for every same-cell pair at or
     above ``tau``, cosine folded over the quantized doubles."""
-    # When the key is the TOP-LEVEL cluster_id alone there are only k
-    # distinct values, so an unsalted shuffle caps parallelism at k
-    # tasks: salt the b side by row hash and replicate the a side
-    # over the salts — k x salts tasks, each holding an a-cluster
+    # the join key is cluster_id — only k distinct values, so
+    # an unsalted shuffle caps parallelism at k tasks. Salt
+    # the b side by row hash and replicate the a side over
+    # the salts: k x salts tasks, each holding an a-cluster
     # against 1/salts of its b rows (operators/skew.py
-    # replicated-join pattern, deterministic salt). With the REFINED
-    # (cluster_id, sub_id) key the salt is pure overhead (r18 A/B,
-    # .scale/opt_r18_tl_salts_ab.json: twolevel 2.57 -> 2.23 s
-    # unsalted, values identical): subcell count scales with the
-    # corpus (~n / per_cell — already past cluster parallelism at
-    # bench scale) and per-block occupancy is bounded by the split
-    # contract (<= split_factor * per_cell), so the unsalted join
-    # spreads naturally with no hot key for the salt to defuse,
-    # while the a-side replication multiplied the shuffled vector
-    # payload 16x.
-    salts = 16 if len(cell_cols) == 1 else 1
+    # replicated-join pattern, deterministic salt).
+    #
+    # The salt stays UNCONDITIONAL, including on refined (cluster_id,
+    # sub_id) keys — measured both ways in r18: dropping it on the
+    # refined key won 2.57 -> 2.23 s at sf0.1 (tiny blocks, the 16x
+    # a-side replication dominates) but LOST 10.7 -> 23.9 s at x10
+    # (.scale/opt_r18_tl_salts_ab.json / opt_r18_x10_ab.json), where
+    # the forced-activation fixture scales per_cell with the corpus,
+    # per-block pair work grows quadratically, and the salt is what
+    # spreads a block's work across tasks. An occupancy-derived salt
+    # count would need a hint the generic kernel does not have; the
+    # constant is the measured-safe choice at both scales.
+    salts = 16
     a = qd.select(
         *cell_cols,
         F.col("vec_id").alias("a_id"),
         F.col("dv").alias("a_dv"),
         F.col("nrm").alias("a_nrm"),
-    )
+    ).withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
     b = qd.select(
         *cell_cols,
         F.col("vec_id").alias("b_id"),
         F.col("dv").alias("b_dv"),
         F.col("nrm").alias("b_nrm"),
-    )
-    join_keys = list(cell_cols)
-    if salts > 1:
-        a = a.withColumn(
-            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
-        )
-        b = b.withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
-        join_keys.append("__salt")
+    ).withColumn("__salt", F.pmod(F.xxhash64("b_id"), F.lit(salts)))
     dot_ab = fold_sum(F.zip_with(F.col("a_dv"), F.col("b_dv"), lambda x, y: x * y))
     return (
-        a.join(b, join_keys)
+        a.join(b, [*cell_cols, "__salt"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             F.col("a_id").alias("d1"),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from gerrydb_etl_spark.queries.base import query
 from gerrydb_etl_spark.sources import load_table
+from gerrydb_etl_spark.streaming.stream import scaled_state_partitions
 from gerrydb_etl_spark.streaming.windows import json_props, session, sliding, tumbling
 
 
@@ -113,9 +114,10 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda df: tumbling(df, "1 hour"),
         output_mode="complete",
-        # sized to the test corpus's bounded state (a few thousand
-        # windows); see run_stream_to_memory's state_partitions note
-        state_partitions=8,
+        # scale-adaptive (r18): the input-size-derived count equals
+        # the old constant 8 at bench scale and grows with the
+        # corpus — see streaming/stream.py scaled_state_partitions
+        state_partitions=scaled_state_partitions(spark, sf_dir),
     )
 
 
@@ -148,7 +150,7 @@ def events_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda df: tumbling(df, "1 hour"),
         output_mode="complete",
-        state_partitions=8,
+        state_partitions=scaled_state_partitions(spark, sf_dir),
     )
 
 
@@ -181,7 +183,7 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda df: sliding(df, "30 minutes", "10 minutes"),
         output_mode="complete",
-        state_partitions=8,
+        state_partitions=scaled_state_partitions(spark, sf_dir),
     )
 
 
@@ -224,7 +226,7 @@ def events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda df: session(df, "10 minutes"),
         output_mode="complete",
-        state_partitions=8,
+        state_partitions=scaled_state_partitions(spark, sf_dir),
     )
 
 
@@ -251,7 +253,10 @@ def events_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/stream.py:running_user_cents)."""
     from gerrydb_etl_spark.streaming.stream import run_running_cents
 
-    return run_running_cents(spark, sf_dir, state_partitions=8)
+    return run_running_cents(
+        spark, sf_dir,
+        state_partitions=scaled_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -300,7 +305,10 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/stream.py:run_dedup_stream)."""
     from gerrydb_etl_spark.streaming.stream import run_dedup_stream
 
-    return run_dedup_stream(spark, sf_dir, watermark="1 hour", state_partitions=8)
+    return run_dedup_stream(
+        spark, sf_dir, watermark="1 hour",
+        state_partitions=scaled_state_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -326,7 +334,10 @@ def events_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     BIGINT outputs make the comparison exact."""
     from gerrydb_etl_spark.streaming.stream import run_click_view_attribution
 
-    return run_click_view_attribution(spark, sf_dir)
+    return run_click_view_attribution(
+        spark, sf_dir,
+        state_partitions=scaled_state_partitions(spark, sf_dir),
+    )
 
 
 @query(

@@ -39,6 +39,45 @@ from gerrydb_etl_spark.sources.registry import (
 )
 
 
+# target compressed input bytes per state-store partition when
+# deriving a scale-adaptive partition count (see
+# scaled_state_partitions): at driver bench scale (events ~2 MB) the
+# floor of 8 binds — exactly the constant the heads carried before —
+# so x1 plans and floors are byte-identical; a 10x corpus derives ~32
+# and a production corpus saturates cluster parallelism.
+_STATE_PARTITION_BYTES = 640 << 10
+
+
+def scaled_state_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events", floor: int = 8
+) -> int:
+    """Scale-adaptive state-store partition count (r18, the VERDICT
+    r17 item-1 lever): every micro-batch commits one state file per
+    partition, so a bounded test stream wants FEW partitions (the
+    run_stream_to_memory note: 32 partitions spent more time in
+    state-store commit I/O than aggregation at bench scale), while a
+    scaled stream wants state spread — the x10 battery measured the
+    stateful-UDF head 4.17 s at 8 partitions vs 3.06 s at 32
+    (.scale/opt_r18_x10_ab.json). Deriving the count from input size
+    (clamped to [floor, cluster parallelism]) keeps the bench-scale
+    value exactly at the old constant and scales past it only when
+    the corpus does; unknown sizes (non-file sources) stay at the
+    floor."""
+    from gerrydb_etl_spark.operators.partitioning import _input_bytes
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    size = _input_bytes(load_table(spark, sf_dir, table))
+    if not size:
+        return floor
+    return max(
+        floor,
+        min(
+            spark.sparkContext.defaultParallelism,
+            size // _STATE_PARTITION_BYTES,
+        ),
+    )
+
+
 def _stage_events_dir(sf_dir: str) -> str:
     """The driver ships events as a single parquet FILE; the file
     stream source only accepts directories, so expose the file
