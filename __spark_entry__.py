@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sit below the window.
 _EXPOSURE_PRIORITY = [
     # ---- ROUND 18 WINDOW (50 slots exactly) --------------------------
-    # Block A (18): every query whose EXECUTED PLAN changed in the r18
+    # Block A (21): every query whose EXECUTED PLAN changed in the r18
     # optimization round, each locally oracle-verified at sf0.001 AND
     # sf0.01 through this contract at the point of change:
     # - the six memory-sink streaming heads (drain pinned
@@ -41,7 +41,9 @@ _EXPOSURE_PRIORITY = [
     # - the four overlapping-merge SCD-2 heads (probe_append=False
     #   pins the one-pass close-and-insert plan);
     # - the three dense-ID consumers (2^33 fail-loud guard on the
-    #   bounded counts table).
+    #   bounded counts table);
+    # - the three streaming-ingest heads (session-staged epoch input
+    #   directories replace the per-call staging writes).
     "events_stream_join_attribution",
     "events_stream_session",
     "events_stream_dedup",
@@ -60,7 +62,10 @@ _EXPOSURE_PRIORITY = [
     "customer_rfm_segments",
     "epoch_shuffle_order",
     "dense_id_assignment",
-    # Block B (32): the queries that have gone longest without a
+    "orders_stream_checksum",
+    "docs_stream_dedup_ingest",
+    "embeddings_stream_index_ingest",
+    # Block B (29): the queries that have gone longest without a
     # driver row — the alphabetical head of the r14 cohort (every
     # query below the window was driver-green in r14-r17 with code
     # unchanged this round). The r14 tail that does not fit
@@ -93,10 +98,7 @@ _EXPOSURE_PRIORITY = [
     "skew_replicated_join",
     "snapshot_diff",
     "source_mix_rebalance",
-    "stratified_sample_quota",
     "table_profile_stats",
-    "trailing_window_features",
-    "train_val_test_split",
 ]
 
 _EXPOSURE_R17 = [

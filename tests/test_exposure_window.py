@@ -44,6 +44,9 @@ NEW_THIS_ROUND = [
     "customer_rfm_segments",
     "epoch_shuffle_order",
     "dense_id_assignment",
+    "orders_stream_checksum",
+    "docs_stream_dedup_ingest",
+    "embeddings_stream_index_ingest",
 ]
 
 # the alphabetical head of the r14 cohort (longest without a driver
@@ -77,10 +80,7 @@ STALE_REFILL = [
     "skew_replicated_join",
     "snapshot_diff",
     "source_mix_rebalance",
-    "stratified_sample_quota",
     "table_profile_stats",
-    "trailing_window_features",
-    "train_val_test_split",
 ]
 
 # Block A already holds every r18-touched query
