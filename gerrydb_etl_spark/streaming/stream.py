@@ -852,6 +852,18 @@ def _stage_key_range_batches(
     return stage
 
 
+# Epoch directories staged by THIS process: the session-scoping
+# memo for ensure_staged_epoch_dir. The catalog-backed fixtures get
+# per-JVM scoping for free (the in-memory catalog forgets managed
+# tables when the JVM exits, so a fresh bench/driver process always
+# restages); a bare filesystem existence check would instead survive
+# across processes and silently reuse a PREVIOUS run's staging work —
+# cross-run persisted intermediate state, which the staging contract
+# forbids. Keyed by destination path (which already embeds the source
+# fingerprint + derivation tag).
+_EPOCH_DIRS_THIS_PROCESS: set[str] = set()
+
+
 def ensure_staged_epoch_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -872,11 +884,16 @@ def ensure_staged_epoch_dir(
     same staleness contract as every staged fixture: the directory
     name embeds the source fingerprint AND a derivation tag over the
     staging recipe, so regenerated data or an edited recipe mints a
-    new directory. Results are unchanged by construction (the staged
-    files hold exactly the rows the per-call staging produced; each
-    query still runs its own stream with a fresh checkpoint over
-    them). Production analogue: the arriving files ARE the stream —
-    only the demo harness ever had to manufacture them."""
+    new directory. Scope is the SESSION, exactly like the
+    catalog-backed fixtures: a per-process memo gates reuse, so a
+    fresh JVM always drops any leftover directory from a previous
+    process and restages from the parquet inputs — never a cross-run
+    read of persisted intermediate state. Results are unchanged by
+    construction (the staged files hold exactly the rows the per-call
+    staging produced; each query still runs its own stream with a
+    fresh checkpoint over them). Production analogue: the arriving
+    files ARE the stream — only the demo harness ever had to
+    manufacture them."""
     from urllib.parse import urlparse
 
     from gerrydb_etl_spark.store.bucketing import _source_fingerprint
@@ -891,7 +908,11 @@ def ensure_staged_epoch_dir(
         wh,
         f"st_epochs_{prefix}_b{n_batches}_f{files_per_batch}_{code}_{tag}",
     )
-    if os.path.isdir(dest) and os.listdir(dest):
+    if (
+        dest in _EPOCH_DIRS_THIS_PROCESS
+        and os.path.isdir(dest)
+        and os.listdir(dest)
+    ):
         return dest
     shutil.rmtree(dest, ignore_errors=True)
     staged = _stage_key_range_batches(
@@ -901,6 +922,7 @@ def ensure_staged_epoch_dir(
     # move preserves the deterministic mtimes the file-source
     # delivery order depends on
     shutil.move(staged, dest)
+    _EPOCH_DIRS_THIS_PROCESS.add(dest)
     return dest
 
 
