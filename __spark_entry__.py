@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # sit below the window.
 _EXPOSURE_PRIORITY = [
     # ---- ROUND 18 WINDOW (50 slots exactly) --------------------------
-    # Block A (21): every query whose EXECUTED PLAN changed in the r18
+    # Block A (24): every query whose EXECUTED PLAN changed in the r18
     # optimization round, each locally oracle-verified at sf0.001 AND
     # sf0.01 through this contract at the point of change:
     # - the six memory-sink streaming heads (drain pinned
@@ -43,7 +43,9 @@ _EXPOSURE_PRIORITY = [
     # - the three dense-ID consumers (2^33 fail-loud guard on the
     #   bounded counts table);
     # - the three streaming-ingest heads (session-staged epoch input
-    #   directories replace the per-call staging writes).
+    #   directories replace the per-call staging writes);
+    # - the three MinHash heads (session-staged banded LSH index
+    #   replaces the per-query signature build).
     "events_stream_join_attribution",
     "events_stream_session",
     "events_stream_dedup",
@@ -65,7 +67,10 @@ _EXPOSURE_PRIORITY = [
     "orders_stream_checksum",
     "docs_stream_dedup_ingest",
     "embeddings_stream_index_ingest",
-    # Block B (29): the queries that have gone longest without a
+    "minhash_near_dup",
+    "minhash_verify",
+    "incremental_minhash_dedup",
+    # Block B (26): the queries that have gone longest without a
     # driver row — the alphabetical head of the r14 cohort (every
     # query below the window was driver-green in r14-r17 with code
     # unchanged this round). The r14 tail that does not fit
@@ -96,9 +101,6 @@ _EXPOSURE_PRIORITY = [
     "schema_evolution_read",
     "sequence_packing",
     "skew_replicated_join",
-    "snapshot_diff",
-    "source_mix_rebalance",
-    "table_profile_stats",
 ]
 
 _EXPOSURE_R17 = [

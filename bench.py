@@ -359,6 +359,24 @@ def main() -> None:
         WINNOW_ND_K, WINNOW_W,
     )
 
+    # ...and the banded MinHash LSH index (r18): signatures + band
+    # keys are the canonical persisted state of a MinHash dedup
+    # pipeline (computed once per corpus version, probed per pass);
+    # shared by the LSH self-join head, its verify twin, and the
+    # incremental probe head (both of whose sides are doc-filters of
+    # this one table). Exact-Jaccard truth oracles are unaffected.
+    from gerrydb_etl_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_N,
+    )
+    from gerrydb_etl_spark.store.staging import ensure_staged_minhash_bands
+
+    _staged(
+        "minhash_bands", ensure_staged_minhash_bands, spark, sf_dir,
+        MINHASH_N, MINHASH_HASHES, MINHASH_BANDS,
+    )
+
     # ...and the staged micro-batch epoch directories (r18): the
     # streaming-ingest demo heads' epoch INPUT files are a
     # deterministic arrangement of the source tables that the heads

@@ -394,18 +394,30 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard truth set restricted to batch-vs-corpus
     orientation (see the oracle comment for the set-equality
     argument minhash_near_dup established)."""
-    from gerrydb_etl_spark.operators.dedup import minhash_probe_pairs
+    from gerrydb_etl_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_N,
+        minhash_probe_pairs,
+    )
+    from gerrydb_etl_spark.store.staging import staged_minhash_bands
 
-    rows = staged_shingles(spark, sf_dir, 3)
-    existing = rows.where(F.col("doc") % 2 == 0)
-    incoming = rows.where(
-        (F.col("doc") % 2 == 1) | (F.col("doc") % 10 == 0)
+    # session-staged LSH index (r18): signatures aggregate per doc,
+    # so doc-filtering the staged full-corpus banded table is exactly
+    # the banding of the same-filtered shingle rows — both sides read
+    # ONE staged index instead of re-min-aggregating shingles
+    banded = staged_minhash_bands(
+        spark, sf_dir, MINHASH_N, MINHASH_HASHES, MINHASH_BANDS
     )
     return minhash_probe_pairs(
-        existing,
-        incoming,
-        num_hashes=32,
-        bands=8,
+        None,
+        None,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
         threshold=0.7,
         max_bucket_size=1000,
+        existing_banded=banded.where(F.col("doc") % 2 == 0),
+        incoming_banded=banded.where(
+            (F.col("doc") % 2 == 1) | (F.col("doc") % 10 == 0)
+        ),
     ).select("batch_doc", "corpus_doc")

@@ -298,17 +298,28 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.001 and sf0.01: 28/28 and 25/25, zero extra). The
     engine-specific est_jaccard column is projected away; the oracle
     is the truth-pair (d1, d2) set."""
+    from gerrydb_etl_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_N,
+    )
+    from gerrydb_etl_spark.store.staging import staged_minhash_bands
+
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs,
         "doc_id",
         "text",
-        n=3,
-        num_hashes=32,
-        bands=8,
+        n=MINHASH_N,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
         threshold=0.7,
         max_bucket_size=1000,
-        shingles=staged_shingles(spark, sf_dir, 3),
+        # session-staged LSH index (r18): signatures + band keys are
+        # write-once corpus state (the simhash/winnow precedent)
+        banded=staged_minhash_bands(
+            spark, sf_dir, MINHASH_N, MINHASH_HASHES, MINHASH_BANDS
+        ),
     ).select("d1", "d2")
 
 
@@ -335,9 +346,19 @@ def minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=1000,
         shingles=sh,
     )
+    from gerrydb_etl_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_N,
+    )
+    from gerrydb_etl_spark.store.staging import staged_minhash_bands
+
     found = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.7,
-        shingles=sh,
+        docs, "doc_id", "text", n=MINHASH_N, num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS, threshold=0.7,
+        banded=staged_minhash_bands(
+            spark, sf_dir, MINHASH_N, MINHASH_HASHES, MINHASH_BANDS
+        ),
     ).select("d1", "d2", F.lit(True).alias("_hit"))
     return truth.join(found, ["d1", "d2"], "left").select(
         "d1",

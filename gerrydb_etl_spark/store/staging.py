@@ -632,6 +632,65 @@ def staged_simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(ensure_staged_simhash_fps(spark, sf_dir))
 
 
+def staged_minhash_bands_name(
+    sf_dir: str, n: int, num_hashes: int, bands: int
+) -> str:
+    from gerrydb_etl_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    tag = _source_fingerprint(sf_dir, tables=("documents",))
+    code = _derivation_tag(shingle_rows, minhash_signatures, banded_signatures)
+    return f"st_mhband{n}_h{num_hashes}_b{bands}_{code}_{tag}"
+
+
+def ensure_staged_minhash_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """Stage the banded MinHash signature index (doc, sig, band, key)
+    over the staged shingles — the MinHash twin of the staged SimHash
+    fingerprints: an LSH index IS the canonical persisted state of a
+    MinHash dedup pipeline (signatures + band keys are computed once
+    per corpus version and probed per pass; nobody re-min-aggregates
+    a million shingle rows per consumer). Deterministic given the
+    corpus (xxhash64 family seeded by position, min-aggregated — no
+    RNG), so staged rows are identical to the inline spelling by
+    construction and the exact-Jaccard truth oracles are unchanged.
+    Because signatures aggregate per doc, filtering the staged table
+    by doc commutes exactly with building signatures from filtered
+    shingles — the incremental probe head's existing/incoming sides
+    read the SAME staged table."""
+    from gerrydb_etl_spark.operators.dedup import banded_signatures
+
+    return _ensure_staged(
+        spark,
+        staged_minhash_bands_name(sf_dir, n, num_hashes, bands),
+        lambda: banded_signatures(
+            staged_shingles(spark, sf_dir, n), num_hashes, bands
+        ),
+    )
+
+
+def staged_minhash_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The staged banded MinHash rows as a DataFrame (staging on
+    first use), columns exactly (doc, sig, band, key)."""
+    return spark.table(
+        ensure_staged_minhash_bands(spark, sf_dir, n, num_hashes, bands)
+    ).select("doc", "sig", "band", "key")
+
+
 def staged_winnow_name(sf_dir: str, k: int, w: int) -> str:
     from gerrydb_etl_spark.functions.text import tokenize
     from gerrydb_etl_spark.operators.passages import (

@@ -47,6 +47,9 @@ NEW_THIS_ROUND = [
     "orders_stream_checksum",
     "docs_stream_dedup_ingest",
     "embeddings_stream_index_ingest",
+    "minhash_near_dup",
+    "minhash_verify",
+    "incremental_minhash_dedup",
 ]
 
 # the alphabetical head of the r14 cohort (longest without a driver
@@ -78,9 +81,6 @@ STALE_REFILL = [
     "schema_evolution_read",
     "sequence_packing",
     "skew_replicated_join",
-    "snapshot_diff",
-    "source_mix_rebalance",
-    "table_profile_stats",
 ]
 
 # Block A already holds every r18-touched query

@@ -87,3 +87,100 @@ def test_fingerprint_staged_names_track_builder_source(monkeypatch):
     ]
     for before, after in zip(names_before, names_after):
         assert before != after, before
+
+
+def test_staged_minhash_bands_equal_inline(spark):
+    """The staged banded MinHash index holds exactly the rows of the
+    inline banding, and a doc-filter of the staged table equals the
+    banding of the same-filtered shingle rows (the commutation the
+    incremental probe head relies on)."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_N,
+        banded_signatures,
+    )
+
+    sh = staging.staged_shingles(spark, SF, MINHASH_N)
+    staged = staging.staged_minhash_bands(
+        spark, SF, MINHASH_N, MINHASH_HASHES, MINHASH_BANDS
+    )
+    inline = banded_signatures(sh, MINHASH_HASHES, MINHASH_BANDS)
+    cols = ["doc", "sig", "band", "key"]
+
+    def rows(df):
+        return sorted(
+            (r["doc"], tuple(r["sig"]), r["band"], r["key"])
+            for r in df.select(cols).collect()
+        )
+
+    assert rows(staged) == rows(inline)
+    assert rows(staged.where(F.col("doc") % 2 == 0)) == rows(
+        banded_signatures(
+            sh.where(F.col("doc") % 2 == 0), MINHASH_HASHES, MINHASH_BANDS
+        )
+    )
+
+
+def test_minhash_pairs_staged_bands_identical(spark):
+    """minhash_lsh_pairs(banded=staged) and the probe head's staged
+    sides emit exactly the pair sets of the inline spellings."""
+    from pyspark.sql import functions as F
+
+    from gerrydb_etl_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_N,
+        minhash_lsh_pairs,
+        minhash_probe_pairs,
+    )
+    from gerrydb_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sh = staging.staged_shingles(spark, SF, MINHASH_N)
+    banded = staging.staged_minhash_bands(
+        spark, SF, MINHASH_N, MINHASH_HASHES, MINHASH_BANDS
+    )
+
+    via_staged = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=MINHASH_N, num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS, threshold=0.7, max_bucket_size=1000,
+        banded=banded,
+    )
+    inline = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=MINHASH_N, num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS, threshold=0.7, max_bucket_size=1000,
+        shingles=sh,
+    )
+    cols = ["d1", "d2", "est_jaccard"]
+    assert _rows(via_staged, cols) == _rows(inline, cols)
+
+    ex_pred = F.col("doc") % 2 == 0
+    inc_pred = (F.col("doc") % 2 == 1) | (F.col("doc") % 10 == 0)
+    probe_staged = minhash_probe_pairs(
+        None, None, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold=0.7, max_bucket_size=1000,
+        existing_banded=banded.where(ex_pred),
+        incoming_banded=banded.where(inc_pred),
+    )
+    probe_inline = minhash_probe_pairs(
+        sh.where(ex_pred), sh.where(inc_pred),
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        threshold=0.7, max_bucket_size=1000,
+    )
+    cols = ["batch_doc", "corpus_doc", "est_jaccard"]
+    assert _rows(probe_staged, cols) == _rows(probe_inline, cols)
+
+
+def test_minhash_bands_staged_name_tracks_builder_source(monkeypatch):
+    name_before = staging.staged_minhash_bands_name(SF, 3, 32, 8)
+    assert re.search(r"_[0-9a-f]{8}_", name_before)
+    real_getsource = staging.inspect.getsource
+    monkeypatch.setattr(
+        staging.inspect,
+        "getsource",
+        lambda obj: real_getsource(obj) + "\n# edited",
+    )
+    assert staging.staged_minhash_bands_name(SF, 3, 32, 8) != name_before
